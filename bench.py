@@ -1,0 +1,54 @@
+#!/usr/bin/env python
+"""Per-round benchmark: run the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
+"sf": ...}.
+
+Execution is forced with the noop sink (full pipeline runs, nothing collected
+to the driver, no sink I/O skew).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    from pyspark_coding_challenge_spark import registry
+    from pyspark_coding_challenge_spark.session import get_spark
+
+    spark = get_spark(app_name="bench", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    headline = list(registry.queries().items())
+    timings: dict[str, float] = {}
+    for slug, fn in headline:
+        df = fn(spark, sf_dir)
+        # warm the input file listing/footers so timings measure compute
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        timings[slug] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_dir,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,93 @@
+"""Central registry: slug -> (Spark query, DuckDB oracle SQL).
+
+Every implemented operator from SURVEY.md §2 gets a slug here; the driver runs
+``queries()[slug]`` against ``oracle_sql()[slug]`` at sf0.01 (row-count +
+schema + order-insensitive value-hash). Column names are aliased identically
+on both sides — the driver sorts columns by name before hashing.
+
+Oracle notes: DuckDB 1.0.0's ``list_resize`` segfaults on NULL lists produced
+by a left join, so oracles pad arrays with the same concat+slice idiom the
+Spark side uses (``functions/arrays.py::pad_truncate``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from pyspark_coding_challenge_spark.plans.flagship import (
+    DEFAULT_K,
+    user_history_features,
+)
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_QUERIES: dict[str, QueryFn] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def register(slug: str, fn: QueryFn, oracle: str | None = None) -> None:
+    _QUERIES[slug] = fn
+    if oracle is not None:
+        _ORACLES[slug] = oracle
+
+
+def queries() -> dict[str, QueryFn]:
+    return dict(_QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(_ORACLES)
+
+
+# ---------------------------------------------------------------------------
+# Flagship: per-event last-K prior-day user history (reference semantics
+# recast onto events — SURVEY §7 Phase 0).
+# ---------------------------------------------------------------------------
+
+def _zeros(k: int) -> str:
+    return "[" + ",".join(["0"] * k) + "]"
+
+
+FLAGSHIP_ORACLE = f"""
+WITH ev AS (
+  -- CAST TIMESTAMP_NS -> TIMESTAMP floors to micros, matching the Spark
+  -- reader's `timestamp_micros(ts div 1000)` (sources/readers.py).
+  SELECT event_id, user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d FROM events
+),
+acts AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+    CASE event_type WHEN 'click' THEN 1 WHEN 'error' THEN 2 WHEN 'purchase' THEN 3
+                    WHEN 'signup' THEN 4 WHEN 'view' THEN 5 ELSE 99 END AS action_type
+  FROM events
+  WHERE user_id IS NOT NULL AND event_id IS NOT NULL AND ts IS NOT NULL
+),
+days AS (SELECT DISTINCT user_id, d FROM ev),
+hist AS (
+  SELECT dy.user_id, dy.d,
+    list_slice(list(a.event_id ORDER BY a.ts DESC, a.event_id, a.action_type),
+               1, {DEFAULT_K}) AS ids,
+    list_slice(list(a.action_type ORDER BY a.ts DESC, a.event_id, a.action_type),
+               1, {DEFAULT_K}) AS tps
+  FROM days dy
+  JOIN acts a ON dy.user_id = a.user_id AND a.ts < CAST(dy.d AS TIMESTAMP)
+  GROUP BY dy.user_id, dy.d
+)
+SELECT
+  e.event_id,
+  e.user_id,
+  CAST(e.d AS VARCHAR) AS dt,
+  list_slice(list_concat(COALESCE(h.ids, CAST([] AS BIGINT[])),
+                         CAST({_zeros(DEFAULT_K)} AS BIGINT[])), 1, {DEFAULT_K}) AS actions,
+  CAST(list_slice(list_concat(COALESCE(h.tps, CAST([] AS INT[])),
+                              CAST({_zeros(DEFAULT_K)} AS INT[])), 1, {DEFAULT_K}) AS INT[]) AS action_types
+FROM ev e
+LEFT JOIN hist h ON e.user_id = h.user_id AND e.d = h.d
+"""
+
+register(
+    "user_history_topk",
+    lambda spark, sf_dir: user_history_features(spark, sf_dir, k=DEFAULT_K),
+    FLAGSHIP_ORACLE,
+)

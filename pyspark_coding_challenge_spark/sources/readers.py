@@ -1,0 +1,52 @@
+"""Sources: parquet (primary), JSON, CSV, in-memory.
+
+Reference parity: the reference's tests build inputs with
+``spark.createDataFrame`` (``pyspark-coding-challenge/tests/test_pipeline.py:
+64-94``) and its README mandates dt-partitioned snappy parquet storage
+(``README.md:38,65``). We expose ``spark.read.parquet`` over the driver's
+testdata plus schema-enforced JSON/CSV readers. Columnar parquet scans give
+Catalyst predicate pushdown + column pruning for free — every query in this
+engine selects columns explicitly so ``ReadSchema`` stays minimal.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# Columns stored as parquet TIMESTAMP(NANOS): read as long nanos (session
+# conf spark.sql.legacy.parquet.nanosAsLong) and floor-truncate to micros —
+# integer `div`, NOT float division: ns epoch values (~1.7e18) exceed double's
+# 53-bit mantissa. DuckDB's CAST(ts_ns AS TIMESTAMP) floors identically, so
+# oracle comparisons stay exact.
+_NANOS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver testdata table (TESTDATA.md) as a DataFrame."""
+    if name in _NANOS_TS_COLS:
+        # Runtime-settable SQL confs: required even on sessions we didn't
+        # build (the driver passes its own SparkSession into entry()).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # The parquet timestamps are tz-naive (isAdjustedToUTC=false); UTC
+        # session time makes Spark's to_date/date_trunc agree with DuckDB's
+        # naive civil-time interpretation regardless of host timezone.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for c in _NANOS_TS_COLS.get(name, ()):
+        if dict(df.dtypes).get(c) == "bigint":
+            df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
+    return df
+
+
+def read_tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]:
+    return tuple(read_table(spark, sf_dir, n) for n in names)
+
+
+def read_json(spark: SparkSession, path: str, ddl_schema: str) -> DataFrame:
+    """Schema-enforced JSON source (no inference — SURVEY §5.2)."""
+    return spark.read.schema(ddl_schema).json(path)
+
+
+def read_csv(spark: SparkSession, path: str, ddl_schema: str, header: bool = True) -> DataFrame:
+    return spark.read.schema(ddl_schema).csv(path, header=header)
