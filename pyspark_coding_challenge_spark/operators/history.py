@@ -37,7 +37,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from pyspark_coding_challenge_spark.functions.arrays import pad_truncate
+from pyspark_coding_challenge_spark.functions.arrays import pad_truncate, sorted_parallel_arrays
 
 
 def last_k_history(
@@ -88,16 +88,10 @@ def last_k_history(
     grouped = topk.groupBy(entity_col, cutoff_col).agg(
         F.collect_list(F.struct(F.col("_rn"), *[F.col(c) for c in payload_cols])).alias("_structs")
     )
-    ordered = F.array_sort(F.col("_structs"))
-
-    def _getter(name):
-        # NB: must be a unary lambda — pyspark dispatches on lambda arity, so
-        # a `lambda x, c=name:` would be fed the array index as `c`.
-        return lambda x: x[name]
-
+    per_field = sorted_parallel_arrays(F.col("_structs"), payload_cols)
     arrays = [
-        pad_truncate(F.transform(ordered, _getter(c)), k, pad).alias(o)
-        for c, o in zip(payload_cols, out_cols)
+        pad_truncate(col, k, pad).alias(o)
+        for col, o in zip(per_field, out_cols)
     ]
     return grouped.select(entity_col, cutoff_col, *arrays)
 

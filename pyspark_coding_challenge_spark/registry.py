@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from pyspark_coding_challenge_spark.plans.flagship import (
     DEFAULT_K,
-    user_history_features,
+    user_history_features_flat,
 )
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -78,16 +78,18 @@ SELECT
   e.event_id,
   e.user_id,
   CAST(e.d AS VARCHAR) AS dt,
-  list_slice(list_concat(COALESCE(h.ids, CAST([] AS BIGINT[])),
-                         CAST({_zeros(DEFAULT_K)} AS BIGINT[])), 1, {DEFAULT_K}) AS actions,
-  CAST(list_slice(list_concat(COALESCE(h.tps, CAST([] AS INT[])),
-                              CAST({_zeros(DEFAULT_K)} AS INT[])), 1, {DEFAULT_K}) AS INT[]) AS action_types
+  -- Serialized to scalars: the driver's canonicalizer cannot hash lists
+  -- (CORRECTNESS_r01.json), so both sides emit comma-joined strings.
+  array_to_string(list_slice(list_concat(COALESCE(h.ids, CAST([] AS BIGINT[])),
+                         CAST({_zeros(DEFAULT_K)} AS BIGINT[])), 1, {DEFAULT_K}), ',') AS actions,
+  array_to_string(list_slice(list_concat(COALESCE(h.tps, CAST([] AS INT[])),
+                              CAST({_zeros(DEFAULT_K)} AS INT[])), 1, {DEFAULT_K}), ',') AS action_types
 FROM ev e
 LEFT JOIN hist h ON e.user_id = h.user_id AND e.d = h.d
 """
 
 register(
     "user_history_topk",
-    lambda spark, sf_dir: user_history_features(spark, sf_dir, k=DEFAULT_K),
+    lambda spark, sf_dir: user_history_features_flat(spark, sf_dir, k=DEFAULT_K),
     FLAGSHIP_ORACLE,
 )
