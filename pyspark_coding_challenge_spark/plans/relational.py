@@ -1,0 +1,967 @@
+"""Relational query surface over the driver's TPC-H-ish tables — one slug per
+operator family from SURVEY.md §2 plus the Phase-2 extensions (§7), each with
+a DuckDB oracle.
+
+Design rules for oracle parity (every query here follows them):
+
+* **Scalar outputs only.** The driver's canonicalizer hashes with pandas and
+  cannot hash list cells (CORRECTNESS_r01.json); arrays are serialized with
+  ``array_join`` / ``array_to_string`` on the two sides.
+* **Money sums in exact integer cents.** Double summation is
+  order-dependent across engines; ``CAST(ROUND(x*100) AS BIGINT)`` before
+  aggregation makes every sum/avg bit-exact regardless of plan shape. The
+  TPC-H-ish testdata is 2-decimal money, integral quantities (verified).
+* **Deterministic ordering keys everywhere** a window/limit/array order
+  matters (SURVEY §4.4-3).
+* **Identical column aliases on both sides** — the driver sorts columns by
+  name before hashing.
+
+Scale notes are attached per-query; the common ones: dimension joins are
+broadcast (``F.broadcast``), aggregates are partial-aggregated map-side by
+Catalyst, scans project/filter at the parquet reader (``PushedFilters`` /
+``ReadSchema``), and no query collects to the driver.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pyspark_coding_challenge_spark.functions.arrays import pad_truncate
+from pyspark_coding_challenge_spark.operators.asof import asof_join
+from pyspark_coding_challenge_spark.sources.readers import read_table
+from pyspark_coding_challenge_spark.sources.writers import write_partitioned_parquet
+
+
+def _cents(col: str):
+    """Exact integer cents of a 2-decimal money double (see module doc)."""
+    return F.round(F.col(col) * 100).cast("bigint")
+
+
+# ---------------------------------------------------------------------------
+# §2.1 sources / sinks
+# ---------------------------------------------------------------------------
+
+def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection + filter reaching the parquet scan (PushedFilters/ReadSchema
+    stay minimal — only 4 of 11 lineitem columns are read)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter((F.col("l_shipdate") >= F.expr("timestamp'1998-01-01'")) & (F.col("l_quantity") < 10))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_quantity").cast("bigint").alias("qty"),
+        )
+    )
+
+
+SCAN_PARQUET_ORACLE = """
+SELECT l_orderkey, l_linenumber, CAST(l_quantity AS BIGINT) AS qty
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1998-01-01' AND l_quantity < 10
+"""
+
+
+def sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip through the engine's documented sink (snappy parquet
+    partitioned by a day/partition column — README.md:38,65): write the
+    filtered orders, read them back."""
+    orders = read_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    out = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        _cents("o_totalprice").alias("price_cents"),
+    )
+    path = tempfile.mkdtemp(prefix="sink_parquet_")
+    write_partitioned_parquet(out, path, partition_cols=("o_orderstatus",))
+    back = spark.read.parquet(path)
+    return back.select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_orderstatus").cast("string").alias("o_orderstatus"),
+        "price_cents",
+    )
+
+
+SINK_PARQUET_ORACLE = """
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       CAST(ROUND(o_totalprice*100) AS BIGINT) AS price_cents
+FROM orders WHERE o_totalprice > 400000
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.2 projection / filter / scalar expressions
+# ---------------------------------------------------------------------------
+
+def project_cast_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = read_table(spark, sf_dir, "customer")
+    return c.select(
+        F.col("c_custkey").cast("string").alias("cust_id"),
+        F.col("c_nationkey").cast("bigint").alias("nation"),
+        F.round("c_acctbal", 2).alias("bal"),
+        F.col("c_name").alias("name"),
+    )
+
+
+PROJECT_CAST_ALIAS_ORACLE = """
+SELECT CAST(c_custkey AS VARCHAR) AS cust_id, CAST(c_nationkey AS BIGINT) AS nation,
+       ROUND(c_acctbal, 2) AS bal, c_name AS name
+FROM customer
+"""
+
+
+def filter_notnull(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The testdata has no physical nulls, so nulls are injected with
+    ``nullif`` and then rejected — the same isNotNull chain the reference
+    applies to its action tables (src/pipeline.py:64)."""
+    ev = read_table(spark, sf_dir, "events")
+    maybe = ev.select(
+        "event_id",
+        F.expr("nullif(user_id % 7, 0)").alias("u7"),
+        F.expr("nullif(event_type, 'view')").alias("et"),
+    )
+    return maybe.filter(F.col("u7").isNotNull() & F.col("et").isNotNull())
+
+
+FILTER_NOTNULL_ORACLE = """
+SELECT event_id, NULLIF(user_id % 7, 0) AS u7, NULLIF(event_type, 'view') AS et
+FROM events
+WHERE NULLIF(user_id % 7, 0) IS NOT NULL AND NULLIF(event_type, 'view') IS NOT NULL
+"""
+
+
+def filter_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount")) > 90000)
+            & (F.col("l_quantity") < 30)
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            # Exact integer 1/10000-dollar units: price*(1-disc) hits true
+            # decimal half-cases (e.g. 90711.225) that Spark and DuckDB round
+            # in opposite directions; integer math sidesteps rounding.
+            (_cents("l_extendedprice") * (100 - F.round(F.col("l_discount") * 100).cast("bigint"))).alias("disc_price_e4"),
+        )
+    )
+
+
+FILTER_PREDICATE_ORACLE = """
+SELECT l_orderkey, l_linenumber,
+       CAST(ROUND(l_extendedprice*100) AS BIGINT)
+         * (100 - CAST(ROUND(l_discount*100) AS BIGINT)) AS disc_price_e4
+FROM lineitem
+WHERE l_extendedprice * (1 - l_discount) > 90000 AND l_quantity < 30
+"""
+
+
+def case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderstatus") == "F", "finished")
+        .when(F.col("o_orderstatus") == "O", "open")
+        .otherwise("other")
+        .alias("status_word"),
+        F.when(F.col("o_totalprice") > 300000, 3)
+        .when(F.col("o_totalprice") > 150000, 2)
+        .otherwise(1)
+        .cast("int")
+        .alias("bucket"),
+    )
+
+
+CASE_WHEN_ORACLE = """
+SELECT o_orderkey,
+       CASE WHEN o_orderstatus = 'F' THEN 'finished'
+            WHEN o_orderstatus = 'O' THEN 'open'
+            ELSE 'other' END AS status_word,
+       CAST(CASE WHEN o_totalprice > 300000 THEN 3
+                 WHEN o_totalprice > 150000 THEN 2
+                 ELSE 1 END AS INTEGER) AS bucket
+FROM orders
+"""
+
+
+def literal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = read_table(spark, sf_dir, "nation")
+    return n.select(
+        "n_nationkey",
+        F.lit(1).cast("int").alias("one"),
+        F.lit("tag").alias("tag"),
+        F.lit(2.5).alias("half"),
+    )
+
+
+LITERAL_ORACLE = """
+SELECT n_nationkey, CAST(1 AS INTEGER) AS one, 'tag' AS tag, 2.5 AS half FROM nation
+"""
+
+
+def coalesce_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.coalesce(F.expr("nullif(user_id % 5, 0)"), F.lit(-1)).alias("u5"),
+        F.coalesce(F.expr("nullif(event_type, 'click')"), F.lit("CLICKED")).alias("et"),
+    )
+
+
+COALESCE_EXPR_ORACLE = """
+SELECT event_id,
+       COALESCE(NULLIF(user_id % 5, 0), -1) AS u5,
+       COALESCE(NULLIF(event_type, 'click'), 'CLICKED') AS et
+FROM events
+"""
+
+
+def string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = read_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.concat_ws("::", F.col("c_mktsegment"), F.col("c_name")).alias("seg_name"),
+        F.concat(F.col("c_name"), F.lit("#"), F.col("c_custkey").cast("string")).alias("tagged"),
+    )
+
+
+STRING_CONCAT_ORACLE = """
+SELECT c_custkey,
+       concat_ws('::', c_mktsegment, c_name) AS seg_name,
+       concat(c_name, '#', CAST(c_custkey AS VARCHAR)) AS tagged
+FROM customer
+"""
+
+
+def timestamp_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.to_date("o_orderdate").cast("string").alias("d"),
+        F.year("o_orderdate").cast("int").alias("y"),
+        F.month("o_orderdate").cast("int").alias("m"),
+        F.quarter("o_orderdate").cast("int").alias("q"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+    )
+
+
+TIMESTAMP_PARSE_ORACLE = """
+SELECT o_orderkey,
+       CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS d,
+       CAST(year(o_orderdate) AS INTEGER) AS y,
+       CAST(month(o_orderdate) AS INTEGER) AS m,
+       CAST(quarter(o_orderdate) AS INTEGER) AS q,
+       strftime(o_orderdate, '%Y-%m') AS ym
+FROM orders
+"""
+
+
+def struct_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack columns into a struct, carry it, then unpack — scalar output so
+    the driver can hash it (struct cells would crash the canonicalizer)."""
+    o = read_table(spark, sf_dir, "orders")
+    packed = o.select(
+        "o_orderkey",
+        F.struct(
+            F.col("o_orderstatus").alias("st"),
+            _cents("o_totalprice").alias("cents"),
+        ).alias("s"),
+    )
+    return packed.select(
+        "o_orderkey",
+        F.col("s.st").alias("st"),
+        F.col("s.cents").alias("cents"),
+    )
+
+
+STRUCT_PACK_ORACLE = """
+SELECT o_orderkey, s.st AS st, s.cents AS cents
+FROM (
+  SELECT o_orderkey,
+         struct_pack(st := o_orderstatus,
+                     cents := CAST(ROUND(o_totalprice*100) AS BIGINT)) AS s
+  FROM orders
+)
+"""
+
+
+def field_access(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested field access on array-of-struct elements: each customer's
+    lexicographically-latest (orderdate, orderkey) order, extracted from a
+    sorted struct array (the reference's array_sort-by-first-field trick,
+    src/pipeline.py:175-186)."""
+    o = read_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("o_orderdate").alias("d"), F.col("o_orderkey").alias("k")))
+        ).alias("arr")
+    )
+    last = F.element_at(F.col("arr"), -1)
+    return per_cust.select(
+        "o_custkey",
+        last.getField("k").alias("latest_orderkey"),
+        last.getField("d").cast("string").alias("latest_orderdate"),
+    )
+
+
+FIELD_ACCESS_ORACLE = """
+SELECT o_custkey, o_orderkey AS latest_orderkey,
+       CAST(o_orderdate AS VARCHAR) AS latest_orderdate
+FROM (
+  SELECT o_custkey, o_orderkey, o_orderdate,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+  FROM orders
+) WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.3 set operations
+# ---------------------------------------------------------------------------
+
+def union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unionByName across differently-ordered projections (the reference's
+    3-way action union, src/pipeline.py:62)."""
+    c = read_table(spark, sf_dir, "customer")
+    s = read_table(spark, sf_dir, "supplier")
+    left = c.select(
+        F.col("c_custkey").alias("key"),
+        F.col("c_name").alias("name"),
+        F.round("c_acctbal", 2).alias("bal"),
+        F.lit("customer").alias("kind"),
+    )
+    right = s.select(
+        F.lit("supplier").alias("kind"),
+        F.round("s_acctbal", 2).alias("bal"),
+        F.col("s_suppkey").alias("key"),
+        F.col("s_name").alias("name"),
+    )
+    return left.unionByName(right)
+
+
+UNION_BY_NAME_ORACLE = """
+SELECT c_custkey AS key, c_name AS name, ROUND(c_acctbal,2) AS bal, 'customer' AS kind FROM customer
+UNION ALL
+SELECT s_suppkey, s_name, ROUND(s_acctbal,2), 'supplier' FROM supplier
+"""
+
+
+def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT (distinct semantics on both engines)."""
+    o = read_table(spark, sf_dir, "orders")
+    of = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    oo = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    op = o.filter(F.col("o_orderstatus") == "P").select("o_custkey")
+    return of.intersect(oo).exceptAll(op.distinct()).select(F.col("o_custkey").alias("custkey"))
+
+
+SET_OPS_ORACLE = """
+SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.4 lateral / explode
+# ---------------------------------------------------------------------------
+
+def posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional explode of tokenized documents (the reference's impression
+    explode, src/pipeline.py:81-96, on the documents table)."""
+    d = read_table(spark, sf_dir, "documents")
+    return (
+        d.filter(F.col("doc_id") % 10 == 0)
+        .select("doc_id", F.posexplode_outer(F.split(F.col("text"), " ")).alias("pos", "token"))
+        .select("doc_id", F.col("pos").cast("int").alias("pos"), "token")
+    )
+
+
+POSEXPLODE_ORACLE = """
+SELECT doc_id, CAST(generate_subscripts(toks, 1) - 1 AS INTEGER) AS pos, unnest(toks) AS token
+FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE doc_id % 10 = 0)
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.5 joins
+# ---------------------------------------------------------------------------
+
+def join_inner_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-dim star join with explicit broadcast of the small dims (nation 25
+    rows, region 5 — never shuffle the fact side for these)."""
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    n = read_table(spark, sf_dir, "nation")
+    r = read_table(spark, sf_dir, "region")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "inner")
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count("*").alias("order_cnt"),
+            F.sum(_cents("o_totalprice")).alias("revenue_cents"),
+        )
+        .select("r_name", "n_name", "order_cnt", "revenue_cents")
+    )
+
+
+JOIN_INNER_BROADCAST_ORACLE = """
+SELECT r_name, n_name, count(*) AS order_cnt,
+       CAST(sum(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left join preserving zero-order customers (the semantics the
+    reference's post-join filter silently broke — SURVEY §4.4-2)."""
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("order_cnt"),
+            F.coalesce(F.sum(_cents("o_totalprice")), F.lit(0)).alias("spend_cents"),
+        )
+        .select("c_custkey", "order_cnt", "spend_cents")
+    )
+
+
+JOIN_LEFT_ORACLE = """
+SELECT c_custkey, count(o_orderkey) AS order_cnt,
+       CAST(COALESCE(sum(CAST(ROUND(o_totalprice*100) AS BIGINT)), 0) AS BIGINT) AS spend_cents
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey
+"""
+
+
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 350000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_mktsegment")
+
+
+JOIN_SEMI_ORACLE = """
+SELECT c_custkey, c_mktsegment FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 350000)
+"""
+
+
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no high-value order (every customer has SOME order in
+    the testdata, so the filterless variant would be a trivially-empty green)."""
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 350000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+JOIN_ANTI_ORACLE = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 350000)
+"""
+
+
+def join_history_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic as-of join (operators/asof.py): each order matched to the same
+    customer's most recent strictly-earlier order, lexicographic on
+    (o_orderdate, o_orderkey)."""
+    o = read_table(spark, sf_dir, "orders")
+    left = o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("orderkey"),
+        "o_orderdate",
+    )
+    right = o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("prev_orderkey"),
+        F.col("o_orderdate").alias("prev_date"),
+    )
+    out = asof_join(
+        left,
+        right,
+        on="custkey",
+        left_order=("o_orderdate", "orderkey"),
+        right_order=("prev_date", "prev_orderkey"),
+    )
+    return out.select(
+        "orderkey",
+        "custkey",
+        F.coalesce("prev_orderkey", F.lit(-1)).alias("prev_orderkey"),
+        F.coalesce(F.col("prev_date").cast("string"), F.lit("none")).alias("prev_date"),
+    )
+
+
+JOIN_HISTORY_ASOF_ORACLE = """
+SELECT o_orderkey AS orderkey, o_custkey AS custkey,
+       COALESCE(lag(o_orderkey) OVER w, -1) AS prev_orderkey,
+       COALESCE(CAST(lag(o_orderdate) OVER w AS VARCHAR), 'none') AS prev_date
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.6 windows
+# ---------------------------------------------------------------------------
+
+def window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-K by row_number with deterministic tie-breaks
+    (the reference's pattern, src/pipeline.py:169-172 + §4.4-3 fix)."""
+    o = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", F.col("rn").cast("int").alias("rn"))
+    )
+
+
+WINDOW_TOPK_ORACLE = """
+SELECT o_custkey, o_orderkey, CAST(rn AS INTEGER) AS rn
+FROM (
+  SELECT o_custkey, o_orderkey,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) WHERE rn <= 3
+"""
+
+
+def window_rank_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / lag / running-sum with an explicit ROWS frame; running sums in
+    exact cents so prefix sums are bit-identical."""
+    o = read_table(spark, sf_dir, "orders")
+    order_w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    frame_w = order_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.rank().over(order_w).cast("int").alias("rnk"),
+        F.coalesce(F.lag("o_orderkey").over(order_w), F.lit(-1)).alias("prev_key"),
+        F.sum(_cents("o_totalprice")).over(frame_w).alias("run_cents"),
+    )
+
+
+WINDOW_RANK_FRAMES_ORACLE = """
+SELECT o_custkey, o_orderkey,
+       CAST(rank() OVER w AS INTEGER) AS rnk,
+       COALESCE(lag(o_orderkey) OVER w, -1) AS prev_key,
+       CAST(sum(CAST(ROUND(o_totalprice*100) AS BIGINT))
+            OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_cents
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+def sort_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-N: Catalyst plans orderBy+limit as TakeOrderedAndProject —
+    no full sort, no single-partition shuffle of the whole table."""
+    o = read_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+        .select("o_orderkey", "o_custkey", _cents("o_totalprice").alias("price_cents"))
+    )
+
+
+SORT_LIMIT_TOPK_ORACLE = """
+SELECT o_orderkey, o_custkey, CAST(ROUND(o_totalprice*100) AS BIGINT) AS price_cents
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.7 aggregation
+# ---------------------------------------------------------------------------
+
+def agg_sum_avg_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape. The charge expression is computed in exact integer
+    units (cents x basis-points) so the sum is order-independent — the
+    float-sum divergence risk SURVEY §7 'hard parts' names."""
+    li = read_table(spark, sf_dir, "lineitem")
+    charge_exact = (
+        _cents("l_extendedprice")
+        * (100 - F.round(F.col("l_discount") * 100).cast("bigint"))
+        * (100 + F.round(F.col("l_tax") * 100).cast("bigint"))
+    )
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+            F.sum(_cents("l_extendedprice")).alias("sum_base_cents"),
+            F.sum(charge_exact).alias("sum_charge_micro"),
+            F.round(F.avg(F.col("l_quantity").cast("bigint")), 6).alias("avg_qty"),
+            F.count("*").alias("cnt"),
+        )
+        .select(
+            "l_returnflag", "l_linestatus", "sum_qty", "sum_base_cents",
+            "sum_charge_micro", "avg_qty", "cnt",
+        )
+    )
+
+
+AGG_SUM_AVG_COUNT_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(sum(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+       CAST(sum(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                * (100 - CAST(ROUND(l_discount*100) AS BIGINT))
+                * (100 + CAST(ROUND(l_tax*100) AS BIGINT))) AS BIGINT) AS sum_charge_micro,
+       ROUND(avg(CAST(l_quantity AS BIGINT)), 6) AS avg_qty,
+       count(*) AS cnt
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_custkey").alias("distinct_customers"),
+            F.count("*").alias("order_cnt"),
+        )
+        .select("o_orderpriority", "distinct_customers", "order_cnt")
+    )
+
+
+AGG_COUNT_DISTINCT_ORACLE = """
+SELECT o_orderpriority, count(DISTINCT o_custkey) AS distinct_customers,
+       count(*) AS order_cnt
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals; NULL grouping keys coalesced to 'ALL' so the
+    hash comparison sees plain strings."""
+    o = read_table(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("cnt"), F.sum(_cents("o_totalprice")).alias("cents"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "cnt",
+            "cents",
+        )
+    )
+
+
+AGG_ROLLUP_ORACLE = """
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       count(*) AS cnt,
+       CAST(sum(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS cents
+FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+"""
+
+
+def groupby_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_list + deterministic sort, serialized for the driver
+    (the reference's groupBy.collect_list, src/pipeline.py:179-183)."""
+    o = read_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.array_sort(F.collect_list("o_orderkey")).alias("keys"))
+        .select(
+            "o_custkey",
+            F.array_join(F.col("keys").cast("array<string>"), ",").alias("order_keys"),
+        )
+    )
+
+
+GROUPBY_COLLECT_ORACLE = """
+SELECT o_custkey,
+       array_to_string(list_sort(list(o_orderkey)), ',') AS order_keys
+FROM orders GROUP BY o_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.8 array / higher-order functions
+# ---------------------------------------------------------------------------
+
+def array_sort_structs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sort array-of-structs by ordinal fields (rank-first trick): each
+    customer's order keys in (price desc, key asc) order, serialized."""
+    o = read_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        (-_cents("o_totalprice")).alias("neg_cents"),
+                        F.col("o_orderkey").alias("k"),
+                    )
+                )
+            ).alias("arr")
+        )
+        .select(
+            "o_custkey",
+            F.array_join(
+                F.transform(F.col("arr"), lambda x: x["k"]).cast("array<string>"), ","
+            ).alias("keys_by_price"),
+        )
+    )
+
+
+ARRAY_SORT_STRUCTS_ORACLE = """
+SELECT o_custkey,
+       array_to_string(
+         list(o_orderkey ORDER BY -CAST(ROUND(o_totalprice*100) AS BIGINT), o_orderkey),
+         ',') AS keys_by_price
+FROM orders GROUP BY o_custkey
+"""
+
+
+def array_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order transform over a tokenized column (stays in codegen —
+    zero Python in the loop)."""
+    d = read_table(spark, sf_dir, "documents")
+    toks = F.slice(F.split(F.col("text"), " "), 1, 6)
+    return d.select(
+        "doc_id",
+        F.array_join(F.transform(toks, lambda x: F.upper(x)), ",").alias("up6"),
+        F.array_join(
+            F.transform(toks, lambda x: F.length(x).cast("string")), ","
+        ).alias("len6"),
+    )
+
+
+ARRAY_TRANSFORM_ORACLE = """
+SELECT doc_id,
+       array_to_string(list_transform(toks, x -> upper(x)), ',') AS up6,
+       array_to_string(list_transform(toks, x -> CAST(length(x) AS VARCHAR)), ',') AS len6
+FROM (SELECT doc_id, list_slice(string_split(text, ' '), 1, 6) AS toks FROM documents)
+"""
+
+
+def array_pad_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-shape pad/truncate (the reference's slice(concat(...,
+    array_repeat)) idiom with the array_concat->concat fix, §4.4-1)."""
+    o = read_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.reverse(F.array_sort(F.collect_list("o_orderkey"))).alias("keys"))
+        .select(
+            "o_custkey",
+            F.array_join(
+                pad_truncate(F.col("keys"), 4, 0).cast("array<string>"), ","
+            ).alias("last4"),
+        )
+    )
+
+
+ARRAY_PAD_TRUNCATE_ORACLE = """
+SELECT o_custkey,
+       array_to_string(
+         list_slice(
+           list_concat(list(o_orderkey ORDER BY o_orderkey DESC),
+                       [CAST(0 AS BIGINT), 0, 0, 0]),
+           1, 4),
+         ',') AS last4
+FROM orders GROUP BY o_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.9 physical layout
+# ---------------------------------------------------------------------------
+
+def repartition_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit pre-partitioning on the aggregation key (the reference's
+    repartition(200, customer_id) knob, src/pipeline.py:153-156 — here sized
+    by spark.sql.shuffle.partitions, not hard-coded)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    return (
+        li.repartition(n, "l_orderkey")
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("bigint")).alias("total_qty"),
+            F.count("*").alias("line_cnt"),
+        )
+        .select("l_orderkey", "total_qty", "line_cnt")
+    )
+
+
+REPARTITION_BY_KEY_ORACLE = """
+SELECT l_orderkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty,
+       count(*) AS line_cnt
+FROM lineitem GROUP BY l_orderkey
+"""
+
+
+def persist_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reuse-persistence (README.md:64): the global-average aggregate is
+    persisted and broadcast into the filter; at scale this is a one-row
+    broadcast, never a shuffle."""
+    c = read_table(spark, sf_dir, "customer")
+    stats = c.agg(F.avg("c_acctbal").alias("avg_bal")).persist()
+    out = (
+        c.crossJoin(F.broadcast(stats))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .select(
+            "c_custkey",
+            F.round(F.col("c_acctbal") - F.col("avg_bal"), 2).alias("above_by"),
+        )
+    )
+    return out
+
+
+PERSIST_HINT_ORACLE = """
+SELECT c_custkey, ROUND(c_acctbal - avg_bal, 2) AS above_by
+FROM customer, (SELECT avg(c_acctbal) AS avg_bal FROM customer)
+WHERE c_acctbal > avg_bal
+"""
+
+
+# ---------------------------------------------------------------------------
+# Phase-2 scalar function sweeps
+# ---------------------------------------------------------------------------
+
+def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = read_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("up"),
+        F.lower("p_brand").alias("lo"),
+        F.substring("p_name", 1, 8).alias("sub8"),
+        F.length("p_name").cast("int").alias("len"),
+        F.regexp_extract("p_name", "^(\\w+)", 1).alias("first_word"),
+        F.regexp_replace("p_type", "[aeiou]", "_").alias("devowel"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size4"),
+        F.split(F.col("p_type"), " ").getItem(0).alias("type_head"),
+    )
+
+
+SCALAR_STRING_FUNCS_ORACLE = """
+SELECT p_partkey,
+       upper(p_name) AS up,
+       lower(p_brand) AS lo,
+       substring(p_name, 1, 8) AS sub8,
+       CAST(length(p_name) AS INTEGER) AS len,
+       regexp_extract(p_name, '^(\\w+)', 1) AS first_word,
+       regexp_replace(p_type, '[aeiou]', '_', 'g') AS devowel,
+       lpad(CAST(p_size AS VARCHAR), 4, '0') AS size4,
+       string_split(p_type, ' ')[1] AS type_head
+FROM part
+"""
+
+
+def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    d = F.to_date("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.dayofweek(d).cast("int").alias("dow"),
+        F.dayofmonth(d).cast("int").alias("dom"),
+        F.datediff(d, F.lit("1995-01-01").cast("date")).cast("int").alias("days_since_95"),
+        F.date_add(d, 30).cast("string").alias("plus30"),
+        F.last_day(d).cast("string").alias("month_end"),
+        F.trunc(d, "month").cast("string").alias("month_start"),
+    )
+
+
+# Spark dayofweek: Sunday=1..Saturday=7; DuckDB dayofweek: Sunday=0 -> +1.
+SCALAR_DATE_FUNCS_ORACLE = """
+SELECT o_orderkey,
+       CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
+       CAST(dayofmonth(o_orderdate) AS INTEGER) AS dom,
+       CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS days_since_95,
+       CAST(CAST(o_orderdate AS DATE) + 30 AS VARCHAR) AS plus30,
+       CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR) AS month_end,
+       CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS VARCHAR) AS month_start
+FROM orders
+"""
+
+
+def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_quantity") - 25).cast("bigint").alias("qty_dev"),
+        F.floor(F.col("l_extendedprice") / 1000).cast("bigint").alias("price_k_floor"),
+        F.ceil(F.col("l_extendedprice") / 1000).cast("bigint").alias("price_k_ceil"),
+        F.round(F.sqrt("l_quantity"), 4).alias("qty_sqrt"),
+        F.round(F.log("l_extendedprice"), 4).alias("price_ln"),
+        (F.col("l_quantity").cast("bigint") % 7).alias("qty_mod7"),
+        F.signum(F.col("l_tax") - 0.04).cast("int").alias("tax_sign"),
+    )
+
+
+SCALAR_MATH_FUNCS_ORACLE = """
+SELECT l_orderkey, l_linenumber,
+       CAST(abs(l_quantity - 25) AS BIGINT) AS qty_dev,
+       CAST(floor(l_extendedprice / 1000) AS BIGINT) AS price_k_floor,
+       CAST(ceil(l_extendedprice / 1000) AS BIGINT) AS price_k_ceil,
+       ROUND(sqrt(l_quantity), 4) AS qty_sqrt,
+       ROUND(ln(l_extendedprice), 4) AS price_ln,
+       CAST(l_quantity AS BIGINT) % 7 AS qty_mod7,
+       CAST(sign(l_tax - 0.04) AS INTEGER) AS tax_sign
+FROM lineitem
+"""
+
+
+# ---------------------------------------------------------------------------
+# registration
+# ---------------------------------------------------------------------------
+
+def register_all(register) -> None:
+    register("scan_parquet", scan_parquet, SCAN_PARQUET_ORACLE)
+    register("sink_parquet", sink_parquet, SINK_PARQUET_ORACLE)
+    register("project_cast_alias", project_cast_alias, PROJECT_CAST_ALIAS_ORACLE)
+    register("filter_notnull", filter_notnull, FILTER_NOTNULL_ORACLE)
+    register("filter_predicate", filter_predicate, FILTER_PREDICATE_ORACLE)
+    register("case_when", case_when, CASE_WHEN_ORACLE)
+    register("literal", literal, LITERAL_ORACLE)
+    register("coalesce_expr", coalesce_expr, COALESCE_EXPR_ORACLE)
+    register("string_concat", string_concat, STRING_CONCAT_ORACLE)
+    register("timestamp_parse", timestamp_parse, TIMESTAMP_PARSE_ORACLE)
+    register("struct_pack", struct_pack, STRUCT_PACK_ORACLE)
+    register("field_access", field_access, FIELD_ACCESS_ORACLE)
+    register("union_by_name", union_by_name, UNION_BY_NAME_ORACLE)
+    register("set_ops", set_ops, SET_OPS_ORACLE)
+    register("posexplode", posexplode, POSEXPLODE_ORACLE)
+    register("join_inner_broadcast", join_inner_broadcast, JOIN_INNER_BROADCAST_ORACLE)
+    register("join_left", join_left, JOIN_LEFT_ORACLE)
+    register("join_semi", join_semi, JOIN_SEMI_ORACLE)
+    register("join_anti", join_anti, JOIN_ANTI_ORACLE)
+    register("join_history_asof", join_history_asof, JOIN_HISTORY_ASOF_ORACLE)
+    register("window_topk", window_topk, WINDOW_TOPK_ORACLE)
+    register("window_rank_frames", window_rank_frames, WINDOW_RANK_FRAMES_ORACLE)
+    register("sort_limit_topk", sort_limit_topk, SORT_LIMIT_TOPK_ORACLE)
+    register("agg_sum_avg_count", agg_sum_avg_count, AGG_SUM_AVG_COUNT_ORACLE)
+    register("agg_count_distinct", agg_count_distinct, AGG_COUNT_DISTINCT_ORACLE)
+    register("agg_rollup", agg_rollup, AGG_ROLLUP_ORACLE)
+    register("groupby_collect", groupby_collect, GROUPBY_COLLECT_ORACLE)
+    register("array_sort_structs", array_sort_structs, ARRAY_SORT_STRUCTS_ORACLE)
+    register("array_transform", array_transform, ARRAY_TRANSFORM_ORACLE)
+    register("array_pad_truncate", array_pad_truncate, ARRAY_PAD_TRUNCATE_ORACLE)
+    register("repartition_by_key", repartition_by_key, REPARTITION_BY_KEY_ORACLE)
+    register("persist_hint", persist_hint, PERSIST_HINT_ORACLE)
+    register("scalar_string_funcs", scalar_string_funcs, SCALAR_STRING_FUNCS_ORACLE)
+    register("scalar_date_funcs", scalar_date_funcs, SCALAR_DATE_FUNCS_ORACLE)
+    register("scalar_math_funcs", scalar_math_funcs, SCALAR_MATH_FUNCS_ORACLE)

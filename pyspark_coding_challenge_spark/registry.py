@@ -93,3 +93,13 @@ register(
     lambda spark, sf_dir: user_history_features_flat(spark, sf_dir, k=DEFAULT_K),
     FLAGSHIP_ORACLE,
 )
+
+# ---------------------------------------------------------------------------
+# Domain modules register at import time (import AFTER register() exists —
+# they call back into this module).
+# ---------------------------------------------------------------------------
+
+from pyspark_coding_challenge_spark.plans import relational, training_demo  # noqa: E402
+
+relational.register_all(register)
+training_demo.register_all(register)
