@@ -1,0 +1,354 @@
+"""Document deduplication for LLM training data (SURVEY §7 Phase 3).
+
+Four dedup families, all shuffle-lean by construction:
+
+* **Exact** — group by ``md5(text)``: the shuffle key is a 32-byte digest,
+  not the document body, so at 100 TB the exchange moves hashes + ids only.
+  (md5 is identical across Spark and DuckDB, which also makes it oracle-
+  checkable; a 64-bit xxhash would halve the key again but hash-collide
+  across engines' different implementations.)
+* **Fingerprint** — the OpenRefine "fingerprint" method: sorted distinct
+  token set, hashed. Collapses re-orderings/duplicated-word variants that
+  exact dedup misses. Same hash-key-shuffle shape.
+* **MinHash-LSH** — banded minhash signatures over word shingles; candidate
+  pairs only ever form WITHIN a band bucket (never all-pairs), then exact
+  Jaccard verifies candidates. This is the scale path for near-dup at 100 TB:
+  cost is O(docs x bands) shuffle + per-bucket pair expansion, with skewed
+  mega-buckets handled by AQE skew splitting.
+* **SimHash** — 64-bit per-document signature via one pass of built-in
+  higher-order functions; near-dup = small Hamming distance. Signature
+  computation is embarrassingly parallel, no shuffle at all.
+
+No Python UDFs anywhere — everything is Catalyst expressions, so the hot
+loops stay in whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyspark_coding_challenge_spark.sources.readers import read_table
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-first exact dedup over ``documents``: one row per distinct text,
+    representative = lowest doc_id, with the duplicate count."""
+    d = read_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5("text").alias("text_md5"))
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count("*").alias("dup_count"),
+        )
+        .select("text_md5", "keep_doc_id", "dup_count")
+    )
+
+
+DEDUP_EXACT_ORACLE = """
+SELECT md5(text) AS text_md5, min(doc_id) AS keep_doc_id, count(*) AS dup_count
+FROM documents GROUP BY md5(text)
+"""
+
+
+def dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The left-anti formulation: documents that are NOT the keeper of their
+    exact-duplicate group (i.e. the rows a dedup pass would delete)."""
+    d = read_table(spark, sf_dir, "documents")
+    keepers = (
+        d.groupBy(F.md5("text").alias("text_md5"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    return (
+        d.join(keepers, on="doc_id", how="left_anti")
+        .select("doc_id", "source")
+    )
+
+
+DEDUP_EXACT_SURVIVORS_ORACLE = """
+SELECT doc_id, source FROM documents
+WHERE doc_id NOT IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))
+"""
+
+
+# ---------------------------------------------------------------------------
+# fingerprint dedup (sorted distinct token set)
+# ---------------------------------------------------------------------------
+
+def _fingerprint(text_col: str = "text") -> Column:
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(toks))))
+
+
+def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fingerprint clustering: docs with identical sorted-distinct token sets
+    collapse to one cluster (catches shuffled/duplicated-word variants)."""
+    d = read_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(_fingerprint().alias("fp"))
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("cluster_size"))
+        .select("fp", "keep_doc_id", "cluster_size")
+    )
+
+
+DEDUP_FINGERPRINT_ORACLE = """
+SELECT md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fp,
+       min(doc_id) AS keep_doc_id, count(*) AS cluster_size
+FROM documents
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard similarity (exact kernel, SQL-oracled on a bounded pair set)
+# ---------------------------------------------------------------------------
+
+def _char_ngrams(col_name: str, n: int = 3) -> Column:
+    # 1-indexed substring positions; CASE guard because Spark's
+    # sequence(1, 0) is a descending [1, 0], not empty.
+    return F.expr(
+        f"array_distinct(CASE WHEN length({col_name}) >= {n} "
+        f"THEN transform(sequence(1, length({col_name}) - {n - 1}), "
+        f"i -> substring({col_name}, i, {n})) "
+        f"ELSE CAST(array() AS ARRAY<STRING>) END)"
+    )
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact character-3-gram Jaccard between consecutive doc_ids — the
+    verification kernel of near-dup dedup, run on a deterministic bounded
+    pair set so DuckDB can oracle it. (At scale the pair set comes from the
+    MinHash-LSH candidate generator below, not from all-pairs.)"""
+    d = read_table(spark, sf_dir, "documents")
+    a = d.select(F.col("doc_id").alias("doc_a"), _char_ngrams("text").alias("ga"))
+    b = d.select((F.col("doc_id") - 1).alias("doc_a"), F.col("doc_id").alias("doc_b"),
+                 _char_ngrams("text").alias("gb"))
+    pairs = a.join(b, on="doc_a", how="inner")
+    inter = F.size(F.array_intersect("ga", "gb"))
+    union = F.size("ga") + F.size("gb") - inter
+    jac = F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(0.0)
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        F.round(jac, 6).alias("jaccard"),
+        (jac >= 0.8).cast("int").alias("near_dup"),
+    )
+
+
+DEDUP_NGRAM_JACCARD_ORACLE = """
+WITH g AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(1, greatest(length(text) - 2, 0)),
+                       i -> substring(text, CAST(i AS INT), 3))) AS grams
+  FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       ROUND(CASE WHEN len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)) > 0
+             THEN CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                  / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
+             ELSE 0.0 END, 6) AS jaccard,
+       CAST(CASE WHEN CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                  / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.8
+             THEN 1 ELSE 0 END AS INTEGER) AS near_dup
+FROM g a JOIN g b ON b.doc_id = a.doc_id + 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH near-dup (banded; no SQL oracle - engine-specific hashes)
+# ---------------------------------------------------------------------------
+
+N_PERM = 32          # minhash permutations
+N_BANDS = 8          # bands of N_PERM / N_BANDS rows each
+SHINGLE_WORDS = 3    # word-shingle width
+JACCARD_THRESHOLD = 0.5
+
+
+def _word_shingles(text_col: str = "text", n: int = SHINGLE_WORDS) -> Column:
+    """Distinct n-word shingles. NB: ``{text_col}`` should reference an
+    already-materialized token ARRAY column when used in a hot path —
+    referencing ``split(text)`` directly here would re-split per element
+    (O(tokens^2) per document). See ``_with_tokens``."""
+    # NB: guard with CASE, not greatest(...,0): Spark's sequence(1, 0) yields
+    # a DESCENDING [1, 0], not an empty array.
+    shingle = (
+        "transform(sequence(1, size(" + text_col + f") - {n - 1}), "
+        + "i -> concat_ws(' ', "
+        + ", ".join(f"element_at({text_col}, i + {j})" for j in range(n))
+        + "))"
+    )
+    return F.expr(
+        f"array_distinct(CASE WHEN size({text_col}) >= {n} THEN {shingle} "
+        "ELSE CAST(array() AS ARRAY<STRING>) END)"
+    )
+
+
+def _with_tokens(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    # Materialized token array: referenced 3x per shingle, so it must be an
+    # alias CollapseProject will NOT inline (multi-use, non-cheap).
+    return docs.withColumn("_toks", F.split(F.col(text_col), " "))
+
+
+# Universal-hash permutation constants: v_i(h) = (a_i*h + b_i) mod p over the
+# Mersenne prime 2^31-1. Derived deterministically; a_i odd and nonzero.
+_MERSENNE = 2147483647
+_PERM_AB = [((2 * i + 1) * 40503 % _MERSENNE, (i * i * 1299721 + 104729) % _MERSENNE)
+            for i in range(N_PERM)]
+
+
+def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", n_perm: int = N_PERM) -> DataFrame:
+    """Per-document minhash signature, computed RELATIONALLY: explode
+    shingles to rows, xxhash64 each shingle ONCE, derive the ``n_perm``
+    permutations as cheap universal-hash rehashes (a*h+b mod 2^31-1 —
+    products stay < 2^62, safe under ANSI overflow checks), then ``min``
+    aggregates with map-side partial aggregation.
+
+    The earlier array-expression formulation (32 x array_min(transform(...)))
+    was correct but Catalyst's project-collapsing inlined the shingle
+    construction into every permutation — a ~50 s plan at sf0.01. This shape
+    keeps the expression tree tiny and the shuffle is one 32-value row per
+    document per partition. Output: ``id_col, m0..m{n_perm-1}``."""
+    sh = _with_tokens(docs, text_col).select(
+        F.col(id_col),
+        F.explode(_word_shingles("_toks")).alias("shingle"),
+    )
+    hs = sh.select(id_col, F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE)).alias("h"))
+    perms = hs.select(
+        id_col,
+        *[
+            F.pmod(F.col("h") * a + b, F.lit(_MERSENNE)).alias(f"p{i}")
+            for i, (a, b) in enumerate(_PERM_AB[:n_perm])
+        ],
+    )
+    return perms.groupBy(id_col).agg(
+        *[F.min(f"p{i}").alias(f"m{i}") for i in range(n_perm)]
+    )
+
+
+def lsh_candidate_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Banded-LSH candidate generation: docs sharing any band bucket.
+    Pair expansion happens only within buckets — never all-pairs."""
+    sig = minhash_signatures(docs, id_col, text_col)
+
+    rows_per_band = N_PERM // N_BANDS
+    bands = sig.select(
+        id_col,
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(",", *[
+                            F.col(f"m{b * rows_per_band + r}").cast("string")
+                            for r in range(rows_per_band)
+                        ])
+                    ).alias("bucket"),
+                )
+                for b in range(N_BANDS)
+            ])
+        ).alias("bb"),
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    left = bands.select(F.col(id_col).alias("doc_a"), "band", "bucket")
+    right = bands.select(F.col(id_col).alias("doc_b"), "band", "bucket")
+    return (
+        left.join(right, on=["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def verify_jaccard(docs: DataFrame, pairs: DataFrame,
+                   id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact word-shingle Jaccard on candidate pairs (the verify stage)."""
+    sh = _with_tokens(docs, text_col).select(
+        F.col(id_col), _word_shingles("_toks").alias("sh")
+    )
+    out = (
+        pairs.join(sh.select(F.col(id_col).alias("doc_a"), F.col("sh").alias("sa")), on="doc_a")
+        .join(sh.select(F.col(id_col).alias("doc_b"), F.col("sh").alias("sb")), on="doc_b")
+    )
+    inter = F.size(F.array_intersect("sa", "sb"))
+    union = F.size("sa") + F.size("sb") - inter
+    jac = F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(0.0)
+    return out.select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup: shingle -> minhash -> band -> bucket-join ->
+    exact-Jaccard verify -> pairs above threshold. Rows-only driver check
+    (hash values are engine-specific, SURVEY §7 'hard parts'); semantics are
+    pinned by the property tests in tests/test_llm_dedup.py."""
+    d = read_table(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(d)
+    verified = verify_jaccard(d, pairs)
+    return verified.filter(F.col("jaccard") >= JACCARD_THRESHOLD).select(
+        "doc_a", "doc_b", "jaccard"
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash (64-bit signature, one higher-order pass)
+# ---------------------------------------------------------------------------
+
+def simhash64(tokens_sql: str) -> Column:
+    """64-bit SimHash: per-bit +/-1 votes from each token's xxhash64, sign
+    of the vote sum becomes the fingerprint bit. Single ``aggregate`` over a
+    64-counter vector — no UDF, no shuffle, O(tokens x 64) JVM work/doc.
+    (SQL-expr form: the Python shift APIs require literal shift amounts,
+    the SQL ones accept expressions.) Bits 0..62 assemble into a
+    non-negative bigint; bit 63 is dropped to stay in signed range — 63
+    bits is ample for near-dup Hamming comparison."""
+    return F.expr(f"""
+      aggregate(
+        zip_with(
+          aggregate({tokens_sql},
+            array_repeat(CAST(0 AS BIGINT), 64),
+            (acc, t) -> zip_with(acc,
+                transform(sequence(0, 63),
+                          b -> CASE WHEN (shiftright(xxhash64(t), b) & 1) = 1
+                               THEN 1 ELSE -1 END),
+                (a, d) -> a + CAST(d AS BIGINT))),
+          sequence(0, 63),
+          (v, b) -> CASE WHEN v > 0 AND b < 63
+                    THEN shiftleft(CAST(1 AS BIGINT), b)
+                    ELSE CAST(0 AS BIGINT) END),
+        CAST(0 AS BIGINT), (acc, x) -> acc + x)
+    """)
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup over consecutive doc_id pairs: signature + Hamming
+    distance (bit_count of XOR). Rows-only driver check (engine-specific
+    hash); property-tested locally."""
+    d = read_table(spark, sf_dir, "documents")
+    sigs = d.select(
+        "doc_id",
+        simhash64("split(lower(text), ' ')").alias("sig"),
+    )
+    a = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    b = sigs.select((F.col("doc_id") - 1).alias("doc_a"), F.col("doc_id").alias("doc_b"),
+                    F.col("sig").alias("sig_b"))
+    pairs = a.join(b, on="doc_a")
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        hamming.cast("int").alias("hamming"),
+        (hamming <= 6).cast("int").alias("near_dup"),
+    )
+
+
+def register_all(register) -> None:
+    register("dedup_exact", dedup_exact, DEDUP_EXACT_ORACLE)
+    register("dedup_exact_survivors", dedup_exact_survivors, DEDUP_EXACT_SURVIVORS_ORACLE)
+    register("dedup_fingerprint", dedup_fingerprint, DEDUP_FINGERPRINT_ORACLE)
+    register("dedup_ngram_jaccard", dedup_ngram_jaccard, DEDUP_NGRAM_JACCARD_ORACLE)
+    register("dedup_minhash_lsh", dedup_minhash_lsh, None)
+    register("dedup_simhash", dedup_simhash, None)

@@ -1,0 +1,197 @@
+"""Text analysis for LLM training data: language ID, quality scoring, token
+counting, document fingerprinting (SURVEY §7 Phase 3).
+
+All kernels are pure Catalyst expressions (whole-stage codegen, no Python),
+deterministic, and SQL-expressible — every slug here is DuckDB-oracled.
+Per-document work is embarrassingly parallel: no shuffle in any of these
+plans, so they scale linearly with input splits at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyspark_coding_challenge_spark.sources.readers import read_table
+
+# Marker-token sets for the n-gram/stopword language-ID heuristic. Tiny by
+# design: language ID over web-scale data is a cheap first-pass filter, not a
+# classifier — precision comes from the downstream quality gates.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "is"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "es": ("el", "la", "de", "y", "es"),
+    "fr": ("le", "la", "de", "et", "est"),
+    "zh": ("de5", "shi4", "he2"),  # pinyin-romanized markers
+}
+STOPWORDS = ("the", "a", "of", "and", "is", "to", "in")
+
+
+def _marker_hits(lang: str) -> F.Column:
+    quoted = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+    return F.expr(
+        f"size(filter(split(lower(text), ' '), t -> t IN ({quoted})))"
+    ).cast("int")
+
+
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax of per-language marker hits, deterministic tie order
+    en > de > es > fr > zh; no hits at all -> 'und'."""
+    d = read_table(spark, sf_dir, "documents")
+    langs = list(LANG_MARKERS)
+    with_hits = d.select(
+        "doc_id", "lang", *[_marker_hits(lg).alias(f"h_{lg}") for lg in langs]
+    )
+    best = F.greatest(*[F.col(f"h_{lg}") for lg in langs])
+    pred = F.when(best == 0, "und")
+    for lg in langs:  # first match wins -> fixed preference order on ties
+        pred = pred.when(F.col(f"h_{lg}") == best, lg)
+    return with_hits.select(
+        "doc_id",
+        pred.alias("predicted"),
+        (pred == F.col("lang")).cast("int").alias("is_correct"),
+    )
+
+
+def _lang_id_oracle() -> str:
+    langs = list(LANG_MARKERS)
+    hit_exprs = ",\n         ".join(
+        "len(list_filter(string_split(lower(text), ' '), t -> t IN ("
+        + ", ".join(f"'{m}'" for m in LANG_MARKERS[lg])
+        + f"))) AS h_{lg}"
+        for lg in langs
+    )
+    best = "greatest(" + ", ".join(f"h_{lg}" for lg in langs) + ")"
+    case = "CASE WHEN " + best + " = 0 THEN 'und' " + " ".join(
+        f"WHEN h_{lg} = {best} THEN '{lg}'" for lg in langs
+    ) + " END"
+    return f"""
+WITH h AS (
+  SELECT doc_id, lang,
+         {hit_exprs}
+  FROM documents
+)
+SELECT doc_id, {case} AS predicted,
+       CAST(({case}) = lang AS INTEGER) AS is_correct
+FROM h
+"""
+
+
+TEXT_LANG_ID_ORACLE = _lang_id_oracle()
+
+
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cheap quality heuristics: length stats, stopword ratio, type-token
+    ratio, mean word length — combined into one deterministic score.
+    The standard first-pass web-corpus filter (Gopher/C4-style rules)."""
+    d = read_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), " ")
+    n_tok = F.size(toks)
+    quoted = ", ".join(f"'{s}'" for s in STOPWORDS)
+    n_stop = F.expr(f"size(filter(split(lower(text), ' '), t -> t IN ({quoted})))")
+    n_uniq = F.size(F.array_distinct(toks))
+    mean_wlen = (F.length("text") - n_tok + 1).cast("double") / n_tok.cast("double")
+    stop_ratio = n_stop.cast("double") / n_tok.cast("double")
+    ttr = n_uniq.cast("double") / n_tok.cast("double")
+    score = (
+        F.when((n_tok >= 20) & (n_tok <= 200), 0.4).otherwise(0.0)
+        + F.when((mean_wlen >= 3.0) & (mean_wlen <= 10.0), 0.3).otherwise(0.0)
+        + F.when(stop_ratio >= 0.05, 0.2).otherwise(0.0)
+        + F.when(ttr >= 0.1, 0.1).otherwise(0.0)
+    )
+    return d.select(
+        "doc_id",
+        n_tok.cast("int").alias("n_tokens"),
+        n_uniq.cast("int").alias("n_unique"),
+        F.round(mean_wlen, 6).alias("mean_word_len"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(ttr, 6).alias("type_token_ratio"),
+        F.round(score, 2).alias("quality_score"),
+    )
+
+
+TEXT_QUALITY_SCORE_ORACLE = f"""
+WITH s AS (
+  SELECT doc_id,
+         len(string_split(lower(text), ' ')) AS n_tok,
+         len(list_filter(string_split(lower(text), ' '),
+             t -> t IN ({', '.join(f"'{s}'" for s in STOPWORDS)}))) AS n_stop,
+         len(list_distinct(string_split(lower(text), ' '))) AS n_uniq,
+         length(text) AS n_chars
+  FROM documents
+)
+SELECT doc_id,
+       CAST(n_tok AS INTEGER) AS n_tokens,
+       CAST(n_uniq AS INTEGER) AS n_unique,
+       ROUND(CAST(n_chars - n_tok + 1 AS DOUBLE) / n_tok, 6) AS mean_word_len,
+       ROUND(CAST(n_stop AS DOUBLE) / n_tok, 6) AS stopword_ratio,
+       ROUND(CAST(n_uniq AS DOUBLE) / n_tok, 6) AS type_token_ratio,
+       ROUND(
+         (CASE WHEN n_tok BETWEEN 20 AND 200 THEN 0.4 ELSE 0.0 END)
+         + (CASE WHEN CAST(n_chars - n_tok + 1 AS DOUBLE) / n_tok BETWEEN 3.0 AND 10.0 THEN 0.3 ELSE 0.0 END)
+         + (CASE WHEN CAST(n_stop AS DOUBLE) / n_tok >= 0.05 THEN 0.2 ELSE 0.0 END)
+         + (CASE WHEN CAST(n_uniq AS DOUBLE) / n_tok >= 0.1 THEN 0.1 ELSE 0.0 END), 2) AS quality_score
+FROM s
+"""
+
+
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two tokenizations: whitespace, and a BPE-ish regex (letter runs /
+    digit runs / single other chars) — the pre-tokenizer shape most BPE
+    vocabularies assume. Both are regex-class-only patterns, identical in
+    Java and RE2 dialects."""
+    d = read_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("int").alias("ws_tokens"),
+        F.expr("size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))")
+        .cast("int")
+        .alias("bpe_ish_tokens"),
+        F.length("text").cast("int").alias("chars"),
+    )
+
+
+TEXT_TOKEN_COUNT_ORACLE = """
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INTEGER) AS bpe_ish_tokens,
+       CAST(length(text) AS INTEGER) AS chars
+FROM documents
+"""
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling polynomial hash over the token stream (order-sensitive, unlike
+    the set-fingerprint in dedup.py) — the classic document-identity
+    fingerprint. Pure integer fold, bit-identical across engines."""
+    d = read_table(spark, sf_dir, "documents")
+    contrib = F.transform(
+        F.split(F.col("text"), " "),
+        lambda t: (F.ascii(F.substring(t, 1, 1)).cast("bigint") * 131
+                   + F.length(t).cast("bigint")),
+    )
+    rolling = F.aggregate(
+        contrib,
+        F.lit(0).cast("bigint"),
+        lambda acc, v: (acc * 31 + v) % 1000000007,
+    )
+    return d.select("doc_id", rolling.alias("fingerprint"))
+
+
+TEXT_FINGERPRINT_ORACLE = """
+SELECT doc_id,
+       list_reduce(
+         list_concat([CAST(0 AS BIGINT)],
+                     list_transform(string_split(text, ' '),
+                                    t -> CAST(ascii(substring(t, 1, 1)) AS BIGINT) * 131
+                                         + CAST(length(t) AS BIGINT))),
+         (acc, v) -> (acc * 31 + v) % 1000000007) AS fingerprint
+FROM documents
+"""
+
+
+def register_all(register) -> None:
+    register("text_lang_id", text_lang_id, TEXT_LANG_ID_ORACLE)
+    register("text_quality_score", text_quality_score, TEXT_QUALITY_SCORE_ORACLE)
+    register("text_token_count", text_token_count, TEXT_TOKEN_COUNT_ORACLE)
+    register("text_fingerprint", text_fingerprint, TEXT_FINGERPRINT_ORACLE)

@@ -99,7 +99,11 @@ register(
 # they call back into this module).
 # ---------------------------------------------------------------------------
 
+from pyspark_coding_challenge_spark.llm import dedup as llm_dedup  # noqa: E402
+from pyspark_coding_challenge_spark.llm import text as llm_text  # noqa: E402
 from pyspark_coding_challenge_spark.plans import relational, training_demo  # noqa: E402
 
 relational.register_all(register)
 training_demo.register_all(register)
+llm_dedup.register_all(register)
+llm_text.register_all(register)
