@@ -100,6 +100,7 @@ register(
 # ---------------------------------------------------------------------------
 
 from pyspark_coding_challenge_spark.llm import dedup as llm_dedup  # noqa: E402
+from pyspark_coding_challenge_spark.llm import similarity as llm_similarity  # noqa: E402
 from pyspark_coding_challenge_spark.llm import text as llm_text  # noqa: E402
 from pyspark_coding_challenge_spark.plans import relational, training_demo  # noqa: E402
 
@@ -107,3 +108,4 @@ relational.register_all(register)
 training_demo.register_all(register)
 llm_dedup.register_all(register)
 llm_text.register_all(register)
+llm_similarity.register_all(register)

@@ -1,0 +1,102 @@
+"""Property tests for embedding similarity search. The brute-force slug is
+DuckDB-oracled in the registry suite; these pin the rows-only ANN:
+
+1. near-duplicate vectors ARE retrieved (the dedup use case LSH exists for),
+2. ANN output is consistent with the exact brute-force ordering,
+3. dot/cosine kernels agree with numpy.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyspark_coding_challenge_spark.llm import similarity as S
+
+SCHEMA = "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT"
+
+
+def _unit(v):
+    n = math.sqrt(sum(x * x for x in v))
+    return [x / n for x in v]
+
+
+def _mk_vectors():
+    """Queries 0..4 random; vec 100+q = near-dup of query q; rest random."""
+    rng = random.Random(7)
+    vecs = {}
+    for q in range(S.N_QUERIES):
+        vecs[q] = _unit([rng.gauss(0, 1) for _ in range(S.DIM)])
+        vecs[100 + q] = _unit([x + rng.gauss(0, 0.01) for x in vecs[q]])
+    for i in range(200, 260):
+        vecs[i] = _unit([rng.gauss(0, 1) for _ in range(S.DIM)])
+    return vecs
+
+
+@pytest.fixture(scope="module")
+def ann_setup(spark, tmp_path_factory):
+    vecs = _mk_vectors()
+    df = spark.createDataFrame(
+        [(i, v, 0) for i, v in sorted(vecs.items())], schema=SCHEMA
+    )
+    sf_dir = str(tmp_path_factory.mktemp("annsf"))
+    df.write.parquet(f"{sf_dir}/embeddings.parquet")
+    return sf_dir, vecs
+
+
+def test_ann_finds_near_duplicates(spark, ann_setup):
+    sf_dir, _ = ann_setup
+    out = S.embedding_ann_lsh(spark, sf_dir).collect()
+    by_query = {}
+    for r in out:
+        by_query.setdefault(r.query_id, []).append(r)
+    # every query's planted near-dup is retrieved at rank 1 with sim ~1
+    for q in range(S.N_QUERIES):
+        top = min(by_query[q], key=lambda r: r.rank)
+        assert top.neighbor_id == 100 + q
+        assert top.sim > 0.99
+
+
+def test_ann_is_subset_of_brute_force_with_same_sims(spark, ann_setup):
+    sf_dir, _ = ann_setup
+    exact = {
+        (r.query_id, r.neighbor_id): r.sim
+        for r in S.embedding_topk(spark, sf_dir).collect()
+    }
+    ann = S.embedding_ann_lsh(spark, sf_dir).collect()
+    for r in ann:
+        key = (r.query_id, r.neighbor_id)
+        if key in exact:  # sim must agree exactly where both rank it
+            assert exact[key] == r.sim
+
+
+def test_dot_cosine_kernels_match_numpy(spark):
+    import numpy as np
+
+    rng = random.Random(3)
+    a = [rng.gauss(0, 1) for _ in range(16)]
+    b = [rng.gauss(0, 1) for _ in range(16)]
+    df = spark.createDataFrame([(a, b)], "a ARRAY<DOUBLE>, b ARRAY<DOUBLE>")
+    row = df.select(
+        S.dot(F.col("a"), F.col("b")).alias("d"),
+        S.cosine(F.col("a"), F.col("b")).alias("c"),
+    ).collect()[0]
+    na, nb = np.array(a), np.array(b)
+    assert abs(row.d - float(na @ nb)) < 1e-9
+    expected_cos = float(na @ nb / (np.linalg.norm(na) * np.linalg.norm(nb)))
+    assert abs(row.c - expected_cos) < 1e-9
+
+
+def test_brute_force_excludes_self_and_ranks_densely(spark, ann_setup):
+    sf_dir, _ = ann_setup
+    out = S.embedding_topk(spark, sf_dir).collect()
+    for r in out:
+        assert r.neighbor_id != r.query_id
+    ranks = {}
+    for r in out:
+        ranks.setdefault(r.query_id, []).append(r.rank)
+    for q, rs in ranks.items():
+        assert sorted(rs) == list(range(1, len(rs) + 1))
