@@ -1,0 +1,149 @@
+"""Multimodal column plumbing: opaque ``binary`` payloads + typed metadata,
+processed with Arrow-batched ``mapInPandas`` (SURVEY §7 Phase 3; the brief's
+multimodal mandate).
+
+The container has no image/audio codecs, so the DECODE step is stubbed: the
+real path (`decode_image_real`) raises NotImplementedError behind an
+import-try, and the tested path is a *deterministic fake decoder* whose
+arithmetic both Spark (via pandas) and DuckDB (via SQL) can compute — which
+is exactly what makes the plumbing verifiable end-to-end: schema declaration,
+binary payload handling, Arrow batch iteration, per-row fan-out (frame
+sampling), and partition-parallel execution are all real; only the
+pixel-decoding kernel is fake.
+
+Payloads are synthesized from ``documents.text`` (UTF-8 bytes) — the
+testdata ships no true binary column. All byte arithmetic assumes nothing
+about the content.
+
+Scale notes: mapInPandas streams Arrow batches — no per-row Python overhead,
+no driver collection; work is embarrassingly parallel over scan partitions.
+Frame sampling fans out rows (one per fixed-size chunk), which is the shape
+a real video pipeline has; downstream ops see an ordinary DataFrame.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyspark_coding_challenge_spark.sources.readers import read_table
+
+if TYPE_CHECKING:
+    import pandas as pd
+
+FRAME_BYTES = 64  # fake "frame" chunk size
+_MOD = 1000000007
+
+DECODE_META_SCHEMA = (
+    "doc_id BIGINT, n_bytes INT, first_byte INT, fake_width INT, "
+    "fake_height INT, channels INT"
+)
+
+FRAME_SCHEMA = "doc_id BIGINT, frame_idx INT, frame_len INT, checksum BIGINT"
+
+
+def decode_image_real(payload: bytes) -> tuple[int, int, int]:
+    """Real decoder — requires an image codec this container doesn't ship.
+    Gated so the pipeline code path exists without the dependency."""
+    try:
+        from PIL import Image  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            "image codec not available in this environment; use the "
+            "deterministic fake decoder (decode_meta_batches)"
+        ) from exc
+    raise NotImplementedError("real decode path not wired in this build")
+
+
+def decode_meta_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+    """mapInPandas kernel: per-payload metadata via the deterministic fake
+    decoder (n_bytes-derived dimensions)."""
+    import pandas as pd
+
+    for pdf in batches:
+        payloads = pdf["payload"]
+        n_bytes = payloads.map(len)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_bytes": n_bytes.astype("int32"),
+                "first_byte": payloads.map(lambda b: b[0] if len(b) else -1).astype("int32"),
+                "fake_width": (n_bytes % 640 + 1).astype("int32"),
+                "fake_height": (n_bytes * 31 % 480 + 1).astype("int32"),
+                "channels": pd.Series([3] * len(pdf), index=pdf.index, dtype="int32"),
+            }
+        )
+
+
+def frame_sample_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+    """mapInPandas kernel with row fan-out: one output row per FRAME_BYTES
+    chunk, with a deterministic byte-sum checksum."""
+    import pandas as pd
+
+    for pdf in batches:
+        out: dict[str, list] = {"doc_id": [], "frame_idx": [], "frame_len": [], "checksum": []}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            for idx in range((len(payload) + FRAME_BYTES - 1) // FRAME_BYTES):
+                chunk = payload[idx * FRAME_BYTES:(idx + 1) * FRAME_BYTES]
+                out["doc_id"].append(doc_id)
+                out["frame_idx"].append(idx)
+                out["frame_len"].append(len(chunk))
+                out["checksum"].append(sum(chunk) % _MOD)
+        yield pd.DataFrame(out)
+
+
+def _with_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+
+
+def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _with_payload(spark, sf_dir).mapInPandas(
+        decode_meta_batches, schema=DECODE_META_SCHEMA
+    )
+
+
+# documents.text is ASCII (synthetic word soup), so UTF-8 byte length ==
+# char length and byte values == ascii codes — which lets plain SQL oracle
+# the fake decoder exactly.
+MULTIMODAL_DECODE_META_ORACLE = """
+SELECT doc_id,
+       CAST(length(text) AS INTEGER) AS n_bytes,
+       CAST(CASE WHEN length(text) > 0 THEN ascii(substring(text, 1, 1)) ELSE -1 END AS INTEGER) AS first_byte,
+       CAST(length(text) % 640 + 1 AS INTEGER) AS fake_width,
+       CAST(length(text) * 31 % 480 + 1 AS INTEGER) AS fake_height,
+       CAST(3 AS INTEGER) AS channels
+FROM documents
+"""
+
+
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _with_payload(spark, sf_dir).mapInPandas(
+        frame_sample_batches, schema=FRAME_SCHEMA
+    )
+
+
+MULTIMODAL_FRAME_SAMPLE_ORACLE = f"""
+WITH frames AS (
+  SELECT doc_id, text,
+         unnest(generate_series(0, CAST(ceil(length(text) / {FRAME_BYTES}.0) AS INT) - 1)) AS frame_idx
+  FROM documents
+  WHERE length(text) > 0
+)
+SELECT doc_id,
+       CAST(frame_idx AS INTEGER) AS frame_idx,
+       CAST(length(substring(text, frame_idx * {FRAME_BYTES} + 1, {FRAME_BYTES})) AS INTEGER) AS frame_len,
+       CAST(list_sum(list_transform(
+              generate_series(1, length(substring(text, frame_idx * {FRAME_BYTES} + 1, {FRAME_BYTES}))),
+              i -> ascii(substring(substring(text, frame_idx * {FRAME_BYTES} + 1, {FRAME_BYTES}), CAST(i AS INT), 1))))
+            % {_MOD} AS BIGINT) AS checksum
+FROM frames
+"""
+
+
+def register_all(register) -> None:
+    register("multimodal_decode_meta", multimodal_decode_meta, MULTIMODAL_DECODE_META_ORACLE)
+    register("multimodal_frame_sample", multimodal_frame_sample, MULTIMODAL_FRAME_SAMPLE_ORACLE)

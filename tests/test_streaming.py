@@ -1,0 +1,102 @@
+"""Streaming semantics the single-batch oracle comparison can't see:
+watermark-based late-data eviction across micro-batch boundaries, plus the
+multimodal decode stub contract."""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+
+def _write_batch(path: str, rows: list[tuple[str, str]], mtime: int) -> None:
+    pdf = pd.DataFrame(rows, columns=["k", "ts"])
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    pq.write_table(pa.Table.from_pandas(pdf), path, coerce_timestamps="us")
+    os.utime(path, (mtime, mtime))
+
+
+def test_watermark_drops_late_rows_across_batches(spark, tmp_path):
+    """Three micro-batches (maxFilesPerTrigger=1): batch 1 advances the
+    watermark past the 08:00 window; batch 3's late 08:15 row must be
+    DROPPED (Spark filters late events against the PREVIOUS batch's
+    watermark, hence the intermediate batch 2 to propagate it), and the
+    still-open 10:00 window must not be emitted in append mode."""
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    _write_batch(
+        str(src / "batch1.parquet"),
+        [("a", "2024-01-01 08:30:00"), ("a", "2024-01-01 10:30:00")],
+        mtime=1_700_000_000,
+    )
+    _write_batch(
+        str(src / "batch2.parquet"),
+        [("ontime", "2024-01-01 10:40:00")],
+        mtime=1_700_000_100,
+    )
+    _write_batch(
+        str(src / "batch3.parquet"),
+        [("late", "2024-01-01 08:15:00"), ("ontime", "2024-01-01 10:45:00")],
+        mtime=1_700_000_200,
+    )
+
+    stream = (
+        spark.readStream.schema("k STRING, ts TIMESTAMP")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    agg = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .count()
+    )
+    name = f"wmtest_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (str(r.start), r.cnt)
+        for r in spark.table(name).select(
+            F.col("w.start").alias("start"), F.col("count").alias("cnt")
+        ).collect()
+    }
+    # Only the closed 08:00 window, counting ONLY the batch-1 row: the late
+    # batch-3 arrival was behind the watermark (a non-dropped late row would
+    # re-open the evicted window and emit a second 08:00 row). The 10:00
+    # window never closes.
+    assert got == {("2024-01-01 08:00:00", 1)}
+
+
+def test_multimodal_real_decode_is_gated_not_fake(spark):
+    from pyspark_coding_challenge_spark.llm.multimodal import decode_image_real
+
+    with pytest.raises(NotImplementedError):
+        decode_image_real(b"\x89PNG fake header")
+
+
+def test_multimodal_frame_sample_fans_out_and_covers_all_bytes(spark):
+    from pyspark_coding_challenge_spark.llm.multimodal import (
+        FRAME_BYTES,
+        FRAME_SCHEMA,
+        frame_sample_batches,
+    )
+
+    text = "x" * (FRAME_BYTES * 2 + 10)  # 2 full frames + 1 partial
+    df = spark.createDataFrame([(1, bytearray(text, "utf-8"))], "doc_id BIGINT, payload BINARY")
+    rows = sorted(
+        df.mapInPandas(frame_sample_batches, schema=FRAME_SCHEMA).collect(),
+        key=lambda r: r.frame_idx,
+    )
+    assert [r.frame_len for r in rows] == [FRAME_BYTES, FRAME_BYTES, 10]
+    assert sum(r.frame_len for r in rows) == len(text)
+    assert rows[0].checksum == (ord("x") * FRAME_BYTES) % 1000000007
