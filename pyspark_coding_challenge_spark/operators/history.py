@@ -50,6 +50,7 @@ def last_k_history(
     payload_cols: tuple[str, ...] = ("item_id", "action_type"),
     out_cols: tuple[str, ...] = ("actions", "action_types"),
     pad: int = 0,
+    lookback: str | None = None,
 ) -> DataFrame:
     """For each row of ``cutoffs`` (distinct ``entity_col, cutoff_col``),
     collect the entity's last ``k`` actions with ``time_col`` strictly before
@@ -58,18 +59,29 @@ def last_k_history(
     Returns ``entity_col, cutoff_col, *out_cols`` — INNER result: entities
     with zero qualifying history are absent (attach with ``attach_history``
     to get the all-pad rows).
+
+    Scale warning: the cutoff-x-actions join emits O(A x D) rows per entity
+    (A lifetime actions, D distinct cutoffs) before the top-K filter — fine
+    at test scale, quadratic on power users at 100 TB. Two remedies:
+    ``lookback`` (an INTERVAL string, e.g. ``'90 days'``) bounds the join
+    window — only K most-recent survive anyway, so any horizon that holds K
+    actions is lossless in practice; or use ``rolling_last_k_history``,
+    which shuffles each action exactly once (the reference's own
+    materialized rolling-history design, README.md:69-72).
     """
     act = actions.select(entity_col, time_col, *payload_cols)
     cut = cutoffs.select(entity_col, cutoff_col).distinct()
 
-    joined = cut.join(
-        act,
-        on=[
-            cut[entity_col] == act[entity_col],
-            act[time_col] < cut[cutoff_col],
-        ],
-        how="inner",
-    ).select(
+    join_cond = [
+        cut[entity_col] == act[entity_col],
+        act[time_col] < cut[cutoff_col],
+    ]
+    if lookback is not None:
+        join_cond.append(
+            act[time_col] >= cut[cutoff_col] - F.expr(f"INTERVAL {lookback}")
+        )
+
+    joined = cut.join(act, on=join_cond, how="inner").select(
         cut[entity_col], cut[cutoff_col], act[time_col], *[act[c] for c in payload_cols]
     )
 
@@ -94,6 +106,96 @@ def last_k_history(
         for col, o in zip(per_field, out_cols)
     ]
     return grouped.select(entity_col, cutoff_col, *arrays)
+
+
+def rolling_last_k_history(
+    actions: DataFrame,
+    cutoffs: DataFrame,
+    k: int,
+    entity_col: str = "customer_id",
+    time_col: str = "action_time",
+    cutoff_col: str = "cutoff_ts",
+    payload_cols: tuple[str, ...] = ("item_id", "action_type"),
+    out_cols: tuple[str, ...] = ("actions", "action_types"),
+    pad: int = 0,
+    lookback_days: int | None = None,
+) -> DataFrame:
+    """Scale-path twin of ``last_k_history`` for DAY-GRANULAR cutoffs
+    (``cutoff_col`` at midnight; "history strictly before that day") — the
+    reference's materialized rolling-history design
+    (``pyspark-coding-challenge/README.md:69-72``) as two explicit operators:
+
+    1. **Per-day pre-aggregation**: actions collapse to one row per
+       (entity, day) holding that day's top-K struct list (at most K of a
+       day's actions can reach any final top-K). Each action is shuffled
+       EXACTLY ONCE — join-input volume drops from O(A x D) to O(A).
+    2. **Window over days**: per entity, ordered by day, the frame
+       ``(unbounded preceding, -1 row)`` concatenates prior days' lists;
+       sort + slice K. The expansion is CPU inside a sorted partition —
+       never shuffle payload — and ``lookback_days`` turns the frame into a
+       bounded range for long-lived entities.
+
+    Output and ordering semantics are IDENTICAL to ``last_k_history``
+    (time desc, then payloads asc on ties; inner result), verified by the
+    equivalence property test and the unchanged flagship oracle hashes.
+    """
+    act = actions.select(entity_col, time_col, *payload_cols)
+
+    # Sort key: ascending struct sort == (time desc, payloads asc).
+    neg_us = (-F.unix_micros(F.col(time_col))).alias("_neg_us")
+    daily = (
+        act.groupBy(F.col(entity_col), F.to_date(F.col(time_col)).alias("_day"))
+        .agg(
+            F.slice(
+                F.array_sort(
+                    F.collect_list(F.struct(neg_us, *[F.col(c) for c in payload_cols]))
+                ),
+                1,
+                k,
+            ).alias("_daily")
+        )
+    )
+
+    # Day spine: action days UNION cutoff days (a cutoff day with no actions
+    # still needs a row so the window can evaluate there).
+    cut_days = (
+        cutoffs.select(F.col(entity_col), F.to_date(F.col(cutoff_col)).alias("_day"))
+        .distinct()
+    )
+    spine = cut_days.join(daily, on=[entity_col, "_day"], how="full")
+
+    if lookback_days is None:
+        w = (
+            Window.partitionBy(entity_col)
+            .orderBy("_day")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+    else:
+        w = (
+            Window.partitionBy(entity_col)
+            .orderBy(F.datediff(F.col("_day"), F.lit("1970-01-01")))
+            .rangeBetween(-lookback_days, -1)
+        )
+
+    # collect_list skips the NULL _daily of cutoff-only days.
+    structs = F.slice(F.array_sort(F.flatten(F.collect_list("_daily").over(w))), 1, k)
+    per_day = spine.select(
+        F.col(entity_col), F.col("_day"), structs.alias("_structs")
+    )
+
+    per_field = sorted_parallel_arrays(F.col("_structs"), payload_cols)
+    arrays = [pad_truncate(col, k, pad).alias(o) for col, o in zip(per_field, out_cols)]
+    out = per_day.where(F.size("_structs") > 0).select(entity_col, "_day", *arrays)
+
+    # Inner semantics + cutoff col shape identical to last_k_history.
+    return (
+        out.join(cut_days, on=[entity_col, "_day"], how="left_semi")
+        .select(
+            F.col(entity_col),
+            F.col("_day").cast("timestamp").alias(cutoff_col),
+            *[F.col(o) for o in out_cols],
+        )
+    )
 
 
 def attach_history(

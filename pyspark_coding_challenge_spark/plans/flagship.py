@@ -17,7 +17,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pyspark_coding_challenge_spark.operators.history import attach_history, last_k_history
+from pyspark_coding_challenge_spark.operators.history import (
+    attach_history,
+    rolling_last_k_history,
+)
 from pyspark_coding_challenge_spark.sources.readers import read_table
 
 EVENT_TYPE_CODES = {"click": 1, "error": 2, "purchase": 3, "signup": 4, "view": 5}
@@ -64,7 +67,9 @@ def user_history_features(
         "user_id", F.col("d").cast("timestamp").alias("cutoff_ts")
     ).distinct()
 
-    hist = last_k_history(
+    # Rolling per-day pre-aggregation (each action shuffled once) — the
+    # cutoffs are day-granular midnights, exactly the rolling contract.
+    hist = rolling_last_k_history(
         acts,
         cutoffs,
         k=k,

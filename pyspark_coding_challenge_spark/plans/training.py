@@ -32,7 +32,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from pyspark_coding_challenge_spark.operators.actions import normalize_actions
-from pyspark_coding_challenge_spark.operators.history import attach_history, last_k_history
+from pyspark_coding_challenge_spark.operators.history import (
+    attach_history,
+    rolling_last_k_history,
+)
 from pyspark_coding_challenge_spark.operators.impressions import explode_impressions
 
 DEFAULT_MAX_HISTORY = 1000
@@ -84,8 +87,10 @@ def produce_training_examples(
         .filter(F.col("customer_id").isNotNull())
         .distinct()
     )
+    # Day-granular cutoffs -> rolling per-day pre-aggregation is lossless
+    # and shuffles each action once (vs O(actions x days) join expansion).
     hist = (
-        last_k_history(
+        rolling_last_k_history(
             actions,
             cutoffs,
             k=max_history,

@@ -1,0 +1,113 @@
+"""rolling_last_k_history must produce EXACTLY what last_k_history produces
+for day-granular cutoffs — on real testdata and on crafted edge cases
+(timestamp ties, cutoff days with no actions, entities with zero history,
+bounded lookback)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from pyspark_coding_challenge_spark.operators.history import (
+    last_k_history,
+    rolling_last_k_history,
+)
+
+ACTIONS_DDL = "customer_id BIGINT, action_time TIMESTAMP, item_id BIGINT, action_type INT"
+CUTOFFS_DDL = "customer_id BIGINT, cutoff_ts TIMESTAMP"
+
+
+def ts(s: str) -> datetime:
+    return datetime.strptime(s, "%Y-%m-%d %H:%M:%S")
+
+
+def _collect(df):
+    return sorted(
+        ((r.customer_id, str(r.cutoff_ts), tuple(r.actions), tuple(r.action_types))
+         for r in df.collect()),
+    )
+
+
+def _assert_equivalent(spark, actions, cutoffs, k, **kw):
+    a = last_k_history(actions, cutoffs, k=k, lookback=kw.pop("join_lookback", None))
+    b = rolling_last_k_history(actions, cutoffs, k=k, **kw)
+    assert _collect(a) == _collect(b)
+
+
+def test_equivalence_on_events_testdata(spark):
+    from pyspark_coding_challenge_spark.plans.flagship import encode_event_type
+    from pyspark_coding_challenge_spark.sources.readers import read_table
+
+    events = read_table(spark, "/root/testdata/sf0.001", "events")
+    acts = events.select(
+        F.col("user_id").cast("bigint").alias("customer_id"),
+        F.col("ts").alias("action_time"),
+        F.col("event_id").cast("bigint").alias("item_id"),
+        encode_event_type().alias("action_type"),
+    )
+    cutoffs = events.select(
+        F.col("user_id").cast("bigint").alias("customer_id"),
+        F.to_date("ts").cast("timestamp").alias("cutoff_ts"),
+    ).distinct()
+    _assert_equivalent(spark, acts, cutoffs, k=4)
+
+
+def test_equivalence_edge_cases(spark):
+    actions = spark.createDataFrame(
+        [
+            # timestamp TIE on customer 1, day 1 — payload tie-break order
+            (1, ts("2025-01-01 10:00:00"), 30, 2),
+            (1, ts("2025-01-01 10:00:00"), 10, 1),
+            (1, ts("2025-01-01 10:00:00"), 10, 3),
+            (1, ts("2025-01-02 09:00:00"), 20, 1),
+            # same-day action must NOT leak into the same day's cutoff
+            (1, ts("2025-01-03 00:00:00"), 99, 1),
+            # customer 2: single action far in the past
+            (2, ts("2024-06-01 12:00:00"), 7, 2),
+        ],
+        schema=ACTIONS_DDL,
+    )
+    cutoffs = spark.createDataFrame(
+        [
+            (1, ts("2025-01-02 00:00:00")),
+            (1, ts("2025-01-03 00:00:00")),
+            (1, ts("2025-01-04 00:00:00")),
+            (2, ts("2025-01-01 00:00:00")),
+            # cutoff day with no actions at all for customer 3
+            (3, ts("2025-01-01 00:00:00")),
+        ],
+        schema=CUTOFFS_DDL,
+    )
+    _assert_equivalent(spark, actions, cutoffs, k=3)
+
+    # truncation: k smaller than available history
+    _assert_equivalent(spark, actions, cutoffs, k=1)
+
+
+def test_rolling_same_day_leakage_excluded(spark):
+    actions = spark.createDataFrame(
+        [(1, ts("2025-01-02 00:00:00"), 5, 1)], schema=ACTIONS_DDL
+    )
+    cutoffs = spark.createDataFrame(
+        [(1, ts("2025-01-02 00:00:00"))], schema=CUTOFFS_DDL
+    )
+    out = rolling_last_k_history(actions, cutoffs, k=2)
+    assert out.count() == 0  # midnight action is ON the cutoff day
+
+
+def test_bounded_lookback_drops_ancient_history(spark):
+    actions = spark.createDataFrame(
+        [
+            (1, ts("2024-01-01 10:00:00"), 1, 1),  # ~1 year before cutoff
+            (1, ts("2024-12-30 10:00:00"), 2, 1),  # 2 days before cutoff
+        ],
+        schema=ACTIONS_DDL,
+    )
+    cutoffs = spark.createDataFrame(
+        [(1, ts("2025-01-01 00:00:00"))], schema=CUTOFFS_DDL
+    )
+    rows_join = last_k_history(actions, cutoffs, k=5, lookback="30 days").collect()
+    rows_roll = rolling_last_k_history(actions, cutoffs, k=5, lookback_days=30).collect()
+    assert [tuple(r.actions) for r in rows_join] == [(2, 0, 0, 0, 0)]
+    assert [tuple(r.actions) for r in rows_roll] == [(2, 0, 0, 0, 0)]
