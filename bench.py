@@ -34,12 +34,18 @@ def main() -> None:
     if headline:
         headline[0][1](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    # Best-of-2 per query: single-shot timings at this scale carry several
+    # seconds of JIT/GC noise, which would read as phantom round-over-round
+    # regressions.
     timings: dict[str, float] = {}
     for slug, fn in headline:
-        df = fn(spark, sf_dir)
-        t0 = time.perf_counter()
-        df.write.format("noop").mode("overwrite").save()
-        timings[slug] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            df = fn(spark, sf_dir)
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[slug] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(

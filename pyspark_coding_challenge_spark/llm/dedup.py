@@ -305,14 +305,17 @@ def simhash64(tokens_sql: str) -> Column:
     the SQL ones accept expressions.) Bits 0..62 assemble into a
     non-negative bigint; bit 63 is dropped to stay in signed range — 63
     bits is ample for near-dup Hamming comparison."""
+    # Inner transform hashes each token ONCE; the per-bit loop then works on
+    # the 64-bit value with integer shifts only (the naive formulation
+    # re-evaluated xxhash64 inside the bit loop — 64 hashes per token).
     return F.expr(f"""
       aggregate(
         zip_with(
-          aggregate({tokens_sql},
+          aggregate(transform({tokens_sql}, t -> xxhash64(t)),
             array_repeat(CAST(0 AS BIGINT), 64),
-            (acc, t) -> zip_with(acc,
+            (acc, h) -> zip_with(acc,
                 transform(sequence(0, 63),
-                          b -> CASE WHEN (shiftright(xxhash64(t), b) & 1) = 1
+                          b -> CASE WHEN (shiftright(h, b) & 1) = 1
                                THEN 1 ELSE -1 END),
                 (a, d) -> a + CAST(d AS BIGINT))),
           sequence(0, 63),

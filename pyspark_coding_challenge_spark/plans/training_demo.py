@@ -45,7 +45,10 @@ def _base(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def training_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
-    base = _base(spark, sf_dir)
+    # The base join feeds FOUR consumers (impressions + three action
+    # streams); persisting it is the reference's own reuse-persistence hint
+    # (README.md:64) and turns 4 lineitem-x-orders joins into 1.
+    base = _base(spark, sf_dir).persist()
 
     imps = (
         base.groupBy("o_orderkey", "o_custkey", "o_orderdate")
