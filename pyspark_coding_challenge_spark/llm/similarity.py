@@ -180,6 +180,41 @@ def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate detection — the verification kernel,
+    run on the deterministic consecutive-id pair set so DuckDB can oracle
+    it. (At scale the pair set comes from the LSH candidate generator in
+    ``embedding_ann_lsh``, exactly like the MinHash verify stage for text.)"""
+    e = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("emb").alias("ea"))
+    b = e.select((F.col("vec_id") - 1).alias("vec_a"), F.col("vec_id").alias("vec_b"),
+                 F.col("emb").alias("eb"))
+    pairs = a.join(b, on="vec_a")
+    sim = cosine(F.col("ea"), F.col("eb"))
+    return pairs.select(
+        "vec_a",
+        "vec_b",
+        F.round(sim, 6).alias("sim"),
+        (sim >= 0.95).cast("int").alias("near_dup"),
+    )
+
+
+DEDUP_EMBEDDING_COSINE_ORACLE = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND(list_dot_product(a.emb, b.emb)
+             / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))),
+             6) AS sim,
+       CAST(CASE WHEN list_dot_product(a.emb, b.emb)
+                      / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb)))
+                 >= 0.95 THEN 1 ELSE 0 END AS INTEGER) AS near_dup
+FROM e a JOIN e b ON b.vec_id = a.vec_id + 1
+"""
+
+
 def register_all(register) -> None:
     register("embedding_topk", embedding_topk, EMBEDDING_TOPK_ORACLE)
     register("embedding_ann_lsh", embedding_ann_lsh, None)
+    register("dedup_embedding_cosine", dedup_embedding_cosine, DEDUP_EMBEDDING_COSINE_ORACLE)

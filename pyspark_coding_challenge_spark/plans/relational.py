@@ -925,6 +925,86 @@ FROM lineitem
 """
 
 
+def scalar_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar extraction over events.props — both the path-string form
+    (get_json_object) and the typed form (from_json with explicit schema)."""
+    ev = read_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k_int"),
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.from_json("props", "k INT").getField("k").alias("k_typed"),
+        F.get_json_object("props", "$.missing").alias("absent"),
+    )
+
+
+SCALAR_JSON_FUNCS_ORACLE = """
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int,
+       json_extract_string(props, '$.k') AS k_str,
+       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_typed,
+       json_extract_string(props, '$.missing') AS absent
+FROM events
+"""
+
+
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all 4 grouping combinations of (status, priority)."""
+    o = read_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("cnt"), F.sum(_cents("o_totalprice")).alias("cents"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "cnt",
+            "cents",
+        )
+    )
+
+
+AGG_CUBE_ORACLE = """
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       count(*) AS cnt,
+       CAST(sum(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS cents
+FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+"""
+
+
+def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation for pathologically skewed keys
+    (l_returnflag has 3 values over the whole table — every row lands on 3
+    reducers without salting). Phase 1 groups by (key, salt-of-16) so the
+    partial aggregation fans across the cluster; phase 2 merges 16 rows per
+    key. Semantics-preserving by construction — the oracle is the plain
+    single-phase GROUP BY. (AQE handles moderate skew on its own; explicit
+    salting is the remedy for single-hot-key shapes AQE can't split.)"""
+    li = read_table(spark, sf_dir, "lineitem")
+    salt = F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(16)).alias("_salt")
+    partial = (
+        li.select("l_returnflag", salt,
+                  F.col("l_quantity").cast("bigint").alias("qty"),
+                  _cents("l_extendedprice").alias("cents"))
+        .groupBy("l_returnflag", "_salt")
+        .agg(F.sum("qty").alias("pq"), F.sum("cents").alias("pc"), F.count("*").alias("pn"))
+    )
+    return (
+        partial.groupBy("l_returnflag")
+        .agg(F.sum("pq").alias("sum_qty"), F.sum("pc").alias("sum_cents"), F.sum("pn").alias("cnt"))
+        .select("l_returnflag", "sum_qty", "sum_cents", "cnt")
+    )
+
+
+AGG_SALTED_SKEW_ORACLE = """
+SELECT l_returnflag,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(sum(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_cents,
+       count(*) AS cnt
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 # ---------------------------------------------------------------------------
 # registration
 # ---------------------------------------------------------------------------
@@ -965,3 +1045,6 @@ def register_all(register) -> None:
     register("scalar_string_funcs", scalar_string_funcs, SCALAR_STRING_FUNCS_ORACLE)
     register("scalar_date_funcs", scalar_date_funcs, SCALAR_DATE_FUNCS_ORACLE)
     register("scalar_math_funcs", scalar_math_funcs, SCALAR_MATH_FUNCS_ORACLE)
+    register("scalar_json_funcs", scalar_json_funcs, SCALAR_JSON_FUNCS_ORACLE)
+    register("agg_cube", agg_cube, AGG_CUBE_ORACLE)
+    register("agg_salted_skew", agg_salted_skew, AGG_SALTED_SKEW_ORACLE)

@@ -184,8 +184,52 @@ SELECT DISTINCT user_id, event_type FROM events
 """
 
 
+def _counter_fn(key, pdf_iter, state):
+    """applyInPandasWithState kernel: running per-user event count + exact
+    value sum in integer milli-units, carried in group state across
+    micro-batches."""
+    import pandas as pd
+
+    cnt, milli = state.get if state.exists else (0, 0)
+    for pdf in pdf_iter:
+        cnt += len(pdf)
+        milli += int(pdf["value_milli"].sum())
+    state.update((cnt, milli))
+    yield pd.DataFrame({"user_id": [key[0]], "cnt": [cnt], "sum_milli": [milli]})
+
+
+def streaming_custom_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState — the escape
+    hatch for stateful logic the built-in windows can't express (here a
+    running per-user counter, chosen precisely because its final state IS
+    SQL-expressible, so the driver can oracle the custom-operator plumbing).
+    Update mode: each micro-batch emits one row per touched user; with one
+    input file there is one data batch, so the sink holds the final totals."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    ev = read_events_stream(spark, sf_dir).select(
+        "user_id", F.round(F.col("value") * 1000).cast("bigint").alias("value_milli")
+    )
+    counted = ev.groupBy("user_id").applyInPandasWithState(
+        _counter_fn,
+        outputStructType="user_id BIGINT, cnt BIGINT, sum_milli BIGINT",
+        stateStructType="cnt BIGINT, sum_milli BIGINT",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return run_to_table(counted, spark, mode="update")
+
+
+STREAMING_CUSTOM_STATEFUL_ORACLE = """
+SELECT user_id, count(*) AS cnt,
+       CAST(sum(CAST(ROUND(value * 1000) AS BIGINT)) AS BIGINT) AS sum_milli
+FROM events GROUP BY user_id
+"""
+
+
 def register_all(register) -> None:
     register("streaming_tumbling_counts", streaming_tumbling_counts, STREAMING_TUMBLING_COUNTS_ORACLE)
     register("streaming_sliding_sum", streaming_sliding_sum, STREAMING_SLIDING_SUM_ORACLE)
     register("streaming_session_windows", streaming_session_windows, STREAMING_SESSION_WINDOWS_ORACLE)
     register("streaming_stateful_dedup", streaming_stateful_dedup, STREAMING_STATEFUL_DEDUP_ORACLE)
+    register("streaming_custom_stateful", streaming_custom_stateful, STREAMING_CUSTOM_STATEFUL_ORACLE)
