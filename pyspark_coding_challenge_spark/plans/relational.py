@@ -1006,6 +1006,128 @@ FROM lineitem GROUP BY l_returnflag
 
 
 # ---------------------------------------------------------------------------
+# Composite analytics (TPC-H-shaped multi-join + agg + sort pipelines)
+# ---------------------------------------------------------------------------
+
+def composite_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3-shaped: segment-filtered customers x orders x lineitem, revenue in
+    exact cents x basis points, top-10 by revenue. Exercises the canonical
+    fact-to-fact join + group + global top-N composition."""
+    c = read_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = read_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.expr("timestamp'1997-01-01'"))
+    li = read_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") >= F.expr("timestamp'1996-06-01'"))
+    revenue_e4 = F.sum(
+        _cents("l_extendedprice") * (100 - F.round(F.col("l_discount") * 100).cast("bigint"))
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", F.to_date("o_orderdate").cast("string").alias("orderdate"), "o_orderpriority")
+        .agg(revenue_e4.alias("revenue_e4"))
+        .orderBy(F.col("revenue_e4").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+        .select("l_orderkey", "orderdate", "o_orderpriority", "revenue_e4")
+    )
+
+
+COMPOSITE_SHIPPING_PRIORITY_ORACLE = """
+SELECT l_orderkey,
+       CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS orderdate,
+       o_orderpriority,
+       CAST(sum(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS BIGINT) AS revenue_e4
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND l_shipdate >= TIMESTAMP '1996-06-01'
+GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
+ORDER BY revenue_e4 DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def composite_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5-shaped: 5-table star (region->nation->customer/supplier->orders->
+    lineitem) with the customer-nation == supplier-nation co-location
+    predicate; dims broadcast, facts shuffle once on their join keys."""
+    r = read_table(spark, sf_dir, "region")
+    n = read_table(spark, sf_dir, "nation")
+    c = read_table(spark, sf_dir, "customer")
+    s = read_table(spark, sf_dir, "supplier")
+    o = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    revenue_e4 = F.sum(
+        _cents("l_extendedprice") * (100 - F.round(F.col("l_discount") * 100).cast("bigint"))
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .filter(c.c_nationkey == s.s_nationkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(revenue_e4.alias("revenue_e4"), F.count("*").alias("line_cnt"))
+        .select("r_name", "n_name", "revenue_e4", "line_cnt")
+    )
+
+
+COMPOSITE_LOCAL_SUPPLIER_VOLUME_ORACLE = """
+SELECT r_name, n_name,
+       CAST(sum(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS BIGINT) AS revenue_e4,
+       count(*) AS line_cnt
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+GROUP BY r_name, n_name
+"""
+
+
+def composite_parts_by_supplier_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9-flavoured: part-filtered lineitem x supplier x nation x part,
+    profit proxy per (nation, year). Exercises filter pushdown through a
+    multi-way join plus a derived grouping column."""
+    p = read_table(spark, sf_dir, "part").filter(F.col("p_name").contains("a"))
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation")
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    amount_e4 = F.sum(
+        _cents("l_extendedprice") * (100 - F.round(F.col("l_discount") * 100).cast("bigint"))
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("n_name", F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(amount_e4.alias("amount_e4"))
+        .select("n_name", "o_year", "amount_e4")
+    )
+
+
+COMPOSITE_PARTS_BY_SUPPLIER_NATION_ORACLE = """
+SELECT n_name, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       CAST(sum(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS BIGINT) AS amount_e4
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%a%'
+GROUP BY n_name, year(o_orderdate)
+"""
+
+
+# ---------------------------------------------------------------------------
 # registration
 # ---------------------------------------------------------------------------
 
@@ -1048,3 +1170,9 @@ def register_all(register) -> None:
     register("scalar_json_funcs", scalar_json_funcs, SCALAR_JSON_FUNCS_ORACLE)
     register("agg_cube", agg_cube, AGG_CUBE_ORACLE)
     register("agg_salted_skew", agg_salted_skew, AGG_SALTED_SKEW_ORACLE)
+    register("composite_shipping_priority", composite_shipping_priority,
+             COMPOSITE_SHIPPING_PRIORITY_ORACLE)
+    register("composite_local_supplier_volume", composite_local_supplier_volume,
+             COMPOSITE_LOCAL_SUPPLIER_VOLUME_ORACLE)
+    register("composite_parts_by_supplier_nation", composite_parts_by_supplier_nation,
+             COMPOSITE_PARTS_BY_SUPPLIER_NATION_ORACLE)
