@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pyspark_coding_challenge_spark.sources.readers import read_table
+from pyspark_coding_challenge_spark.sources.readers import read_table, rebalance_for_compute
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -123,7 +123,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     verification kernel of near-dup dedup, run on a deterministic bounded
     pair set so DuckDB can oracle it. (At scale the pair set comes from the
     MinHash-LSH candidate generator below, not from all-pairs.)"""
-    d = read_table(spark, sf_dir, "documents")
+    # Gram construction is O(len^2) chars/doc of pure CPU — scan-parallelism
+    # bound, so spread a narrow input before it.
+    d = rebalance_for_compute(read_table(spark, sf_dir, "documents"), "doc_id")
     a = d.select(F.col("doc_id").alias("doc_a"), _char_ngrams("text").alias("ga"))
     b = d.select((F.col("doc_id") - 1).alias("doc_a"), F.col("doc_id").alias("doc_b"),
                  _char_ngrams("text").alias("gb"))
@@ -190,6 +192,9 @@ def _word_shingles(text_col: str = "text", n: int = SHINGLE_WORDS) -> Column:
 def _with_tokens(docs: DataFrame, text_col: str = "text") -> DataFrame:
     # Materialized token array: referenced 3x per shingle, so it must be an
     # alias CollapseProject will NOT inline (multi-use, non-cheap).
+    # NOT rebalanced here: both callers explode into a shuffle (groupBy min /
+    # pair join) right after, so the post-shuffle stages parallelize anyway
+    # and a pre-explode exchange measured as pure overhead.
     return docs.withColumn("_toks", F.split(F.col(text_col), " "))
 
 
@@ -330,7 +335,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup over consecutive doc_id pairs: signature + Hamming
     distance (bit_count of XOR). Rows-only driver check (engine-specific
     hash); property-tested locally."""
-    d = read_table(spark, sf_dir, "documents")
+    d = rebalance_for_compute(read_table(spark, sf_dir, "documents"), "doc_id")
     sigs = d.select(
         "doc_id",
         simhash64("split(lower(text), ' ')").alias("sig"),

@@ -43,6 +43,27 @@ def read_tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFram
     return tuple(read_table(spark, sf_dir, n) for n in names)
 
 
+def rebalance_for_compute(df: DataFrame, *key_cols: str) -> DataFrame:
+    """Spread a narrow input across the cluster before a CPU-bound per-row
+    kernel (shingling, hashing, vector math).
+
+    Scan parallelism equals the number of file splits, and a parquet file is
+    splittable only at row-group boundaries — so a small or single-row-group
+    input runs every downstream narrow transformation on a handful of cores
+    no matter how wide the cluster is. When that happens, one cheap shuffle
+    of the raw rows buys full parallelism for the expensive kernel.
+
+    No-op when the scan already yields >= defaultParallelism splits (the
+    normal case at scale, where many files/row groups parallelize the scan
+    natively) — so this never adds a shuffle to a 100 TB input that is
+    already wide.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target, *key_cols) if key_cols else df.repartition(target)
+
+
 def read_json(spark: SparkSession, path: str, ddl_schema: str) -> DataFrame:
     """Schema-enforced JSON source (no inference — SURVEY §5.2)."""
     return spark.read.schema(ddl_schema).json(path)
