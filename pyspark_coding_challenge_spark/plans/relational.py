@@ -1005,6 +1005,77 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: one column per order priority, cents-sum cells, keyed by order
+    status. The pivot VALUES are passed explicitly — without them Spark runs
+    an extra driver-side distinct pass over the pivot column to discover
+    values, which at 100 TB is a full scan before the query even plans.
+    With explicit values this is a single groupBy with conditional partial
+    aggregates (same shuffle as a plain agg)."""
+    o = read_table(spark, sf_dir, "orders")
+    prio = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    piv = (
+        o.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", prio)
+        .agg(F.sum(_cents("o_totalprice")))
+    )
+    return piv.select(
+        F.col("o_orderstatus").alias("status"),
+        *[F.coalesce(F.col(f"`{p}`"), F.lit(0)).alias(f"cents_p{i + 1}")
+          for i, p in enumerate(prio)],
+    )
+
+
+AGG_PIVOT_ORACLE = """
+SELECT o_orderstatus AS status,
+       CAST(COALESCE(sum(CAST(ROUND(o_totalprice*100) AS BIGINT))
+                FILTER (WHERE o_orderpriority = '1-URGENT'), 0) AS BIGINT) AS cents_p1,
+       CAST(COALESCE(sum(CAST(ROUND(o_totalprice*100) AS BIGINT))
+                FILTER (WHERE o_orderpriority = '2-HIGH'), 0) AS BIGINT) AS cents_p2,
+       CAST(COALESCE(sum(CAST(ROUND(o_totalprice*100) AS BIGINT))
+                FILTER (WHERE o_orderpriority = '3-MEDIUM'), 0) AS BIGINT) AS cents_p3,
+       CAST(COALESCE(sum(CAST(ROUND(o_totalprice*100) AS BIGINT))
+                FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED'), 0) AS BIGINT) AS cents_p4,
+       CAST(COALESCE(sum(CAST(ROUND(o_totalprice*100) AS BIGINT))
+                FILTER (WHERE o_orderpriority = '5-LOW'), 0) AS BIGINT) AS cents_p5
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead over each customer's order sequence: previous and next order
+    total plus the day gap since the previous order. One shuffle on the
+    partition key; deterministic (date, key) ordering."""
+    o = read_table(spark, sf_dir, "orders").filter(F.col("o_custkey") % 100 == 0)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        _cents("o_totalprice").alias("cents"),
+        F.coalesce(F.lag(_cents("o_totalprice")).over(w), F.lit(-1)).alias("prev_cents"),
+        F.coalesce(F.lead(_cents("o_totalprice")).over(w), F.lit(-1)).alias("next_cents"),
+        F.coalesce(
+            F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w)), F.lit(-1)
+        ).cast("int").alias("days_since_prev"),
+    )
+
+
+WINDOW_LAG_LEAD_ORACLE = """
+SELECT o_custkey, o_orderkey,
+       CAST(ROUND(o_totalprice*100) AS BIGINT) AS cents,
+       COALESCE(lag(CAST(ROUND(o_totalprice*100) AS BIGINT))
+                OVER w, -1) AS prev_cents,
+       COALESCE(lead(CAST(ROUND(o_totalprice*100) AS BIGINT))
+                OVER w, -1) AS next_cents,
+       CAST(COALESCE(datediff('day', lag(CAST(o_orderdate AS DATE)) OVER w,
+                              CAST(o_orderdate AS DATE)), -1) AS INTEGER)
+         AS days_since_prev
+FROM orders
+WHERE o_custkey % 100 = 0
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Composite analytics (TPC-H-shaped multi-join + agg + sort pipelines)
 # ---------------------------------------------------------------------------
@@ -1169,6 +1240,8 @@ def register_all(register) -> None:
     register("scalar_math_funcs", scalar_math_funcs, SCALAR_MATH_FUNCS_ORACLE)
     register("scalar_json_funcs", scalar_json_funcs, SCALAR_JSON_FUNCS_ORACLE)
     register("agg_cube", agg_cube, AGG_CUBE_ORACLE)
+    register("agg_pivot", agg_pivot, AGG_PIVOT_ORACLE)
+    register("window_lag_lead", window_lag_lead, WINDOW_LAG_LEAD_ORACLE)
     register("agg_salted_skew", agg_salted_skew, AGG_SALTED_SKEW_ORACLE)
     register("composite_shipping_priority", composite_shipping_priority,
              COMPOSITE_SHIPPING_PRIORITY_ORACLE)

@@ -47,9 +47,10 @@ def ann_setup(spark, tmp_path_factory):
     return sf_dir, vecs
 
 
-def test_ann_finds_near_duplicates(spark, ann_setup):
+@pytest.mark.parametrize("ann", [S.embedding_ann_lsh, S.embedding_ann_ivf])
+def test_ann_finds_near_duplicates(spark, ann_setup, ann):
     sf_dir, _ = ann_setup
-    out = S.embedding_ann_lsh(spark, sf_dir).collect()
+    out = ann(spark, sf_dir).collect()
     by_query = {}
     for r in out:
         by_query.setdefault(r.query_id, []).append(r)
@@ -60,14 +61,14 @@ def test_ann_finds_near_duplicates(spark, ann_setup):
         assert top.sim > 0.99
 
 
-def test_ann_is_subset_of_brute_force_with_same_sims(spark, ann_setup):
+@pytest.mark.parametrize("ann", [S.embedding_ann_lsh, S.embedding_ann_ivf])
+def test_ann_is_subset_of_brute_force_with_same_sims(spark, ann_setup, ann):
     sf_dir, _ = ann_setup
     exact = {
         (r.query_id, r.neighbor_id): r.sim
         for r in S.embedding_topk(spark, sf_dir).collect()
     }
-    ann = S.embedding_ann_lsh(spark, sf_dir).collect()
-    for r in ann:
+    for r in ann(spark, sf_dir).collect():
         key = (r.query_id, r.neighbor_id)
         if key in exact:  # sim must agree exactly where both rank it
             assert exact[key] == r.sim
