@@ -227,9 +227,46 @@ FROM events GROUP BY user_id
 """
 
 
+def streaming_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: the event stream joins the static
+    ``customer`` dimension (re-read per micro-batch, so dimension updates
+    between batches are picked up), then windowed counts per customer
+    nation. The static side needs no watermark and keeps no state; Spark
+    broadcasts it when small — the canonical fact-stream x dim-table shape
+    at any scale."""
+    from pyspark_coding_challenge_spark.sources.readers import read_table
+
+    ev = read_events_stream(spark, sf_dir)
+    cust = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_nationkey"
+    )
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .join(cust, on="user_id")  # stream-static inner join
+        .groupBy(F.window("ts", "1 hour").alias("w"), "c_nationkey")
+        .count()
+    )
+    out = run_to_table(agg, spark, mode="complete")
+    return out.select(
+        F.col("w.start").cast("string").alias("window_start"),
+        F.col("c_nationkey").alias("nation"),
+        F.col("count").alias("cnt"),
+    )
+
+
+STREAMING_STREAM_STATIC_JOIN_ORACLE = """
+SELECT CAST(time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS VARCHAR) AS window_start,
+       c_nationkey AS nation, count(*) AS cnt
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY 1, 2
+"""
+
+
 def register_all(register) -> None:
     register("streaming_tumbling_counts", streaming_tumbling_counts, STREAMING_TUMBLING_COUNTS_ORACLE)
     register("streaming_sliding_sum", streaming_sliding_sum, STREAMING_SLIDING_SUM_ORACLE)
     register("streaming_session_windows", streaming_session_windows, STREAMING_SESSION_WINDOWS_ORACLE)
     register("streaming_stateful_dedup", streaming_stateful_dedup, STREAMING_STATEFUL_DEDUP_ORACLE)
     register("streaming_custom_stateful", streaming_custom_stateful, STREAMING_CUSTOM_STATEFUL_ORACLE)
+    register("streaming_stream_static_join", streaming_stream_static_join,
+             STREAMING_STREAM_STATIC_JOIN_ORACLE)
