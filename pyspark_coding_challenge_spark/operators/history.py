@@ -135,6 +135,14 @@ def rolling_last_k_history(
        never shuffle payload — and ``lookback_days`` turns the frame into a
        bounded range for long-lived entities.
 
+    The day spine is built as a UNION of the daily rows and flagged cutoff
+    rows (not a join): the window's own partition-by-entity shuffle sorts
+    both row kinds together, so adding the cutoff days costs zero extra
+    shuffles, and the flag replaces a final semi-join. The flatten+sort of
+    the accumulated lists is projected AFTER filtering to cutoff rows, so
+    entities pay the O(prior-days) sort only on the days that are actually
+    queried, not on every action day.
+
     Output and ordering semantics are IDENTICAL to ``last_k_history``
     (time desc, then payloads asc on ties; inner result), verified by the
     equivalence property test and the unchanged flagship oracle hashes.
@@ -154,47 +162,55 @@ def rolling_last_k_history(
                 k,
             ).alias("_daily")
         )
+        .withColumn("_is_cut", F.lit(False))
     )
 
-    # Day spine: action days UNION cutoff days (a cutoff day with no actions
-    # still needs a row so the window can evaluate there).
+    # Cutoff rows carry a NULL daily list (collect_list skips NULLs) and a
+    # flag; unionByName splices them into the same entity partitions the
+    # window shuffle creates anyway.
     cut_days = (
         cutoffs.select(F.col(entity_col), F.to_date(F.col(cutoff_col)).alias("_day"))
         .distinct()
+        .withColumn("_daily", F.lit(None).cast(daily.schema["_daily"].dataType))
+        .withColumn("_is_cut", F.lit(True))
     )
-    spine = cut_days.join(daily, on=[entity_col, "_day"], how="full")
+    spine = daily.unionByName(cut_days)
 
     if lookback_days is None:
+        # Cutoff rows sort BEFORE same-day action rows (_is_cut desc), so the
+        # (unbounded, -1 row) frame sees strictly-prior days only — the
+        # no-same-day-leakage contract.
         w = (
             Window.partitionBy(entity_col)
-            .orderBy("_day")
+            .orderBy(F.col("_day").asc(), F.col("_is_cut").desc())
             .rowsBetween(Window.unboundedPreceding, -1)
         )
     else:
+        # Range frame ending at -1 day excludes same-day rows by value, so no
+        # secondary sort key is needed (range frames forbid one anyway).
         w = (
             Window.partitionBy(entity_col)
             .orderBy(F.datediff(F.col("_day"), F.lit("1970-01-01")))
             .rangeBetween(-lookback_days, -1)
         )
 
-    # collect_list skips the NULL _daily of cutoff-only days.
-    structs = F.slice(F.array_sort(F.flatten(F.collect_list("_daily").over(w))), 1, k)
-    per_day = spine.select(
+    accumulated = spine.select(
+        F.col(entity_col),
+        F.col("_day"),
+        F.col("_is_cut"),
+        F.collect_list("_daily").over(w).alias("_prior"),
+    )
+    structs = F.slice(F.array_sort(F.flatten("_prior")), 1, k)
+    per_day = accumulated.where(F.col("_is_cut")).select(
         F.col(entity_col), F.col("_day"), structs.alias("_structs")
     )
 
     per_field = sorted_parallel_arrays(F.col("_structs"), payload_cols)
     arrays = [pad_truncate(col, k, pad).alias(o) for col, o in zip(per_field, out_cols)]
-    out = per_day.where(F.size("_structs") > 0).select(entity_col, "_day", *arrays)
-
-    # Inner semantics + cutoff col shape identical to last_k_history.
-    return (
-        out.join(cut_days, on=[entity_col, "_day"], how="left_semi")
-        .select(
-            F.col(entity_col),
-            F.col("_day").cast("timestamp").alias(cutoff_col),
-            *[F.col(o) for o in out_cols],
-        )
+    return per_day.where(F.size("_structs") > 0).select(
+        F.col(entity_col),
+        F.col("_day").cast("timestamp").alias(cutoff_col),
+        *arrays,
     )
 
 

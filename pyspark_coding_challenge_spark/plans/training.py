@@ -78,11 +78,16 @@ def produce_training_examples(
     ex = ex.withColumn("_dt_date", F.to_date("dt"))
 
     # History once per (customer, day) — the cutoff is day-granular, so all
-    # impression items of a customer-day share one history array.
+    # impression items of a customer-day share one history array. Derived
+    # from the PRE-explode impressions: one row per ranking instead of one
+    # per item feeds the distinct, and the explode subtree isn't recomputed
+    # in the history branch of the final plan. (A ranking whose impression
+    # array is empty still contributes a cutoff; its history row is dropped
+    # by the left join in attach_history — harmless.)
     cutoffs = (
-        ex.select(
-            "customer_id",
-            F.col("_dt_date").cast("timestamp").alias("cutoff_ts"),
+        impressions.select(
+            F.col("customer_id").cast("bigint").alias("customer_id"),
+            F.to_date("dt").cast("timestamp").alias("cutoff_ts"),
         )
         .filter(F.col("customer_id").isNotNull())
         .distinct()
