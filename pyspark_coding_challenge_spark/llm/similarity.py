@@ -357,8 +357,60 @@ FROM e a JOIN e b ON b.vec_id = a.vec_id + 1
 """
 
 
+def _sql_plane(plane: list[float]) -> str:
+    return "[" + ",".join(repr(float(x)) for x in plane) + "]"
+
+
+def _lsh_oracle() -> str:
+    """DuckDB oracle for ``embedding_ann_lsh`` — possible because the
+    hyperplanes are fixed seeded literals, not engine-specific hashes: the
+    same constants are embedded on both sides (repr() round-trips doubles
+    exactly), so bucket codes, candidate sets, and the re-rank all agree.
+    Sign tests ``dot >= 0`` are robust to fold-order rounding differences
+    (a flip needs |dot| ~ 1e-13 against unit vectors)."""
+    code_exprs = []
+    for table in _PLANES:
+        bits = " + ".join(
+            f"(CASE WHEN list_dot_product(emb, {_sql_plane(p)}) >= 0 "
+            f"THEN {1 << j} ELSE 0 END)"
+            for j, p in enumerate(table)
+        )
+        code_exprs.append(f"CAST({bits} AS BIGINT)")
+    codes = "[" + ", ".join(code_exprs) + "]"
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+coded AS (SELECT vec_id, emb, {codes} AS codes FROM e),
+bk AS (
+  SELECT vec_id, emb, generate_subscripts(codes, 1) AS tbl, unnest(codes) AS code
+  FROM coded
+),
+q AS (SELECT vec_id AS query_id, tbl, code FROM bk WHERE vec_id < {N_QUERIES}),
+cand AS (
+  SELECT DISTINCT q.query_id, b.vec_id
+  FROM bk b JOIN q ON b.tbl = q.tbl AND b.code = q.code AND b.vec_id <> q.query_id
+),
+sims AS (
+  SELECT c.query_id, c.vec_id,
+         list_dot_product(qe.emb, ce.emb)
+           / (sqrt(list_dot_product(qe.emb, qe.emb))
+              * sqrt(list_dot_product(ce.emb, ce.emb))) AS sim
+  FROM cand c
+  JOIN e qe ON qe.vec_id = c.query_id
+  JOIN e ce ON ce.vec_id = c.vec_id
+)
+SELECT query_id, vec_id AS neighbor_id, CAST(rank AS INTEGER) AS rank,
+       ROUND(sim, 6) AS sim
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY sim DESC, vec_id ASC) AS rank
+  FROM sims
+)
+WHERE rank <= {TOP_K}
+"""
+
+
 def register_all(register) -> None:
     register("embedding_topk", embedding_topk, EMBEDDING_TOPK_ORACLE)
-    register("embedding_ann_lsh", embedding_ann_lsh, None)
+    register("embedding_ann_lsh", embedding_ann_lsh, _lsh_oracle())
     register("embedding_ann_ivf", embedding_ann_ivf, None)
     register("dedup_embedding_cosine", dedup_embedding_cosine, DEDUP_EMBEDDING_COSINE_ORACLE)
