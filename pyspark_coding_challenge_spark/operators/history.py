@@ -138,10 +138,17 @@ def rolling_last_k_history(
     The day spine is built as a UNION of the daily rows and flagged cutoff
     rows (not a join): the window's own partition-by-entity shuffle sorts
     both row kinds together, so adding the cutoff days costs zero extra
-    shuffles, and the flag replaces a final semi-join. The flatten+sort of
-    the accumulated lists is projected AFTER filtering to cutoff rows, so
-    entities pay the O(prior-days) sort only on the days that are actually
-    queried, not on every action day.
+    shuffles, and the flag replaces a final semi-join.
+
+    Because every daily list is truncated to K, the global top-K can draw
+    from at most K distinct prior days — so the unbounded path carries a
+    **bounded** sliding frame over the last K daily rows (running top-K
+    state, O(days x K) element copies per entity) instead of accumulating
+    every prior day's list (O(days^2)). Cutoff rows then pick up the most
+    recent strictly-prior day's carried state via ``last(ignorenulls)``
+    over a growing frame — a scalar-cheap pass that copies at most K
+    structs per row. Long-lived entities (years of daily activity) pay
+    linear, not quadratic, window CPU.
 
     Output and ordering semantics are IDENTICAL to ``last_k_history``
     (time desc, then payloads asc on ties; inner result), verified by the
@@ -165,45 +172,77 @@ def rolling_last_k_history(
         .withColumn("_is_cut", F.lit(False))
     )
 
-    # Cutoff rows carry a NULL daily list (collect_list skips NULLs) and a
-    # flag; unionByName splices them into the same entity partitions the
-    # window shuffle creates anyway.
     cut_days = (
         cutoffs.select(F.col(entity_col), F.to_date(F.col(cutoff_col)).alias("_day"))
         .distinct()
-        .withColumn("_daily", F.lit(None).cast(daily.schema["_daily"].dataType))
         .withColumn("_is_cut", F.lit(True))
     )
-    spine = daily.unionByName(cut_days)
 
     if lookback_days is None:
-        # Cutoff rows sort BEFORE same-day action rows (_is_cut desc), so the
-        # (unbounded, -1 row) frame sees strictly-prior days only — the
-        # no-same-day-leakage contract.
-        w = (
+        # Running top-K state on DAILY rows only: the last K daily lists
+        # (bounded sliding frame, inclusive of the current day) always
+        # contain the true top-K "as of end of day" — K actions span at
+        # most K days, and per-day truncation to K is lossless for the
+        # same reason.
+        w_state = (
+            Window.partitionBy(entity_col)
+            .orderBy("_day")
+            .rowsBetween(-(k - 1), 0)
+        )
+        state = F.slice(
+            F.array_sort(F.flatten(F.collect_list("_daily").over(w_state))), 1, k
+        )
+        daily_state = daily.select(
+            F.col(entity_col), F.col("_day"), F.col("_is_cut"), state.alias("_state")
+        )
+        spine = daily_state.unionByName(
+            cut_days.withColumn(
+                "_state", F.lit(None).cast(daily_state.schema["_state"].dataType)
+            )
+        )
+        # Cutoff rows sort BEFORE same-day daily rows (_is_cut desc), so the
+        # growing frame's last non-null state is the most recent STRICTLY
+        # prior day's top-K — the no-same-day-leakage contract.
+        w_last = (
             Window.partitionBy(entity_col)
             .orderBy(F.col("_day").asc(), F.col("_is_cut").desc())
             .rowsBetween(Window.unboundedPreceding, -1)
         )
+        per_day = (
+            spine.select(
+                F.col(entity_col),
+                F.col("_day"),
+                F.col("_is_cut"),
+                F.last("_state", ignorenulls=True).over(w_last).alias("_structs"),
+            )
+            .where(F.col("_is_cut"))
+            .drop("_is_cut")
+        )
     else:
-        # Range frame ending at -1 day excludes same-day rows by value, so no
-        # secondary sort key is needed (range frames forbid one anyway).
+        # Bounded-lookback path: a range frame ending at -1 day excludes
+        # same-day rows by value (no secondary sort key — range frames
+        # forbid one), and the lookback bound already caps the frame, so
+        # the accumulate-prior-lists shape is linear here by construction.
+        spine = daily.unionByName(
+            cut_days.withColumn(
+                "_daily", F.lit(None).cast(daily.schema["_daily"].dataType)
+            )
+        )
         w = (
             Window.partitionBy(entity_col)
             .orderBy(F.datediff(F.col("_day"), F.lit("1970-01-01")))
             .rangeBetween(-lookback_days, -1)
         )
-
-    accumulated = spine.select(
-        F.col(entity_col),
-        F.col("_day"),
-        F.col("_is_cut"),
-        F.collect_list("_daily").over(w).alias("_prior"),
-    )
-    structs = F.slice(F.array_sort(F.flatten("_prior")), 1, k)
-    per_day = accumulated.where(F.col("_is_cut")).select(
-        F.col(entity_col), F.col("_day"), structs.alias("_structs")
-    )
+        accumulated = spine.select(
+            F.col(entity_col),
+            F.col("_day"),
+            F.col("_is_cut"),
+            F.collect_list("_daily").over(w).alias("_prior"),
+        )
+        structs = F.slice(F.array_sort(F.flatten("_prior")), 1, k)
+        per_day = accumulated.where(F.col("_is_cut")).select(
+            F.col(entity_col), F.col("_day"), structs.alias("_structs")
+        )
 
     per_field = sorted_parallel_arrays(F.col("_structs"), payload_cols)
     arrays = [pad_truncate(col, k, pad).alias(o) for col, o in zip(per_field, out_cols)]
