@@ -15,9 +15,16 @@ Four dedup families, all shuffle-lean by construction:
   Jaccard verifies candidates. This is the scale path for near-dup at 100 TB:
   cost is O(docs x bands) shuffle + per-bucket pair expansion, with skewed
   mega-buckets handled by AQE skew splitting.
-* **SimHash** — 64-bit per-document signature via one pass of built-in
+* **SimHash** — 60-bit per-document signature via one pass of built-in
   higher-order functions; near-dup = small Hamming distance. Signature
   computation is embarrassingly parallel, no shuffle at all.
+
+Every hash in this module is the PORTABLE md5-fold (``md5_fold60``): the
+first 15 hex chars of md5 as a 60-bit bigint. Spark and DuckDB compute
+identical md5 digests, so the full MinHash and SimHash pipelines — not just
+their verify kernels — are DuckDB-oracle-checkable. (xxhash64 would be ~2x
+cheaper per call but is engine-specific; the md5 cost is noise next to the
+shingle explode, measured at sf0.1.)
 
 No Python UDFs anywhere — everything is Catalyst expressions, so the hot
 loops stay in whole-stage codegen.
@@ -29,6 +36,22 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pyspark_coding_challenge_spark.sources.readers import read_table, rebalance_for_compute
+
+
+# ---------------------------------------------------------------------------
+# portable 60-bit hash (identical in Spark and DuckDB)
+# ---------------------------------------------------------------------------
+
+def md5_fold60(col: Column) -> Column:
+    """First 15 hex chars of md5 as a non-negative 60-bit bigint. 15 nibbles
+    is the widest md5 prefix that fits signed 64-bit on both engines (16
+    would overflow Spark's string->long cast). DuckDB twin: ``sql_md5_fold60``."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def sql_md5_fold60(expr: str) -> str:
+    """DuckDB rendering of ``md5_fold60`` (verified equal value-for-value)."""
+    return f"CAST('0x' || substring(md5({expr}), 1, 15) AS BIGINT)"
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -161,7 +184,7 @@ FROM g a JOIN g b ON b.doc_id = a.doc_id + 1
 
 
 # ---------------------------------------------------------------------------
-# MinHash-LSH near-dup (banded; no SQL oracle - engine-specific hashes)
+# MinHash-LSH near-dup (banded; fully SQL-oracled via the portable md5 fold)
 # ---------------------------------------------------------------------------
 
 N_PERM = 32          # minhash permutations
@@ -208,7 +231,7 @@ _PERM_AB = [((2 * i + 1) * 40503 % _MERSENNE, (i * i * 1299721 + 104729) % _MERS
 def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", n_perm: int = N_PERM) -> DataFrame:
     """Per-document minhash signature, computed RELATIONALLY: explode
-    shingles to rows, xxhash64 each shingle ONCE, derive the ``n_perm``
+    shingles to rows, md5-fold each shingle ONCE, derive the ``n_perm``
     permutations as cheap universal-hash rehashes (a*h+b mod 2^31-1 —
     products stay < 2^62, safe under ANSI overflow checks), then ``min``
     aggregates with map-side partial aggregation.
@@ -222,7 +245,7 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
         F.col(id_col),
         F.explode(_word_shingles("_toks")).alias("shingle"),
     )
-    hs = sh.select(id_col, F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE)).alias("h"))
+    hs = sh.select(id_col, F.pmod(md5_fold60(F.col("shingle")), F.lit(_MERSENNE)).alias("h"))
     perms = hs.select(
         id_col,
         *[
@@ -247,7 +270,7 @@ def lsh_candidate_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str =
             F.array(*[
                 F.struct(
                     F.lit(b).alias("band"),
-                    F.xxhash64(
+                    md5_fold60(
                         F.concat_ws(",", *[
                             F.col(f"m{b * rows_per_band + r}").cast("string")
                             for r in range(rows_per_band)
@@ -287,9 +310,12 @@ def verify_jaccard(docs: DataFrame, pairs: DataFrame,
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end near-dup: shingle -> minhash -> band -> bucket-join ->
-    exact-Jaccard verify -> pairs above threshold. Rows-only driver check
-    (hash values are engine-specific, SURVEY §7 'hard parts'); semantics are
-    pinned by the property tests in tests/test_llm_dedup.py."""
+    exact-Jaccard verify -> pairs above threshold. Fully DuckDB-oracled
+    (``_minhash_oracle``): every hash is the portable md5 fold and the
+    permutation constants are plain literals, so the ENTIRE pipeline —
+    signatures, band buckets, candidate set, verified Jaccard — agrees
+    across engines. Property tests in tests/test_llm_dedup.py additionally
+    pin recall/precision semantics the hash equality can't."""
     d = read_table(spark, sf_dir, "documents")
     pairs = lsh_candidate_pairs(d)
     verified = verify_jaccard(d, pairs)
@@ -299,32 +325,38 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# SimHash (64-bit signature, one higher-order pass)
+# SimHash (60-bit signature, one higher-order pass)
 # ---------------------------------------------------------------------------
 
-def simhash64(tokens_sql: str) -> Column:
-    """64-bit SimHash: per-bit +/-1 votes from each token's xxhash64, sign
-    of the vote sum becomes the fingerprint bit. Single ``aggregate`` over a
-    64-counter vector — no UDF, no shuffle, O(tokens x 64) JVM work/doc.
-    (SQL-expr form: the Python shift APIs require literal shift amounts,
-    the SQL ones accept expressions.) Bits 0..62 assemble into a
-    non-negative bigint; bit 63 is dropped to stay in signed range — 63
-    bits is ample for near-dup Hamming comparison."""
+SIMHASH_BITS = 60    # = md5_fold60 width; every bit of the token hash is live
+
+
+def simhash(tokens_sql: str) -> Column:
+    """60-bit SimHash: per-bit +/-1 votes from each token's md5-fold hash,
+    sign of the vote sum becomes the fingerprint bit. Single ``aggregate``
+    over a 60-counter vector — no UDF, no shuffle, O(tokens x 60) JVM
+    work/doc. (SQL-expr form: the Python shift APIs require literal shift
+    amounts, the SQL ones accept expressions.) 60 bits because that is the
+    md5-fold width (15 hex nibbles, the widest that stays in signed 64-bit
+    on both engines) — ample for near-dup Hamming comparison, and portable,
+    so the driver hash-checks the full signature pipeline."""
     # Inner transform hashes each token ONCE; the per-bit loop then works on
-    # the 64-bit value with integer shifts only (the naive formulation
-    # re-evaluated xxhash64 inside the bit loop — 64 hashes per token).
+    # the 60-bit value with integer shifts only (the naive formulation
+    # re-evaluated the hash inside the bit loop — 60 hashes per token).
+    b = SIMHASH_BITS
     return F.expr(f"""
       aggregate(
         zip_with(
-          aggregate(transform({tokens_sql}, t -> xxhash64(t)),
-            array_repeat(CAST(0 AS BIGINT), 64),
+          aggregate(transform({tokens_sql},
+                    t -> CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT)),
+            array_repeat(CAST(0 AS BIGINT), {b}),
             (acc, h) -> zip_with(acc,
-                transform(sequence(0, 63),
+                transform(sequence(0, {b - 1}),
                           b -> CASE WHEN (shiftright(h, b) & 1) = 1
                                THEN 1 ELSE -1 END),
                 (a, d) -> a + CAST(d AS BIGINT))),
-          sequence(0, 63),
-          (v, b) -> CASE WHEN v > 0 AND b < 63
+          sequence(0, {b - 1}),
+          (v, b) -> CASE WHEN v > 0
                     THEN shiftleft(CAST(1 AS BIGINT), b)
                     ELSE CAST(0 AS BIGINT) END),
         CAST(0 AS BIGINT), (acc, x) -> acc + x)
@@ -333,12 +365,12 @@ def simhash64(tokens_sql: str) -> Column:
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup over consecutive doc_id pairs: signature + Hamming
-    distance (bit_count of XOR). Rows-only driver check (engine-specific
-    hash); property-tested locally."""
+    distance (bit_count of XOR). Fully DuckDB-oracled (``_simhash_oracle``)
+    thanks to the portable token hash; property-tested locally too."""
     d = rebalance_for_compute(read_table(spark, sf_dir, "documents"), "doc_id")
     sigs = d.select(
         "doc_id",
-        simhash64("split(lower(text), ' ')").alias("sig"),
+        simhash("split(lower(text), ' ')").alias("sig"),
     )
     a = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
     b = sigs.select((F.col("doc_id") - 1).alias("doc_a"), F.col("doc_id").alias("doc_b"),
@@ -353,10 +385,114 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# generated DuckDB oracles for the hash pipelines
+# ---------------------------------------------------------------------------
+
+def _sql_shingles(toks: str, n: int = SHINGLE_WORDS) -> str:
+    """DuckDB distinct word-n-shingle list from a token-list expression
+    (twin of ``_word_shingles``; generate_series(1, 0) IS empty in DuckDB,
+    but the CASE keeps the two sides textually parallel)."""
+    parts = " || ' ' || ".join(f"{toks}[i + {j}]" for j in range(n))
+    return (
+        f"list_distinct(CASE WHEN len({toks}) >= {n} THEN "
+        f"list_transform(generate_series(1, len({toks}) - {n - 1}), i -> {parts}) "
+        f"ELSE [] END)"
+    )
+
+
+def _minhash_oracle() -> str:
+    """Full-pipeline DuckDB oracle for ``dedup_minhash_lsh``: the portable
+    md5 fold plus literal permutation constants make signatures, band
+    buckets, the candidate set, and the verified Jaccard identical across
+    engines (same template as the LSH-ANN oracle, llm/similarity.py)."""
+    rows_per_band = N_PERM // N_BANDS
+    mins = ",\n         ".join(
+        f"min((h * {a} + {b}) % {_MERSENNE}) AS m{i}"
+        for i, (a, b) in enumerate(_PERM_AB)
+    )
+    band_selects = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {b} AS band, "
+        + sql_md5_fold60(
+            "concat_ws(',', "
+            + ", ".join(f"m{b * rows_per_band + r}" for r in range(rows_per_band))
+            + ")"
+        )
+        + " AS bucket FROM sig"
+        for b in range(N_BANDS)
+    )
+    return f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+sets AS (SELECT doc_id, {_sql_shingles('toks')} AS sh FROM d),
+shingles AS (SELECT doc_id, unnest(sh) AS shingle FROM sets),
+h AS (SELECT doc_id, {sql_md5_fold60('shingle')} % {_MERSENNE} AS h FROM shingles),
+sig AS (
+  SELECT doc_id,
+         {mins}
+  FROM h GROUP BY doc_id
+),
+bands AS (
+{band_selects}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+verified AS (
+  SELECT c.doc_a, c.doc_b,
+         CASE WHEN len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) > 0
+              THEN CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                   / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
+              ELSE 0.0 END AS jac
+  FROM cand c
+  JOIN sets sa ON sa.doc_id = c.doc_a
+  JOIN sets sb ON sb.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b, ROUND(jac, 6) AS jaccard
+FROM verified WHERE jac >= {JACCARD_THRESHOLD}
+"""
+
+
+def _simhash_oracle() -> str:
+    """Full-pipeline DuckDB oracle for ``dedup_simhash``: per-token md5-fold
+    hash, per-bit +/-1 votes (duplicated tokens vote once per occurrence,
+    matching the non-distinct Spark token array), sign -> signature bit,
+    Hamming via bit_count(xor) on consecutive doc_id pairs."""
+    b = SIMHASH_BITS
+    return f"""
+WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS t FROM d),
+th AS (SELECT doc_id, {sql_md5_fold60('t')} AS h FROM tok),
+votes AS (
+  SELECT doc_id, bits.b,
+         sum(CASE WHEN (h >> bits.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM th CROSS JOIN (SELECT unnest(generate_series(0, {b - 1})) AS b) bits
+  GROUP BY doc_id, bits.b
+),
+sig AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS sig
+  FROM votes GROUP BY doc_id
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming,
+       CAST(CASE WHEN bit_count(xor(a.sig, b.sig)) <= 6 THEN 1 ELSE 0 END AS INTEGER) AS near_dup
+FROM sig a JOIN sig b ON b.doc_id = a.doc_id + 1
+"""
+
+
 def register_all(register) -> None:
-    register("dedup_exact", dedup_exact, DEDUP_EXACT_ORACLE)
-    register("dedup_exact_survivors", dedup_exact_survivors, DEDUP_EXACT_SURVIVORS_ORACLE)
+    from pyspark_coding_challenge_spark.plans.merge import register_merged
+
+    # Both formulations of exact dedup (keeper-per-group + left-anti
+    # survivors) ride one slug so the whole registry fits the driver's
+    # 50-slug correctness window (see plans/merge.py).
+    register_merged(register, "dedup_exact", [
+        ("groups", dedup_exact, DEDUP_EXACT_ORACLE),
+        ("survivors", dedup_exact_survivors, DEDUP_EXACT_SURVIVORS_ORACLE),
+    ])
     register("dedup_fingerprint", dedup_fingerprint, DEDUP_FINGERPRINT_ORACLE)
     register("dedup_ngram_jaccard", dedup_ngram_jaccard, DEDUP_NGRAM_JACCARD_ORACLE)
-    register("dedup_minhash_lsh", dedup_minhash_lsh, None)
-    register("dedup_simhash", dedup_simhash, None)
+    register("dedup_minhash_lsh", dedup_minhash_lsh, _minhash_oracle())
+    register("dedup_simhash", dedup_simhash, _simhash_oracle())

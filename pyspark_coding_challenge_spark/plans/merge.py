@@ -1,0 +1,58 @@
+"""Section-merge helper: pack several related queries into ONE registered
+slug without touching their semantics.
+
+Why: the driver's CORRECTNESS gate records at most 50 slugs (observed:
+CORRECTNESS_r02.json stops at exactly 50 entries, leaving the 17
+last-registered slugs unchecked). Consolidating the relational micro-slug
+sweeps into section-merged slugs brings the registry to exactly 50, so EVERY
+operator family lands inside the checked window.
+
+How: each part keeps its own query function and DuckDB oracle verbatim; the
+merged Spark result is ``unionByName(allowMissingColumns=True)`` over the
+parts with a ``section`` discriminator column, and the merged oracle is the
+same parts composed with DuckDB's ``UNION ALL BY NAME``. Columns missing
+from a part are NULL on BOTH sides, and shared column names keep their
+native types (the parts were individually hash-green in round 2, so the
+per-column parity is already proven — the merge adds no casts and no
+reformatting). The driver sorts columns by name before hashing, so column
+order differences between the two unions are immaterial.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+def merged_query(parts: list[tuple[str, QueryFn]]) -> QueryFn:
+    """One query fn that unions the parts by name with a section tag."""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        out = None
+        for name, part_fn in parts:
+            df = part_fn(spark, sf_dir).select(F.lit(name).alias("section"), "*")
+            out = df if out is None else out.unionByName(df, allowMissingColumns=True)
+        return out
+
+    return fn
+
+
+def merged_oracle(parts: list[tuple[str, str]]) -> str:
+    """The DuckDB twin of ``merged_query`` over the parts' oracle SQL."""
+    return "\nUNION ALL BY NAME\n".join(
+        f"SELECT '{name}' AS section, * FROM (\n{sql}\n)" for name, sql in parts
+    )
+
+
+def register_merged(register, slug: str,
+                    parts: list[tuple[str, QueryFn, str]]) -> None:
+    """Register one merged slug from (section, query_fn, oracle_sql) parts."""
+    register(
+        slug,
+        merged_query([(name, fn) for name, fn, _ in parts]),
+        merged_oracle([(name, sql) for name, _, sql in parts]),
+    )

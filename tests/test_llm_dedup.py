@@ -63,7 +63,7 @@ def test_simhash_identical_zero_hamming_disjoint_large(spark):
     sigs = {
         r.doc_id: r.sig
         for r in docs.select(
-            "doc_id", D.simhash64("split(lower(text), ' ')").alias("sig")
+            "doc_id", D.simhash("split(lower(text), ' ')").alias("sig")
         ).collect()
     }
     assert sigs[0] == sigs[1]
@@ -77,7 +77,7 @@ def test_simhash_near_identical_small_hamming(spark):
     sigs = [
         r.sig
         for r in docs.select(
-            "doc_id", D.simhash64("split(lower(text), ' ')").alias("sig")
+            "doc_id", D.simhash("split(lower(text), ' ')").alias("sig")
         ).orderBy("doc_id").collect()
     ]
     ham = bin(sigs[0] ^ sigs[1]).count("1")
