@@ -191,118 +191,120 @@ N_LISTS = 16       # coarse centroids (scale: ~sqrt(N), e.g. 4096 at 1e9 vecs)
 N_PROBE = 4        # lists probed per query
 KMEANS_ITERS = 2   # Lloyd iterations (deterministic init -> deterministic out)
 
-_IVF_CACHE: dict[str, list[tuple[int, list[float]]]] = {}
+
+def _normalize_cvec(cent: DataFrame) -> DataFrame:
+    """L2-normalize the ``cvec`` column (so argmax-dot == argmin-L2). The
+    norm is materialized in its own projection before the per-element
+    divide; cent is always n_lists rows, so cost is irrelevant — parity
+    with the oracle's list_transform(x / sqrt(dot)) is what matters."""
+    return (
+        cent.select("lid", "cvec", dot(F.col("cvec"), F.col("cvec")).alias("n2"))
+        .select("lid", F.transform("cvec", lambda x: x / F.sqrt(F.col("n2"))).alias("cvec"))
+    )
 
 
-def _argmin_list_expr(centroids: list[tuple[int, list[float]]], emb: Column) -> Column:
-    """list_id of the nearest centroid, as ONE codegen'd expression over a
-    literal centroid array — no join, no shuffle, no extra rows. For
-    L2-normalized centroids argmax-dot == argmin-L2. Ties break to the
-    lowest list_id (strict > when folding), keeping assignment deterministic."""
-    cands = F.array(*[
-        F.struct(F.lit(int(lid)).alias("lid"),
-                 F.array(*[F.lit(float(x)) for x in vec]).alias("cvec"))
-        for lid, vec in centroids
-    ])
-    zero = F.struct(F.lit(-1).cast("int").alias("lid"),
-                    F.lit(float("-inf")).alias("best"))
-    return F.aggregate(
-        cands,
-        zero,
-        lambda acc, c: F.when(dot(c["cvec"], emb) > acc["best"],
-                              F.struct(c["lid"].alias("lid"),
-                                       dot(c["cvec"], emb).alias("best")))
-                        .otherwise(acc),
-    )["lid"]
-
-
-def _nprobe_lists_expr(centroids: list[tuple[int, list[float]]], emb: Column,
-                       nprobe: int) -> Column:
-    """The ``nprobe`` nearest list_ids as an array — sort the (negated dot,
-    lid) struct array ascending and slice."""
-    cands = F.array(*[
+def assign_nearest_list(e: DataFrame, cent: DataFrame) -> DataFrame:
+    """(vec_id, lid) of each vector's nearest centroid — a BROADCAST
+    nested-loop join against the tiny centroid relation plus a skinny
+    (vec_id, -dot, lid) argmin aggregation. This is the scale path for ANY
+    n_lists (the round-2 literal-centroid expression held the whole
+    quantizer in the plan — fine at 16 lists, pathological at 4096): the
+    broadcast ships n_lists x dim doubles once per executor, the argmin
+    partial-aggregates map-side, and no stage ever holds more than
+    (corpus x n_lists) skinny rows. Ties break to the lowest lid via the
+    (neg-dot, lid) struct min, keeping assignment deterministic."""
+    scored = e.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
         F.struct(
-            (-dot(F.array(*[F.lit(float(x)) for x in vec]), emb)).alias("negdot"),
-            F.lit(int(lid)).alias("lid"),
+            (-dot(F.col("emb"), F.col("cvec"))).alias("nd"),
+            F.col("lid").alias("lid"),
+        ).alias("s"),
+    )
+    return (
+        scored.groupBy("vec_id")
+        .agg(F.min("s").alias("best"))
+        .select("vec_id", F.col("best.lid").alias("lid"))
+    )
+
+
+def train_ivf_centroids(e: DataFrame, n_lists: int = N_LISTS,
+                        iters: int = KMEANS_ITERS) -> DataFrame:
+    """Deterministic Lloyd k-means over the corpus, FULLY relational — no
+    driver-side collect anywhere (the quantizer state is a persisted
+    n_lists-row DataFrame, the standard checkpointed-index shape).
+
+    Init = the ``n_lists`` lowest vec_ids, L2-normalized. Each iteration:
+    broadcast-join assignment (``assign_nearest_list``), then element-wise
+    means via posexplode + partial-aggregated groupBy on (list, dim) — the
+    shuffle moves (list_id, pos, partial-sum) triples only, never whole
+    vectors. Each intermediate centroid set is materialized (tiny: n_lists
+    rows) and the previous one unpersisted, so lineage never re-runs a
+    full training pass. At 100 TB, train on ``e.sample(...)``; every stage
+    is unchanged. Empty lists drop out (both engines agree — same rule in
+    the generated oracle)."""
+    seeds = (
+        e.orderBy("vec_id").limit(n_lists)
+        .select(
+            (F.row_number().over(Window.orderBy("vec_id")) - 1).alias("lid"),
+            F.col("emb").alias("cvec"),
         )
-        for lid, vec in centroids
-    ])
-    return F.transform(F.slice(F.array_sort(cands), 1, nprobe), lambda s: s["lid"])
-
-
-def _train_ivf_centroids(e: DataFrame, n_lists: int = N_LISTS,
-                         iters: int = KMEANS_ITERS) -> list[tuple[int, list[float]]]:
-    """Deterministic Lloyd k-means over the corpus, expressed relationally.
-
-    Init = the ``n_lists`` lowest vec_ids. Each iteration: assign every
-    vector to its nearest centroid with the literal-expression argmin (one
-    narrow pass, no shuffle), then recompute element-wise means via
-    posexplode + partial-aggregated groupBy on (list, dim) — the shuffle
-    moves (list_id, pos, partial-sum) triples only, never whole vectors.
-    Centroids themselves (n_lists x dim doubles) are driver-side literals —
-    the standard IVF shape: the coarse quantizer is checkpointed tiny state,
-    the corpus is never collected. At 100 TB, train on ``e.sample(...)``;
-    the assignment pass is unchanged.
-    """
-    init = e.orderBy("vec_id").limit(n_lists).collect()
-    centroids = [(i, list(r.emb)) for i, r in enumerate(init)]
+    )
+    cent = _normalize_cvec(seeds).persist()
+    cent.count()
     for _ in range(iters):
-        assigned = e.select(
-            _argmin_list_expr(centroids, F.col("emb")).alias("lid"), "emb"
-        )
+        assigned = assign_nearest_list(e, cent)
         means = (
-            assigned.select("lid", F.posexplode("emb").alias("pos", "val"))
+            assigned.join(e, "vec_id")
+            .select("lid", F.posexplode("emb").alias("pos", "val"))
             .groupBy("lid", "pos")
             .agg(F.avg("val").alias("m"))
             .groupBy("lid")
             .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
             .select("lid", F.transform("pm", lambda s: s["m"]).alias("cvec"))
-            .collect()
         )
-        # Renormalize so argmax-dot stays argmin-L2; empty lists drop out.
-        new = []
-        for r in sorted(means, key=lambda r: r.lid):
-            v = list(r.cvec)
-            n = sum(x * x for x in v) ** 0.5 or 1.0
-            new.append((r.lid, [x / n for x in v]))
-        centroids = new
-    return centroids
+        new = _normalize_cvec(means).persist()
+        new.count()
+        cent.unpersist()
+        cent = new
+    return cent
 
 
 def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN top-k: deterministic k-means coarse quantizer; every vector
-    is assigned to one inverted list in a single narrow pass; each query
-    probes its ``N_PROBE`` nearest lists and exact-cosine re-ranks only
-    those lists' members. Complements ``embedding_ann_lsh``: IVF adapts its
-    buckets to the data distribution (clustered corpora get balanced lists
-    where fixed hyperplanes degenerate), at the cost of a training pass.
+    is assigned to one inverted list via the broadcast argmin join; each
+    query probes its ``N_PROBE`` nearest lists and exact-cosine re-ranks
+    only those lists' members. Complements ``embedding_ann_lsh``: IVF
+    adapts its buckets to the data distribution (clustered corpora get
+    balanced lists where fixed hyperplanes degenerate), at the cost of a
+    training pass.
 
-    Scale shape: candidates form via an equi-join on ``lid`` — shuffle keyed
-    by list id, AQE-skew-splittable, never all-pairs; probing N_PROBE/N_LISTS
-    of the corpus bounds work per query. Rows-only driver check (list
-    membership is quantizer-defined); subset-of-brute-force and recall are
-    property-tested like the LSH path."""
+    Scale shape: candidates form via an equi-join on ``lid`` — shuffle
+    keyed by list id, AQE-skew-splittable, never all-pairs; probing
+    N_PROBE/N_LISTS of the corpus bounds work per query. Training,
+    assignment, and probing are all relational (zero collects), so the
+    whole pipeline is DuckDB-oracle-checkable: the oracle replays the
+    identical deterministic training unrolled as CTEs (``_ivf_oracle``)."""
     e = rebalance_for_compute(read_table(spark, sf_dir, "embeddings"), "vec_id").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
-    # The coarse quantizer is deterministic for a given corpus — train once
-    # per input path and reuse, exactly like a persisted IVF index. (Repeat
-    # invocations rerank against the same lists without retraining.)
-    if sf_dir not in _IVF_CACHE:
-        _IVF_CACHE[sf_dir] = _train_ivf_centroids(e)
-    centroids = _IVF_CACHE[sf_dir]
+    cent = train_ivf_centroids(e)
 
-    inv = e.select("vec_id", "emb", _argmin_list_expr(centroids, F.col("emb")).alias("lid"))
-    queries = (
-        e.filter(F.col("vec_id") < N_QUERIES)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("emb").alias("qemb"),
-            F.explode(_nprobe_lists_expr(centroids, F.col("emb"), N_PROBE)).alias("lid"),
-        )
+    inv = assign_nearest_list(e, cent).join(e, "vec_id")
+    q = e.filter(F.col("vec_id") < N_QUERIES)
+    qscored = q.crossJoin(F.broadcast(cent)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("qemb"),
+        "lid",
+        dot(F.col("emb"), F.col("cvec")).alias("dp"),
+    )
+    qw = Window.partitionBy("query_id").orderBy(F.col("dp").desc(), F.col("lid").asc())
+    probe = (
+        qscored.withColumn("rn", F.row_number().over(qw))
+        .filter(F.col("rn") <= N_PROBE)
+        .select("query_id", "qemb", "lid")
     )
     cands = (
-        inv.join(F.broadcast(queries), on="lid")
+        inv.join(F.broadcast(probe), on="lid")
         .filter(F.col("vec_id") != F.col("query_id"))
         .dropDuplicates(["query_id", "vec_id"])
         .select("query_id", "qemb", "vec_id", "emb")
@@ -409,8 +411,78 @@ WHERE rank <= {TOP_K}
 """
 
 
+def _ivf_oracle(n_lists: int = N_LISTS, n_probe: int = N_PROBE,
+                iters: int = KMEANS_ITERS) -> str:
+    """DuckDB oracle for ``embedding_ann_ivf`` — possible because training
+    is deterministic AND relational: the same Lloyd iterations are unrolled
+    here as CTEs (seeded from the n_lists lowest vec_ids, argmax-dot
+    assignment with lowest-lid ties, element-wise avg, L2 renormalize).
+    Cross-engine float avg can differ in the last ulp, but an assignment or
+    probe flip would need two centroid dots within ~1e-13 — the same
+    robustness class as the sign tests in ``_lsh_oracle``."""
+    norm = "list_transform(cvec, x -> x / sqrt(list_dot_product(cvec, cvec)))"
+    ctes = [
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)",
+        f"""seeds AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS lid, emb AS cvec
+  FROM (SELECT * FROM e ORDER BY vec_id LIMIT {n_lists}))""",
+        f"cent0 AS (SELECT lid, {norm} AS cvec FROM seeds)",
+    ]
+    prev = "cent0"
+    for i in range(1, iters + 1):
+        ctes.append(f"""asg{i} AS (
+  SELECT vec_id, lid FROM (
+    SELECT e.vec_id, c.lid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_dot_product(e.emb, c.cvec) DESC, c.lid) AS rn
+    FROM e CROSS JOIN {prev} c) WHERE rn = 1)""")
+        ctes.append(f"""mean{i} AS (
+  SELECT lid, list(m ORDER BY pos) AS cvec FROM (
+    SELECT lid, pos, avg(val) AS m
+    FROM (SELECT a.lid, generate_subscripts(e.emb, 1) AS pos, unnest(e.emb) AS val
+          FROM asg{i} a JOIN e ON e.vec_id = a.vec_id)
+    GROUP BY lid, pos) GROUP BY lid)""")
+        ctes.append(f"cent{i} AS (SELECT lid, {norm} AS cvec FROM mean{i})")
+        prev = f"cent{i}"
+    ctes.append(f"""inv AS (
+  SELECT vec_id, lid FROM (
+    SELECT e.vec_id, c.lid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_dot_product(e.emb, c.cvec) DESC, c.lid) AS rn
+    FROM e CROSS JOIN {prev} c) WHERE rn = 1)""")
+    ctes.append(f"""probe AS (
+  SELECT query_id, lid FROM (
+    SELECT e.vec_id AS query_id, c.lid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_dot_product(e.emb, c.cvec) DESC, c.lid) AS rn
+    FROM e CROSS JOIN {prev} c WHERE e.vec_id < {N_QUERIES}) WHERE rn <= {n_probe})""")
+    ctes.append("""cand AS (
+  SELECT DISTINCT p.query_id, i.vec_id
+  FROM probe p JOIN inv i ON i.lid = p.lid AND i.vec_id <> p.query_id)""")
+    ctes.append("""sims AS (
+  SELECT c.query_id, c.vec_id,
+         list_dot_product(qe.emb, ce.emb)
+           / (sqrt(list_dot_product(qe.emb, qe.emb))
+              * sqrt(list_dot_product(ce.emb, ce.emb))) AS sim
+  FROM cand c
+  JOIN e qe ON qe.vec_id = c.query_id
+  JOIN e ce ON ce.vec_id = c.vec_id)""")
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body}
+SELECT query_id, vec_id AS neighbor_id, CAST(rank AS INTEGER) AS rank,
+       ROUND(sim, 6) AS sim
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY sim DESC, vec_id ASC) AS rank
+  FROM sims
+)
+WHERE rank <= {TOP_K}
+"""
+
+
 def register_all(register) -> None:
     register("embedding_topk", embedding_topk, EMBEDDING_TOPK_ORACLE)
     register("embedding_ann_lsh", embedding_ann_lsh, _lsh_oracle())
-    register("embedding_ann_ivf", embedding_ann_ivf, None)
+    register("embedding_ann_ivf", embedding_ann_ivf, _ivf_oracle())
     register("dedup_embedding_cosine", dedup_embedding_cosine, DEDUP_EMBEDDING_COSINE_ORACLE)

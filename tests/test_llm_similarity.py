@@ -101,3 +101,26 @@ def test_brute_force_excludes_self_and_ranks_densely(spark, ann_setup):
         ranks.setdefault(r.query_id, []).append(r.rank)
     for q, rs in ranks.items():
         assert sorted(rs) == list(range(1, len(rs) + 1))
+
+
+def test_ivf_broadcast_path_at_realistic_list_counts(spark):
+    """The quantizer must hold at n_lists far beyond the slug default of 16
+    (the round-2 literal-centroid expression blew up the plan there): train
+    at n_lists=256 on the sf0.001 corpus (500 vectors) and assert every
+    vector lands in exactly one surviving list."""
+    from pyspark_coding_challenge_spark.sources.readers import read_table
+
+    sf_dir = "/root/testdata/sf0.001"
+    e = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    n_vec = e.count()
+    cent = S.train_ivf_centroids(e, n_lists=256, iters=1)
+    n_lists = cent.count()
+    assert 64 < n_lists <= 256
+    assigned = S.assign_nearest_list(e, cent)
+    assert assigned.count() == n_vec
+    assert assigned.select("vec_id").distinct().count() == n_vec
+    used = assigned.select("lid").distinct().count()
+    assert used > 64  # the quantizer actually spreads the corpus
+    cent.unpersist()
