@@ -100,3 +100,18 @@ def test_multimodal_frame_sample_fans_out_and_covers_all_bytes(spark):
     assert [r.frame_len for r in rows] == [FRAME_BYTES, FRAME_BYTES, 10]
     assert sum(r.frame_len for r in rows) == len(text)
     assert rows[0].checksum == (ord("x") * FRAME_BYTES) % 1000000007
+
+
+def test_streaming_layer_has_no_complete_mode():
+    """Round-2 verdict: complete mode retains all windows ever seen (the
+    watermark never evicts) and is a scale-killer. The layer must be
+    append-mode into file sinks everywhere, with update mode allowed only
+    for the custom stateful counter (per-batch re-emission is its
+    contract)."""
+    import inspect
+
+    from pyspark_coding_challenge_spark.streaming import windows as W
+
+    src = inspect.getsource(W)
+    assert '"complete"' not in src  # no outputMode("complete") anywhere
+    assert src.count('"update"') <= 2  # the custom-stateful pair only
