@@ -36,14 +36,18 @@ def main() -> None:
 
     # Best-of-2 per query: single-shot timings at this scale carry several
     # seconds of JIT/GC noise, which would read as phantom round-over-round
-    # regressions.
+    # regressions. The timer starts BEFORE fn(spark, sf_dir): several slugs
+    # do eager work at construction time (sink_parquet writes its parquet,
+    # streaming_* run the streaming query to completion, embedding_ann_ivf
+    # trains its quantizer), and that work is part of the operator's real
+    # cost (round-3 advisory; r2 timings excluded it, so those slugs jump
+    # in BENCH_r03 — see BASELINE.md).
     timings: dict[str, float] = {}
     for slug, fn in headline:
         best = float("inf")
         for _ in range(2):
-            df = fn(spark, sf_dir)
             t0 = time.perf_counter()
-            df.write.format("noop").mode("overwrite").save()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         timings[slug] = round(best, 3)
 

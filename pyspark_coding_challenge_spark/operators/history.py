@@ -143,12 +143,17 @@ def rolling_last_k_history(
     Because every daily list is truncated to K, the global top-K can draw
     from at most K distinct prior days — so the unbounded path carries a
     **bounded** sliding frame over the last K daily rows (running top-K
-    state, O(days x K) element copies per entity) instead of accumulating
-    every prior day's list (O(days^2)). Cutoff rows then pick up the most
-    recent strictly-prior day's carried state via ``last(ignorenulls)``
-    over a growing frame — a scalar-cheap pass that copies at most K
-    structs per row. Long-lived entities (years of daily activity) pay
-    linear, not quadratic, window CPU.
+    state) instead of accumulating every prior day's list. Per active day
+    the frame flattens up to K daily lists of up to K structs, i.e.
+    O(days x K^2) element copies per entity — linear in entity LIFETIME
+    (the round-1 shape was O(days^2) in it), but quadratic in K. At the
+    training default max_history=1000 that is up to 10^6 struct copies per
+    (entity, active day), so large-K callers (e.g.
+    ``produce_training_examples``) should pass ``lookback_days`` (or a
+    smaller k) to swap the K-row frame for a bounded date range. Cutoff
+    rows then pick up the most recent strictly-prior day's carried state
+    via ``last(ignorenulls)`` over a growing frame — a scalar-cheap pass
+    that copies at most K structs per row.
 
     Output and ordering semantics are IDENTICAL to ``last_k_history``
     (time desc, then payloads asc on ties; inner result), verified by the

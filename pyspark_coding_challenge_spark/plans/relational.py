@@ -24,6 +24,7 @@ Catalyst, scans project/filter at the parquet reader (``PushedFilters`` /
 
 from __future__ import annotations
 
+import os
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -68,7 +69,9 @@ WHERE l_shipdate >= TIMESTAMP '1998-01-01' AND l_quantity < 10
 def sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-trip through the engine's documented sink (snappy parquet
     partitioned by a day/partition column — README.md:38,65): write the
-    filtered orders, read them back."""
+    filtered orders, read them back. The target is a FIXED per-process path
+    (overwrite mode), so repeated invocations — bench warm-up + best-of-2 +
+    oracle runs — replace the data instead of accumulating mkdtemp copies."""
     orders = read_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
     out = orders.select(
         "o_orderkey",
@@ -76,7 +79,7 @@ def sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderstatus",
         _cents("o_totalprice").alias("price_cents"),
     )
-    path = tempfile.mkdtemp(prefix="sink_parquet_")
+    path = os.path.join(tempfile.gettempdir(), f"spark_graft_sink_parquet_{os.getpid()}")
     write_partitioned_parquet(out, path, partition_cols=("o_orderstatus",))
     back = spark.read.parquet(path)
     return back.select(
@@ -814,26 +817,37 @@ FROM lineitem GROUP BY l_orderkey
 
 
 def persist_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Reuse-persistence (README.md:64): the global-average aggregate is
-    persisted and broadcast into the filter; at scale this is a one-row
-    broadcast, never a shuffle."""
+    """Reuse-persistence (README.md:64): the global (count, cents-sum)
+    aggregate is persisted and broadcast into the filter; at scale this is
+    a one-row broadcast, never a shuffle. The above-average comparison is
+    done in exact integers — ``n * bal_cents > total_cents`` — because a
+    float mean differs between engines in the last ulp under different
+    partial-aggregation orders, and a customer within ~1 ulp of the mean
+    would then flip row membership (round-3 advisory)."""
     c = read_table(spark, sf_dir, "customer")
-    stats = c.agg(F.avg("c_acctbal").alias("avg_bal")).persist()
+    stats = c.agg(
+        F.count("*").alias("n"),
+        F.sum(_cents("c_acctbal")).alias("total_cents"),
+    ).persist()
     out = (
         c.crossJoin(F.broadcast(stats))
-        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .filter(F.col("n") * _cents("c_acctbal") > F.col("total_cents"))
         .select(
             "c_custkey",
-            F.round(F.col("c_acctbal") - F.col("avg_bal"), 2).alias("above_by"),
+            (F.col("n") * _cents("c_acctbal") - F.col("total_cents")).alias("above_cents_xn"),
         )
     )
     return out
 
 
 PERSIST_HINT_ORACLE = """
-SELECT c_custkey, ROUND(c_acctbal - avg_bal, 2) AS above_by
-FROM customer, (SELECT avg(c_acctbal) AS avg_bal FROM customer)
-WHERE c_acctbal > avg_bal
+SELECT c_custkey,
+       n * CAST(ROUND(c_acctbal*100) AS BIGINT) - total_cents AS above_cents_xn
+FROM customer,
+     (SELECT count(*) AS n,
+             CAST(sum(CAST(ROUND(c_acctbal*100) AS BIGINT)) AS BIGINT) AS total_cents
+      FROM customer)
+WHERE n * CAST(ROUND(c_acctbal*100) AS BIGINT) > total_cents
 """
 
 
