@@ -28,11 +28,13 @@ def main() -> None:
 
     headline = list(registry.queries().items())
 
-    # One untimed warm-up execution of the first query: JVM startup, codegen
-    # compilation, parquet footer reads — so timings measure steady-state
-    # compute, not cold-start.
-    if headline:
-        headline[0][1](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # One untimed warm-up execution of EVERY query: JVM startup, C2/codegen
+    # compilation, parquet footer reads. Warming only the first query (r2)
+    # made per-query timings depend on REGISTRATION ORDER — early slugs paid
+    # the JIT ramp, late slugs ran steady-state — which poisons
+    # round-over-round comparisons whenever the registry is reordered.
+    for _, fn in headline:
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     # Best-of-2 per query: single-shot timings at this scale carry several
     # seconds of JIT/GC noise, which would read as phantom round-over-round

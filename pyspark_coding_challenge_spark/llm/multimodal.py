@@ -145,5 +145,12 @@ FROM frames
 
 
 def register_all(register) -> None:
-    register("multimodal_decode_meta", multimodal_decode_meta, MULTIMODAL_DECODE_META_ORACLE)
-    register("multimodal_frame_sample", multimodal_frame_sample, MULTIMODAL_FRAME_SAMPLE_ORACLE)
+    from pyspark_coding_challenge_spark.plans.merge import register_merged
+
+    # Both multimodal kernels (decode-metadata and frame-sampling) ride one
+    # slug so the whole registry fits the driver's 50-slug correctness
+    # window (see plans/merge.py).
+    register_merged(register, "multimodal_pipeline", [
+        ("decode_meta", multimodal_decode_meta, MULTIMODAL_DECODE_META_ORACLE),
+        ("frame_sample", multimodal_frame_sample, MULTIMODAL_FRAME_SAMPLE_ORACLE),
+    ])

@@ -242,6 +242,10 @@ def train_ivf_centroids(e: DataFrame, n_lists: int = N_LISTS,
     full training pass. At 100 TB, train on ``e.sample(...)``; every stage
     is unchanged. Empty lists drop out (both engines agree — same rule in
     the generated oracle)."""
+    # The corpus is scanned 2x per iteration (assign + means join) plus the
+    # final inventory pass — persist it for the duration of training so the
+    # parquet scan + cast happens once, not 2*iters+1 times.
+    e = e.persist()
     seeds = (
         e.orderBy("vec_id").limit(n_lists)
         .select(
@@ -266,6 +270,7 @@ def train_ivf_centroids(e: DataFrame, n_lists: int = N_LISTS,
         new.count()
         cent.unpersist()
         cent = new
+    e.unpersist()
     return cent
 
 

@@ -10,6 +10,7 @@ from __future__ import annotations
 import pytest
 
 from pyspark_coding_challenge_spark import registry
+from pyspark_coding_challenge_spark.plans import relational
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -17,6 +18,12 @@ SF_DIR = "/root/testdata/sf0.001"
 def _plan(spark, slug: str) -> str:
     df = registry.queries()[slug](spark, SF_DIR)
     return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _plan_fn(spark, fn) -> str:
+    """Plan of an un-registered part function (the Phase-2 sweeps are
+    section-merged into combined slugs; plan gates still pin each part)."""
+    return fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
 
 
 def test_scan_parquet_pushes_filters_and_prunes_columns(spark):
@@ -31,15 +38,15 @@ def test_scan_parquet_pushes_filters_and_prunes_columns(spark):
 
 
 def test_star_join_broadcasts_all_three_dims(spark):
-    plan = _plan(spark, "join_inner_broadcast")
+    plan = _plan_fn(spark, relational.join_inner_broadcast)
     assert plan.count("BroadcastHashJoin") == 3
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
 
 
 def test_semi_and_anti_joins_use_semi_anti_strategies(spark):
-    assert "LeftSemi" in _plan(spark, "join_semi")
-    assert "LeftAnti" in _plan(spark, "join_anti")
+    assert "LeftSemi" in _plan_fn(spark, relational.join_semi)
+    assert "LeftAnti" in _plan_fn(spark, relational.join_anti)
 
 
 def test_persist_hint_actually_persists_and_broadcasts(spark):
@@ -48,7 +55,7 @@ def test_persist_hint_actually_persists_and_broadcasts(spark):
 
 
 def test_sort_limit_topk_avoids_global_sort(spark):
-    plan = _plan(spark, "sort_limit_topk")
+    plan = _plan_fn(spark, relational.sort_limit_topk)
     assert "TakeOrderedAndProject" in plan
 
 
