@@ -109,26 +109,38 @@ FROM (
 """
 
 
-def _plane_literal(plane: list[float]) -> Column:
-    return F.array(*[F.lit(float(x)) for x in plane])
+def _spark_sql_plane(plane: list[float]) -> str:
+    # String-cast doubles: repr() round-trips exactly, and the CAST avoids
+    # Spark SQL's bare-decimal-literal-is-DECIMAL pitfall. ConstantFolding
+    # collapses the array to one literal before execution.
+    return "array(" + ",".join(f"CAST('{repr(float(x))}' AS DOUBLE)" for x in plane) + ")"
 
 
-def lsh_buckets(emb: Column) -> Column:
+def lsh_buckets(emb_sql: str = "emb") -> Column:
     """One sign-bit bucket code per LSH table: element t of the returned
     array is table t's code (bit j = sign(dot(v, plane_tj))). Pure
     expression — one narrow pass, no shuffle. Multi-table OR-amplification:
     vectors are candidates if they collide in ANY table, which is what makes
     hyperplane LSH usable for near-dup detection (a near-identical pair
     collides in some table with probability ~1, while the 6-bit AND keeps
-    random pairs ~98% filtered)."""
+    random pairs ~98% filtered).
+
+    Generated as ONE SQL string parsed JVM-side: the round-2 formulation
+    built 1,536 ``F.lit`` Column objects through py4j, which cost ~1.5-2 s
+    of pure Python/driver time PER INVOCATION before any data moved — at
+    2,000 corpus rows that dwarfed execution. Same expression tree either
+    way (dot = zip_with + sequential aggregate fold, matching the DuckDB
+    oracle's list_dot_product order)."""
     codes = []
     for table in _PLANES:
-        code = F.lit(0).cast("bigint")
-        for j, plane in enumerate(table):
-            bit = F.when(dot(emb, _plane_literal(plane)) >= 0, 1).otherwise(0).cast("bigint")
-            code = code + bit * F.lit(1 << j).cast("bigint")
-        codes.append(code)
-    return F.array(*codes)
+        bits = " + ".join(
+            f"(CASE WHEN aggregate(zip_with({emb_sql}, {_spark_sql_plane(p)}, "
+            f"(x, y) -> x * y), 0D, (a, x) -> a + x) >= 0 "
+            f"THEN {1 << j}L ELSE 0L END)"
+            for j, p in enumerate(table)
+        )
+        codes.append(f"CAST({bits} AS BIGINT)")
+    return F.expr("array(" + ", ".join(codes) + ")")
 
 
 def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -149,7 +161,7 @@ def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = rebalance_for_compute(read_table(spark, sf_dir, "embeddings"), "vec_id").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
-    coded = e.withColumn("codes", lsh_buckets(F.col("emb")))
+    coded = e.withColumn("codes", lsh_buckets("emb"))
     buckets = coded.select(
         "vec_id",
         "emb",
