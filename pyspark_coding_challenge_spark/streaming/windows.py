@@ -71,7 +71,7 @@ def _fresh_dirs(slug: str) -> tuple[str, str]:
     """Fixed per-slug sink + checkpoint paths, wiped before each run —
     repeated invocations (bench best-of-2, warm-up, oracle runs) overwrite
     instead of accumulating abandoned temp dirs."""
-    base = os.path.join(tempfile.gettempdir(), "spark_graft_streams", slug)
+    base = os.path.join(tempfile.gettempdir(), f"spark_graft_streams_{os.getpid()}", slug)
     sink, ck = os.path.join(base, "sink"), os.path.join(base, "ck")
     shutil.rmtree(base, ignore_errors=True)
     os.makedirs(base, exist_ok=True)
