@@ -6,17 +6,26 @@ The reference's history join (``pyspark-coding-challenge/src/pipeline.py:
 (``operators/history.py``); this one returns exactly one match, the classic
 point-in-time lookup Spark has no builtin for.
 
-Implementation is the join + row_number composition: equi-join on the key
-with the strict lexicographic inequality in the join condition (true left
-semantics — no post-join filter, SURVEY §4.4-2), then keep the top-1 match
-per left row deterministically.
+Two implementations, identical semantics (equivalence property-tested):
 
-Scale: the join shuffles both sides on ``on`` once; AQE skew-join splits hot
-keys. Per key with L left and R right rows the intermediate is O(L*R) before
-the rank filter — fine for per-entity cardinalities (orders per customer);
-for long per-key streams use ``operators/history.py::rolling_last_k_history``
--style pre-bucketing or bound the lookback with ``right_within`` (a predicate
-pushed into the join condition).
+* ``asof_join`` (default) — the MERGE form: union both sides tagged, one
+  shuffle on the key, sort by (order..., side-tag) inside each partition,
+  and carry the latest right payload to each left row with
+  ``last(ignorenulls)`` over a ``(unbounded preceding, -1)`` frame. Cost is
+  O((L+R) log (L+R)) per key with NO pair expansion — this is the shape
+  that survives hot keys at 100 TB (the round-2 join+rank form built an
+  O(L*R) per-key intermediate before its rank filter).
+* ``asof_join_ranked`` — the join + row_number composition: equi-join on
+  the key with the strict lexicographic inequality in the join condition
+  (true left semantics — no post-join filter, SURVEY §4.4-2), then top-1
+  per left row. Kept for ``right_within`` (an arbitrary bounded-lookback
+  predicate pushed into the join condition, which the merge form cannot
+  express) and as the semantic reference.
+
+Order columns must be non-null on both sides: the merge form sorts
+ascending (Spark: NULLS FIRST), so a null right time would read as
+"earlier than everything", while the ranked form's ``<`` rejects it —
+pre-filter nulls (the reference's pipelines do, src/pipeline.py:64).
 """
 
 from __future__ import annotations
@@ -40,11 +49,64 @@ def asof_join(
     ``left_order`` / ``right_order`` are parallel column tuples defining the
     strict lexicographic comparison (first element is the time column; the
     rest are deterministic tie-breaks). Unmatched left rows keep null right
-    columns when ``how='left'``.
-
-    ``(on, *left_order)`` must uniquely identify a left row (it is the match
-    partition key); duplicate left rows would be collapsed to one.
+    columns when ``how='left'`` and are dropped when ``how='inner'``.
     """
+    if right_within is not None:
+        return asof_join_ranked(left, right, on, left_order, right_order,
+                                how, right_within)
+
+    rpay = [c for c in right.columns if c != on]
+    ords = [f"_asof_o{i}" for i in range(len(left_order))]
+
+    # Left rows tag 0, right rows tag 1: at equal order values the left row
+    # sorts FIRST, so an equal-order right row is NOT in its preceding
+    # frame — the strict (<) contract.
+    lt = left.select(
+        "*",
+        *[F.col(c).alias(o) for c, o in zip(left_order, ords)],
+        F.lit(0).alias("_asof_tag"),
+    )
+    rt = right.select(
+        F.col(on),
+        *[F.col(c).alias(o) for c, o in zip(right_order, ords)],
+        F.lit(1).alias("_asof_tag"),
+        F.struct(*rpay).alias("_asof_rpay"),
+    )
+    u = lt.unionByName(rt, allowMissingColumns=True)
+
+    w = (
+        Window.partitionBy(on)
+        .orderBy(*[F.col(o).asc() for o in ords], F.col("_asof_tag").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carried = (
+        u.withColumn("_asof_m", F.last("_asof_rpay", ignorenulls=True).over(w))
+        .filter(F.col("_asof_tag") == 0)
+    )
+    if how == "inner":
+        carried = carried.filter(F.col("_asof_m").isNotNull())
+    elif how != "left":
+        raise ValueError(f"asof_join supports how='left'|'inner', got {how!r}")
+    return carried.select(
+        *left.columns,
+        *[F.col("_asof_m").getField(c).alias(c) for c in rpay],
+    )
+
+
+def asof_join_ranked(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_order: tuple[str, ...],
+    right_order: tuple[str, ...],
+    how: str = "left",
+    right_within: Column | None = None,
+) -> DataFrame:
+    """Join+rank form of ``asof_join`` (see module doc). ``(on,
+    *left_order)`` must uniquely identify a left row (it is the match
+    partition key); duplicate left rows would be collapsed to one. Per key
+    with L left and R right rows the intermediate is O(L*R) before the rank
+    filter — use the merge form unless ``right_within`` is needed."""
     lt = left.alias("l")
     rt = right.alias("r")
 

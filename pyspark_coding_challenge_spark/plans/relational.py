@@ -481,9 +481,10 @@ WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalpr
 
 
 def join_history_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Generic as-of join (operators/asof.py): each order matched to the same
-    customer's most recent strictly-earlier order, lexicographic on
-    (o_orderdate, o_orderkey)."""
+    """Generic as-of join (operators/asof.py, merge form: union + one
+    key-shuffle + window, no per-key pair expansion): each order matched to
+    the same customer's most recent strictly-earlier order, lexicographic
+    on (o_orderdate, o_orderkey)."""
     o = read_table(spark, sf_dir, "orders")
     left = o.select(
         F.col("o_custkey").alias("custkey"),
