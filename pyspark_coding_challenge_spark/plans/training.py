@@ -49,6 +49,7 @@ def produce_training_examples(
     max_history: int = DEFAULT_MAX_HISTORY,
     repartition_count: int | None = None,
     persist_actions: bool = False,
+    lookback_days: int | None = None,
 ) -> DataFrame:
     """One row per impression item, with the customer's last ``max_history``
     actions strictly before the impression day (no same-day leakage —
@@ -60,7 +61,14 @@ def produce_training_examples(
     reuse-persistence hint (``README.md:64``, SURVEY §2.9 persist_hint):
     MEMORY_AND_DISK-persist the normalized action table when the same job
     processes multiple impression days.
-    """
+
+    ``lookback_days`` bounds how far history may reach (it CHANGES semantics:
+    actions older than the bound are excluded even when the last
+    ``max_history`` would include them). At the default max_history=1000
+    the unbounded rolling path copies up to O(days x K^2) structs per
+    long-lived customer (operators/history.py) — production callers with
+    years-active customers should set a lookback that matches how much
+    history the model actually consumes."""
     actions = normalize_actions(clicks, add_to_carts, orders)
     if repartition_count:
         actions = actions.repartition(repartition_count, "customer_id")
@@ -104,6 +112,7 @@ def produce_training_examples(
             cutoff_col="cutoff_ts",
             payload_cols=("item_id", "action_type"),
             out_cols=("actions", "action_types"),
+            lookback_days=lookback_days,
         )
         .withColumn("_dt_date", F.to_date("cutoff_ts"))
         .drop("cutoff_ts")
