@@ -12,6 +12,35 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
+def write_bucketed_table(
+    df: DataFrame,
+    name: str,
+    bucket_cols: tuple[str, ...],
+    n_buckets: int,
+    sort_cols: tuple[str, ...] = (),
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed (+ optionally sorted) parquet table — the co-located-join
+    layout: two tables bucketed on their join key with the same bucket
+    count join WITHOUT a shuffle (the bucketed scan already satisfies the
+    hash-partitioning requirement), and sortBy removes the sort from
+    sort-merge joins too. This is the 100 TB answer for fact-to-fact joins
+    that recur on the same key (orders x lineitem on orderkey): pay the
+    shuffle once at write time, never again at read time.
+    Plan-asserted in tests/test_bucketing.py.
+
+    ``path`` makes it an external table (data at ``path``, only metadata in
+    the catalog) — keeps bucketing usable without a writable warehouse dir.
+    """
+    w = df.write.mode(mode).format("parquet").bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(name)
+
+
 def write_partitioned_parquet(
     df: DataFrame,
     path: str,
