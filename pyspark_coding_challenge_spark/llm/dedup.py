@@ -401,11 +401,11 @@ def _sql_shingles(toks: str, n: int = SHINGLE_WORDS) -> str:
     )
 
 
-def _minhash_oracle() -> str:
-    """Full-pipeline DuckDB oracle for ``dedup_minhash_lsh``: the portable
-    md5 fold plus literal permutation constants make signatures, band
-    buckets, the candidate set, and the verified Jaccard identical across
-    engines (same template as the LSH-ANN oracle, llm/similarity.py)."""
+def minhash_pair_ctes(src: str = "documents") -> str:
+    """The shared DuckDB CTE chain from a (doc_id, text) relation ``src`` to
+    ``verified`` = candidate pairs with exact shingle Jaccard — reused by
+    the ``dedup_minhash_lsh`` oracle AND the corpus-curation oracle (the
+    latter runs it over the quality-filtered, exact-deduped subset)."""
     rows_per_band = N_PERM // N_BANDS
     mins = ",\n         ".join(
         f"min((h * {a} + {b}) % {_MERSENNE}) AS m{i}"
@@ -421,8 +421,7 @@ def _minhash_oracle() -> str:
         + " AS bucket FROM sig"
         for b in range(N_BANDS)
     )
-    return f"""
-WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    return f"""d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM {src}),
 sets AS (SELECT doc_id, {_sql_shingles('toks')} AS sh FROM d),
 shingles AS (SELECT doc_id, unnest(sh) AS shingle FROM sets),
 h AS (SELECT doc_id, {sql_md5_fold60('shingle')} % {_MERSENNE} AS h FROM shingles),
@@ -448,7 +447,16 @@ verified AS (
   FROM cand c
   JOIN sets sa ON sa.doc_id = c.doc_a
   JOIN sets sb ON sb.doc_id = c.doc_b
-)
+)"""
+
+
+def _minhash_oracle() -> str:
+    """Full-pipeline DuckDB oracle for ``dedup_minhash_lsh``: the portable
+    md5 fold plus literal permutation constants make signatures, band
+    buckets, the candidate set, and the verified Jaccard identical across
+    engines (same template as the LSH-ANN oracle, llm/similarity.py)."""
+    return f"""
+WITH {minhash_pair_ctes('documents')}
 SELECT doc_a, doc_b, ROUND(jac, 6) AS jaccard
 FROM verified WHERE jac >= {JACCARD_THRESHOLD}
 """

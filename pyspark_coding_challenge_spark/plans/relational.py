@@ -1238,7 +1238,6 @@ def register_all(register) -> None:
     register("struct_pack", struct_pack, STRUCT_PACK_ORACLE)
     register("field_access", field_access, FIELD_ACCESS_ORACLE)
     register("union_by_name", union_by_name, UNION_BY_NAME_ORACLE)
-    register("set_ops", set_ops, SET_OPS_ORACLE)
     register("posexplode", posexplode, POSEXPLODE_ORACLE)
     register("join_history_asof", join_history_asof, JOIN_HISTORY_ASOF_ORACLE)
     register("window_topk", window_topk, WINDOW_TOPK_ORACLE)
@@ -1254,6 +1253,9 @@ def register_all(register) -> None:
         ("left", join_left, JOIN_LEFT_ORACLE),
         ("semi", join_semi, JOIN_SEMI_ORACLE),
         ("anti", join_anti, JOIN_ANTI_ORACLE),
+        # set ops ride the join slug (intersect/except are the distinct
+        # cousins of semi/anti) — frees the 50th slot for llm_corpus_curation.
+        ("set_ops", set_ops, SET_OPS_ORACLE),
     ])
     register_merged(register, "window_analytics", [
         ("rank_frames", window_rank_frames, WINDOW_RANK_FRAMES_ORACLE),

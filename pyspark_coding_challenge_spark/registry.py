@@ -106,6 +106,7 @@ register(
 # that even a smaller future cap would still cover every component family.
 # ---------------------------------------------------------------------------
 
+from pyspark_coding_challenge_spark.llm import curation as llm_curation  # noqa: E402
 from pyspark_coding_challenge_spark.llm import dedup as llm_dedup  # noqa: E402
 from pyspark_coding_challenge_spark.llm import multimodal as llm_multimodal  # noqa: E402
 from pyspark_coding_challenge_spark.llm import similarity as llm_similarity  # noqa: E402
@@ -114,6 +115,7 @@ from pyspark_coding_challenge_spark.plans import relational, training_demo  # no
 from pyspark_coding_challenge_spark.streaming import windows as streaming_windows  # noqa: E402
 
 llm_dedup.register_all(register)
+llm_curation.register_all(register)
 llm_text.register_all(register)
 llm_similarity.register_all(register)
 llm_multimodal.register_all(register)
