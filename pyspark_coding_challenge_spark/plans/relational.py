@@ -1214,6 +1214,298 @@ GROUP BY n_name, year(o_orderdate)
 
 
 # ---------------------------------------------------------------------------
+# round-3 widening: extra sections for the merged slugs (full-outer and
+# range joins, distribution windows, grouping sets, exact percentiles and
+# moment statistics, map/higher-order collection scalars, a Q10-style
+# composite). Same oracle-parity rules as the rest of the module.
+# ---------------------------------------------------------------------------
+
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of two filtered per-nation aggregates — some nations
+    appear on only one side, so both null directions are exercised. Both
+    inputs are pre-aggregated to ≤25 rows before the join, so the outer join
+    itself is broadcastable regardless of input scale."""
+    c = (
+        read_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") < 0)
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("neg_customers"))
+    )
+    s = (
+        read_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .groupBy("s_nationkey")
+        .agg(F.count("*").alias("neg_suppliers"))
+    )
+    return (
+        c.join(s, c.c_nationkey == s.s_nationkey, "full_outer")
+        .select(
+            F.coalesce("c_nationkey", "s_nationkey").alias("nationkey"),
+            F.coalesce("neg_customers", F.lit(0)).alias("neg_customers"),
+            F.coalesce("neg_suppliers", F.lit(0)).alias("neg_suppliers"),
+        )
+    )
+
+
+JOIN_FULL_OUTER_ORACLE = """
+WITH c AS (
+  SELECT c_nationkey, count(*) AS neg_customers FROM customer
+  WHERE c_acctbal < 0 GROUP BY c_nationkey
+),
+s AS (
+  SELECT s_nationkey, count(*) AS neg_suppliers FROM supplier
+  WHERE s_acctbal < 0 GROUP BY s_nationkey
+)
+SELECT COALESCE(c_nationkey, s_nationkey) AS nationkey,
+       COALESCE(neg_customers, 0) AS neg_customers,
+       COALESCE(neg_suppliers, 0) AS neg_suppliers
+FROM c FULL OUTER JOIN s ON c_nationkey = s_nationkey
+"""
+
+
+def join_range_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi range join: parts bucketed into retail-price bands via
+    ``lo <= price < hi``. The band dimension is tiny and broadcast, so
+    Catalyst plans a BroadcastNestedLoopJoin — each part row tests at most
+    12 bands executor-side, no shuffle of the big side. At 100 TB the same
+    shape holds: the probe side streams once; only the band table ships.
+    (An equi-join rewrite ``floor(price/width)`` exists when bands are
+    uniform — this slug deliberately keeps the general non-uniform form.)"""
+    p = read_table(spark, sf_dir, "part")
+    bands = spark.range(12).select(
+        F.col("id").cast("int").alias("band_id"),
+        (900 + F.col("id") * 100).cast("double").alias("lo"),
+        (1000 + F.col("id") * 100).cast("double").alias("hi"),
+    )
+    return (
+        p.join(
+            F.broadcast(bands),
+            (p.p_retailprice >= bands.lo) & (p.p_retailprice < bands.hi),
+            "inner",
+        )
+        .groupBy("band_id")
+        .agg(
+            F.count("*").alias("parts_in_band"),
+            F.sum(_cents("p_retailprice")).alias("band_cents"),
+        )
+        .select("band_id", "parts_in_band", "band_cents")
+    )
+
+
+JOIN_RANGE_BANDS_ORACLE = """
+SELECT band_id, count(*) AS parts_in_band,
+       CAST(sum(CAST(ROUND(p_retailprice*100) AS BIGINT)) AS BIGINT) AS band_cents
+FROM part
+JOIN (SELECT CAST(i AS INTEGER) AS band_id,
+             CAST(900 + i*100 AS DOUBLE) AS lo,
+             CAST(1000 + i*100 AS DOUBLE) AS hi
+      FROM range(12) t(i)) b
+  ON p_retailprice >= lo AND p_retailprice < hi
+GROUP BY band_id
+"""
+
+
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (ntile / percent_rank / cume_dist /
+    first / last) per market segment. The ordering key (acctbal cents,
+    custkey) is collision-free, so ranks are cross-engine deterministic;
+    percent_rank and cume_dist are exact rationals rounded at 6 dp."""
+    c = read_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        _cents("c_acctbal"), F.col("c_custkey")
+    )
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.first("c_custkey").over(w).alias("poorest_key"),
+        F.last("c_custkey").over(w_full).alias("richest_key"),
+    )
+
+
+WINDOW_DISTRIBUTION_ORACLE = """
+SELECT c_custkey, c_mktsegment,
+       CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+       ROUND(percent_rank() OVER w, 6) AS pct_rank,
+       ROUND(cume_dist() OVER w, 6) AS cume,
+       first_value(c_custkey) OVER w AS poorest_key,
+       last_value(c_custkey)
+         OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         AS richest_key
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment
+             ORDER BY CAST(ROUND(c_acctbal*100) AS BIGINT), c_custkey)
+"""
+
+
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (neither rollup nor cube) with the grouping()
+    marker, via the SQL entry point — the one §2.11-absent surface the
+    DataFrame API does not expose directly."""
+    read_table(spark, sf_dir, "orders").createOrReplaceTempView("gs_orders")
+    return spark.sql("""
+        SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+               COALESCE(o_orderpriority, 'ALL') AS priority,
+               CAST(grouping(o_orderstatus) AS INT) AS status_is_total,
+               CAST(grouping(o_orderpriority) AS INT) AS priority_is_total,
+               count(*) AS cnt
+        FROM gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """)
+
+
+AGG_GROUPING_SETS_ORACLE = """
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       CAST(GROUPING(o_orderstatus) AS INT) AS status_is_total,
+       CAST(GROUPING(o_orderpriority) AS INT) AS priority_is_total,
+       count(*) AS cnt
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+def agg_percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation percentiles (Spark ``percentile`` ==
+    DuckDB ``quantile_cont``) and second-moment statistics per return flag.
+    Inputs are exact integers (quantity, cents); corr is scale-free so 6 dp
+    rounding is safe, covar is rounded at 2 dp (magnitude ~1e5, float merge
+    error ~1e-6)."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").cast("bigint").alias("qty"),
+        _cents("l_extendedprice").alias("price_cents"),
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.percentile("qty", F.lit(0.5)), 6).alias("qty_median"),
+            F.round(F.percentile("qty", F.lit(0.9)), 6).alias("qty_p90"),
+            F.round(F.stddev_samp("qty"), 6).alias("qty_sd"),
+            F.round(F.var_samp("qty"), 6).alias("qty_var"),
+            F.round(F.corr("qty", "price_cents"), 6).alias("qty_price_corr"),
+            F.round(F.covar_samp("qty", F.col("price_cents") / 100), 2)
+             .alias("qty_price_covar"),
+        )
+        .select(
+            "l_returnflag", "qty_median", "qty_p90", "qty_sd", "qty_var",
+            "qty_price_corr", "qty_price_covar",
+        )
+    )
+
+
+AGG_PERCENTILE_STATS_ORACLE = """
+WITH li AS (
+  SELECT l_returnflag,
+         CAST(l_quantity AS BIGINT) AS qty,
+         CAST(ROUND(l_extendedprice*100) AS BIGINT) AS price_cents
+  FROM lineitem
+)
+SELECT l_returnflag,
+       ROUND(quantile_cont(qty, 0.5), 6) AS qty_median,
+       ROUND(quantile_cont(qty, 0.9), 6) AS qty_p90,
+       ROUND(stddev_samp(qty), 6) AS qty_sd,
+       ROUND(var_samp(qty), 6) AS qty_var,
+       ROUND(corr(qty, price_cents), 6) AS qty_price_corr,
+       ROUND(covar_samp(qty, price_cents / 100), 2) AS qty_price_covar
+FROM li GROUP BY l_returnflag
+"""
+
+
+def scalar_collection_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map construction/lookup and array higher-order functions beyond
+    transform (sequence, aggregate-fold, filter, exists, forall) — all
+    codegen-side, serialized to scalars for the driver hash."""
+    o = read_table(spark, sf_dir, "orders")
+    seq = F.sequence(F.lit(1), (F.col("o_orderkey") % 5 + 1).cast("int"))
+    m = F.create_map(
+        F.lit("status"), F.col("o_orderstatus"),
+        F.lit("prio"), F.col("o_orderpriority"),
+    )
+    return o.select(
+        "o_orderkey",
+        F.aggregate(seq, F.lit(0).cast("bigint"), lambda a, x: a + x)
+         .alias("seq_sum"),
+        F.size(F.filter(seq, lambda x: x % 2 == 0)).cast("int").alias("even_cnt"),
+        F.exists(seq, lambda x: x == 3).alias("has3"),
+        F.forall(seq, lambda x: x > 0).alias("all_pos"),
+        F.array_join(F.reverse(seq).cast("array<string>"), ",").alias("seq_rev"),
+        F.element_at(m, "status").alias("m_status"),
+        # try_: ANSI mode (Spark 4 default) makes plain element_at raise on
+        # a missing map key; try_element_at yields NULL like DuckDB.
+        F.try_element_at(m, F.lit("absent")).alias("m_absent"),
+        F.array_join(F.map_keys(m), ",").alias("m_keys"),
+        F.size(m).cast("int").alias("m_size"),
+    )
+
+
+SCALAR_COLLECTION_FUNCS_ORACLE = """
+WITH o AS (
+  SELECT o_orderkey, o_orderstatus, o_orderpriority,
+         range(1, CAST(o_orderkey % 5 + 1 AS INTEGER) + 1) AS seq
+  FROM orders
+)
+SELECT o_orderkey,
+       CAST(list_sum(seq) AS BIGINT) AS seq_sum,
+       CAST(len(list_filter(seq, x -> x % 2 = 0)) AS INTEGER) AS even_cnt,
+       list_contains(seq, 3) AS has3,
+       len(list_filter(seq, x -> x <= 0)) = 0 AS all_pos,
+       array_to_string(list_reverse(seq), ',') AS seq_rev,
+       o_orderstatus AS m_status,
+       CAST(NULL AS VARCHAR) AS m_absent,
+       'status,prio' AS m_keys,
+       CAST(2 AS INTEGER) AS m_size
+FROM o
+"""
+
+
+def composite_revenue_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10-flavoured: top 20 customers by returned-item revenue in a
+    quarter. Date-filtered orders join (pushed to the scan), broadcast
+    nation dim, exact-integer revenue, TakeOrderedAndProject top-N with a
+    collision-free tie-break."""
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1993-10-01") & (F.col("o_orderdate") < "1994-01-01")
+    )
+    li = read_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = read_table(spark, sf_dir, "nation")
+    revenue_e4 = F.sum(
+        _cents("l_extendedprice")
+        * (100 - F.round(F.col("l_discount") * 100).cast("bigint"))
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(revenue_e4.alias("revenue_e4"))
+        .orderBy(F.col("revenue_e4").desc(), F.col("c_custkey"))
+        .limit(20)
+        .select("c_custkey", "c_name", "n_name", "revenue_e4")
+    )
+
+
+COMPOSITE_REVENUE_TOPN_ORACLE = """
+SELECT c_custkey, c_name, n_name,
+       CAST(sum(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS BIGINT)
+         AS revenue_e4
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= '1993-10-01' AND o_orderdate < '1994-01-01'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue_e4 DESC, c_custkey LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
 # registration
 # ---------------------------------------------------------------------------
 
@@ -1256,11 +1548,14 @@ def register_all(register) -> None:
         # set ops ride the join slug (intersect/except are the distinct
         # cousins of semi/anti) — frees the 50th slot for llm_corpus_curation.
         ("set_ops", set_ops, SET_OPS_ORACLE),
+        ("full_outer", join_full_outer, JOIN_FULL_OUTER_ORACLE),
+        ("range_bands", join_range_bands, JOIN_RANGE_BANDS_ORACLE),
     ])
     register_merged(register, "window_analytics", [
         ("rank_frames", window_rank_frames, WINDOW_RANK_FRAMES_ORACLE),
         ("lag_lead", window_lag_lead, WINDOW_LAG_LEAD_ORACLE),
         ("sort_limit_topk", sort_limit_topk, SORT_LIMIT_TOPK_ORACLE),
+        ("distribution", window_distribution, WINDOW_DISTRIBUTION_ORACLE),
     ])
     register_merged(register, "agg_variants", [
         ("sum_avg_count", agg_sum_avg_count, AGG_SUM_AVG_COUNT_ORACLE),
@@ -1269,12 +1564,15 @@ def register_all(register) -> None:
         ("cube", agg_cube, AGG_CUBE_ORACLE),
         ("pivot", agg_pivot, AGG_PIVOT_ORACLE),
         ("salted_skew", agg_salted_skew, AGG_SALTED_SKEW_ORACLE),
+        ("grouping_sets", agg_grouping_sets, AGG_GROUPING_SETS_ORACLE),
+        ("percentile_stats", agg_percentile_stats, AGG_PERCENTILE_STATS_ORACLE),
     ])
     register_merged(register, "scalar_funcs", [
         ("string", scalar_string_funcs, SCALAR_STRING_FUNCS_ORACLE),
         ("date", scalar_date_funcs, SCALAR_DATE_FUNCS_ORACLE),
         ("math", scalar_math_funcs, SCALAR_MATH_FUNCS_ORACLE),
         ("json", scalar_json_funcs, SCALAR_JSON_FUNCS_ORACLE),
+        ("collection", scalar_collection_funcs, SCALAR_COLLECTION_FUNCS_ORACLE),
     ])
     register_merged(register, "tpch_composites", [
         ("shipping_priority", composite_shipping_priority,
@@ -1283,4 +1581,6 @@ def register_all(register) -> None:
          COMPOSITE_LOCAL_SUPPLIER_VOLUME_ORACLE),
         ("parts_by_supplier_nation", composite_parts_by_supplier_nation,
          COMPOSITE_PARTS_BY_SUPPLIER_NATION_ORACLE),
+        ("revenue_topn", composite_revenue_topn,
+         COMPOSITE_REVENUE_TOPN_ORACLE),
     ])
