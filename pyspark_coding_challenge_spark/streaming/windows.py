@@ -78,19 +78,47 @@ def _fresh_dirs(slug: str) -> tuple[str, str]:
     return sink, ck
 
 
+# State-store partition count is FIXED per query at first start (it is baked
+# into the checkpoint); it must be sized to stream volume, not inherited from
+# whatever batch shuffle setting happens to be live. Default 8 here (each
+# state partition carries per-partition store + checkpoint file overhead per
+# micro-batch); a 100 TB/day deployment sets SPARK_GRAFT_STREAM_PARTITIONS
+# to O(cores) on the cluster.
+STREAM_STATE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "8"))
+
+
+class _stream_shuffle_partitions:
+    """Temporarily pin spark.sql.shuffle.partitions while a streaming query
+    starts (the value is captured at query start; batch queries planned
+    after restore are unaffected)."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+
+    def __enter__(self):
+        self.saved = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set(
+            "spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS)
+        )
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.saved)
+
+
 def run_to_parquet(stream: DataFrame, spark: SparkSession, slug: str) -> DataFrame:
     """Drive a streaming DataFrame to completion (availableNow) into an
     append-mode parquet file sink; return the read-back result."""
     sink, ck = _fresh_dirs(slug)
-    q = (
-        stream.writeStream.format("parquet")
-        .option("path", sink)
-        .option("checkpointLocation", ck)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_shuffle_partitions(spark):
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.read.parquet(sink)
 
 
@@ -99,14 +127,15 @@ def run_to_table(stream: DataFrame, spark: SparkSession, mode: str) -> DataFrame
     (update). Driver-materialized — only for slugs whose per-batch output is
     small by construction (custom_stateful emits one row per touched key)."""
     name = f"stream_{uuid.uuid4().hex[:12]}"
-    q = (
-        stream.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_shuffle_partitions(spark):
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 
