@@ -1,0 +1,129 @@
+"""Data profiling and reproducible sampling for corpus curation.
+
+``data_profile`` is the "analyze table" primitive a 100 TB ingest runs
+before anything else: per-column null counts, exact distinct counts, min/max
+— one pass over the data, tiny result. ``sample_deterministic`` is the
+reproducible sampling primitive: membership decided by a portable content
+hash (``md5_fold60``), so the sample is stable across runs, engines, and
+partitionings — unlike ``df.sample``, whose RNG is partition-layout
+dependent and not portable to an oracle.
+
+Both are pure Catalyst expressions (no Python), both DuckDB-oracled.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from pyspark_coding_challenge_spark.llm.dedup import md5_fold60, sql_md5_fold60
+from pyspark_coding_challenge_spark.sources.readers import read_table
+
+_PROFILE_COLS = ("doc_id", "text", "lang", "source", "n_chars")
+
+
+def data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per column of ``documents``: nulls, exact distinct, min/max
+    (min/max computed in native type, then cast to string for the uniform
+    output schema). Single scan, single aggregate; the multi-distinct
+    expands via Catalyst's Expand operator (one shuffle). At 100 TB the
+    distinct counts swap to ``approx_count_distinct`` — exact here because
+    the oracle checks exact values."""
+    d = read_table(spark, sf_dir, "documents")
+    aggs = [F.count("*").alias("n_rows")]
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("bigint")).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+        ]
+    row = d.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__nulls, {c}__distinct, {c}__min, {c}__max"
+        for c in _PROFILE_COLS
+    )
+    return row.select(
+        "n_rows",
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack_args}) "
+            "AS (column_name, null_cnt, distinct_cnt, min_val, max_val)"
+        ),
+    )
+
+
+def _profile_branch(c: str) -> str:
+    return f"""SELECT count(*) AS n_rows, '{c}' AS column_name,
+       sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS null_cnt,
+       count(DISTINCT {c}) AS distinct_cnt,
+       CAST(min({c}) AS VARCHAR) AS min_val,
+       CAST(max({c}) AS VARCHAR) AS max_val
+FROM documents"""
+
+
+DATA_PROFILE_ORACLE = "\nUNION ALL BY NAME\n".join(
+    _profile_branch(c) for c in _PROFILE_COLS
+)
+
+SAMPLE_DENOM = 1 << 60  # md5_fold60 is uniform on [0, 2^60)
+UNIFORM_PCT = 10  # keep ~10%
+STRATUM_K = 20  # per-source stratified sample size
+
+
+def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two reproducible samples of ``documents`` in one result:
+
+    * section ``uniform``: keep doc iff ``md5_fold60(doc_id) < 10% of 2^60``
+      — a content-addressed Bernoulli sample, stable under repartitioning,
+      re-runs, and engine changes; the only correct way to sample
+      consistently across a 100 TB multi-job pipeline (every job that
+      samples "10%" sees the SAME documents).
+    * section ``stratified``: per-source top-K by hash order — exact-size
+      per-stratum samples without a shuffle-heavy orderBy: one window over
+      the stratum key, rank by (hash, doc_id).
+    """
+    d = read_table(spark, sf_dir, "documents")
+    h = md5_fold60(F.col("doc_id").cast("string"))
+    uniform = (
+        d.filter(h < int(SAMPLE_DENOM * UNIFORM_PCT / 100))
+        .select(
+            F.lit("uniform").alias("section"),
+            "doc_id",
+            "source",
+            F.lit(None).cast("int").alias("stratum_rank"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc())
+    stratified = (
+        d.select("doc_id", "source", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= STRATUM_K)
+        .select(
+            F.lit("stratified").alias("section"),
+            "doc_id",
+            "source",
+            F.col("rn").cast("int").alias("stratum_rank"),
+        )
+    )
+    return uniform.unionByName(stratified)
+
+
+SAMPLE_DETERMINISTIC_ORACLE = f"""
+SELECT 'uniform' AS section, doc_id, source, CAST(NULL AS INTEGER) AS stratum_rank
+FROM documents
+WHERE {sql_md5_fold60("CAST(doc_id AS VARCHAR)")} < {int(SAMPLE_DENOM * UNIFORM_PCT / 100)}
+UNION ALL BY NAME
+SELECT 'stratified' AS section, doc_id, source, CAST(rn AS INTEGER) AS stratum_rank
+FROM (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY {sql_md5_fold60("CAST(doc_id AS VARCHAR)")}, doc_id) AS rn
+  FROM documents
+)
+WHERE rn <= {STRATUM_K}
+"""
+
+
+def register_all(register) -> None:
+    register("data_profile", data_profile, DATA_PROFILE_ORACLE)
+    register("sample_deterministic", sample_deterministic, SAMPLE_DETERMINISTIC_ORACLE)

@@ -190,8 +190,50 @@ FROM documents
 """
 
 
+def text_vocab_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-100 tokens by term frequency with document
+    frequency — the BPE-vocabulary / stopword-list precursor every corpus
+    build runs. Shape at 100 TB: explode → partial map-side count → one
+    hash-agg shuffle on the token key → TakeOrderedAndProject top-N (no
+    global sort); skewed head tokens are exactly what AQE skew handling +
+    partial aggregation absorb."""
+    d = read_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    return (
+        tok.groupBy("token")
+        .agg(
+            F.count("*").alias("tf"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+        .orderBy(F.col("tf").desc(), F.col("token"))
+        .limit(100)
+        .select("token", "tf", "df")
+    )
+
+
+TEXT_VOCAB_TOPN_ORACLE = """
+SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
+FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+      FROM documents)
+WHERE token <> ''
+GROUP BY token
+ORDER BY tf DESC, token
+LIMIT 100
+"""
+
+
 def register_all(register) -> None:
-    register("text_lang_id", text_lang_id, TEXT_LANG_ID_ORACLE)
-    register("text_quality_score", text_quality_score, TEXT_QUALITY_SCORE_ORACLE)
-    register("text_token_count", text_token_count, TEXT_TOKEN_COUNT_ORACLE)
-    register("text_fingerprint", text_fingerprint, TEXT_FINGERPRINT_ORACLE)
+    """text_analysis carries the four per-document kernels as sections (one
+    driver slot, same per-section oracles); the corpus-level vocabulary is
+    its own slug."""
+    from pyspark_coding_challenge_spark.plans.merge import register_merged
+
+    register_merged(register, "text_analysis", [
+        ("lang_id", text_lang_id, TEXT_LANG_ID_ORACLE),
+        ("quality_score", text_quality_score, TEXT_QUALITY_SCORE_ORACLE),
+        ("token_count", text_token_count, TEXT_TOKEN_COUNT_ORACLE),
+        ("fingerprint", text_fingerprint, TEXT_FINGERPRINT_ORACLE),
+    ])
+    register("text_vocab_topn", text_vocab_topn, TEXT_VOCAB_TOPN_ORACLE)

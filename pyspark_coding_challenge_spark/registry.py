@@ -109,6 +109,7 @@ register(
 from pyspark_coding_challenge_spark.llm import curation as llm_curation  # noqa: E402
 from pyspark_coding_challenge_spark.llm import dedup as llm_dedup  # noqa: E402
 from pyspark_coding_challenge_spark.llm import multimodal as llm_multimodal  # noqa: E402
+from pyspark_coding_challenge_spark.llm import profiling as llm_profiling  # noqa: E402
 from pyspark_coding_challenge_spark.llm import similarity as llm_similarity  # noqa: E402
 from pyspark_coding_challenge_spark.llm import text as llm_text  # noqa: E402
 from pyspark_coding_challenge_spark.plans import relational, training_demo  # noqa: E402
@@ -117,6 +118,7 @@ from pyspark_coding_challenge_spark.streaming import windows as streaming_window
 llm_dedup.register_all(register)
 llm_curation.register_all(register)
 llm_text.register_all(register)
+llm_profiling.register_all(register)
 llm_similarity.register_all(register)
 llm_multimodal.register_all(register)
 streaming_windows.register_all(register)
