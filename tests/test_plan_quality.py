@@ -92,6 +92,41 @@ def test_no_python_row_udfs_in_any_plan(spark):
     assert not offenders, f"python in hot path: {offenders}"
 
 
+def test_vocab_topn_partial_aggregates_then_top_n(spark):
+    """Corpus vocabulary must partial-aggregate map-side (skew-head tokens
+    combine before the shuffle) and take the top-N without a global sort."""
+    from pyspark_coding_challenge_spark.llm import text as T
+    plan = _plan_fn(spark, T.text_vocab_topn)
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_count" in plan
+
+
+def test_data_profile_is_single_scan(spark):
+    """All per-column stats in ONE pass over the table (Expand handles the
+    multi-distinct) — a second FileScan would double the 100 TB read."""
+    from pyspark_coding_challenge_spark.llm import profiling as P
+    plan = _plan_fn(spark, P.data_profile)
+    assert plan.count("FileScan parquet") == 1
+    assert "Expand" in plan
+
+
+def test_stratified_sample_uses_window_group_limit(spark):
+    """Spark 4's rank-limit pushdown (WindowGroupLimit) must kick in: each
+    map task keeps only K rows per stratum BEFORE the shuffle, so the
+    exchange carries O(strata x K), not the whole corpus."""
+    from pyspark_coding_challenge_spark.llm import profiling as P
+    plan = _plan_fn(spark, P.sample_deterministic)
+    assert "WindowGroupLimit" in plan and "Partial" in plan
+
+
+def test_range_band_join_broadcasts_band_dim(spark):
+    """The non-equi range join must build on the tiny band side (BNLJ
+    BuildRight) — never a shuffled CartesianProduct of the big side."""
+    plan = _plan_fn(spark, relational.join_range_bands)
+    assert "BroadcastNestedLoopJoin BuildRight" in plan
+    assert "CartesianProduct" not in plan
+
+
 @pytest.mark.parametrize("slug", ["user_history_topk", "training_examples"])
 def test_history_pipelines_have_no_hardcoded_repartition(spark, slug):
     plan = _plan(spark, slug)
