@@ -369,11 +369,81 @@ FROM agg, {_SQL_WM} WHERE ws + INTERVAL 1 HOUR <= wm
 """
 
 
+def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: purchases matched to same-user views at
+    most 2 hours earlier. BOTH sides are watermarked streams; the time-range
+    join condition bounds how long each side's rows stay in join state
+    (views expire 2h + watermark after their event time, purchases
+    immediately past the watermark) — without the interval bound the state
+    would grow forever. Inner-join matches are emitted as found, so the
+    batch oracle is the plain interval join with no watermark filter.
+    At 100 TB this is the canonical funnel/attribution join; the state
+    bound, not the data volume, sizes the cluster's state store."""
+    views = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", WATERMARK_DELAY)
+    )
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", WATERMARK_DELAY)
+    )
+    joined = views.join(
+        purchases,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 2 HOURS")),
+        "inner",
+    ).select(
+        F.col("v_user").alias("user_id"),
+        "view_id",
+        "purchase_id",
+        # exact integer micros: unix_timestamp() floors to seconds while
+        # DuckDB's epoch() keeps fractions — micros are unambiguous.
+        (F.unix_micros("p_ts") - F.unix_micros("v_ts")).alias("gap_us"),
+    )
+    return run_to_parquet(joined, spark, "stream_stream_join")
+
+
+STREAMING_STREAM_STREAM_JOIN_ORACLE = """
+SELECT v.user_id,
+       v.event_id AS view_id,
+       p.event_id AS purchase_id,
+       epoch_us(CAST(p.ts AS TIMESTAMP)) - epoch_us(CAST(v.ts AS TIMESTAMP)) AS gap_us
+FROM events v
+JOIN events p
+  ON v.user_id = p.user_id
+ AND CAST(p.ts AS TIMESTAMP) >= CAST(v.ts AS TIMESTAMP)
+ AND CAST(p.ts AS TIMESTAMP) <= CAST(v.ts AS TIMESTAMP) + INTERVAL 2 HOURS
+WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+"""
+
+
 def register_all(register) -> None:
-    register("streaming_tumbling_counts", streaming_tumbling_counts, STREAMING_TUMBLING_COUNTS_ORACLE)
-    register("streaming_sliding_sum", streaming_sliding_sum, STREAMING_SLIDING_SUM_ORACLE)
+    """Tumbling + sliding aggregations share one sectioned slug (they are
+    the two fixed-window flavours of the same stateful operator), freeing
+    the slot the stream-stream join occupies."""
+    from pyspark_coding_challenge_spark.plans.merge import register_merged
+
+    register_merged(register, "streaming_windowed_aggs", [
+        ("tumbling_counts", streaming_tumbling_counts, STREAMING_TUMBLING_COUNTS_ORACLE),
+        ("sliding_sum", streaming_sliding_sum, STREAMING_SLIDING_SUM_ORACLE),
+    ])
     register("streaming_session_windows", streaming_session_windows, STREAMING_SESSION_WINDOWS_ORACLE)
     register("streaming_stateful_dedup", streaming_stateful_dedup, STREAMING_STATEFUL_DEDUP_ORACLE)
     register("streaming_custom_stateful", streaming_custom_stateful, STREAMING_CUSTOM_STATEFUL_ORACLE)
     register("streaming_stream_static_join", streaming_stream_static_join,
              STREAMING_STREAM_STATIC_JOIN_ORACLE)
+    register("streaming_stream_stream_join", streaming_stream_stream_join,
+             STREAMING_STREAM_STREAM_JOIN_ORACLE)
