@@ -54,8 +54,10 @@ def data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _profile_branch(c: str) -> str:
+    # CAST the sum: DuckDB integer-sum yields HUGEINT, which lands in pandas
+    # as float64 and dtype-mismatches Spark's int64 even when values agree.
     return f"""SELECT count(*) AS n_rows, '{c}' AS column_name,
-       sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS null_cnt,
+       CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_cnt,
        count(DISTINCT {c}) AS distinct_cnt,
        CAST(min({c}) AS VARCHAR) AS min_val,
        CAST(max({c}) AS VARCHAR) AS max_val
