@@ -52,8 +52,9 @@ def _zeros(k: int) -> str:
 
 FLAGSHIP_ORACLE = f"""
 WITH ev AS (
-  -- CAST TIMESTAMP_NS -> TIMESTAMP floors to micros, matching the Spark
-  -- reader's `timestamp_micros(ts div 1000)` (sources/readers.py).
+  -- CAST is an identity on the current micros-typed testdata; on legacy
+  -- nanos-typed data it floors to micros, matching the Spark reader's
+  -- canonicalize_ts (sources/readers.py).
   SELECT event_id, user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d FROM events
 ),
 acts AS (

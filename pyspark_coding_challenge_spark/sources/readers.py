@@ -14,17 +14,39 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-# Columns stored as parquet TIMESTAMP(NANOS): read as long nanos (session
-# conf spark.sql.legacy.parquet.nanosAsLong) and floor-truncate to micros —
-# integer `div`, NOT float division: ns epoch values (~1.7e18) exceed double's
-# 53-bit mantissa. DuckDB's CAST(ts_ns AS TIMESTAMP) floors identically, so
-# oracle comparisons stay exact.
-_NANOS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+# Timestamp columns whose physical parquet type has varied across testdata
+# generations: TIMESTAMP(NANOS) (reads as BIGINT under the nanosAsLong conf)
+# or TIMESTAMP(MICROS, isAdjustedToUTC=false) (reads as TIMESTAMP_NTZ).
+# Both are canonicalized to a session-tz TIMESTAMP so downstream operators
+# (`unix_micros`, watermarks, date math) see one type.
+_EVENT_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+
+
+def canonicalize_ts(df: DataFrame, *cols: str) -> DataFrame:
+    """Normalize a timestamp column to TIMESTAMP (LTZ) regardless of how the
+    parquet physical type resolved:
+
+    - BIGINT nanos (legacy TIMESTAMP(NANOS) + nanosAsLong conf): floor to
+      micros with integer `div`, NOT float division — ns epoch values
+      (~1.7e18) exceed double's 53-bit mantissa. DuckDB's CAST floors
+      identically, so oracle comparisons stay exact.
+    - TIMESTAMP_NTZ (micros, tz-naive): cast to TIMESTAMP; with the UTC
+      session timezone this is a pure re-tag of the same micros value, and
+      matches DuckDB's naive civil-time interpretation.
+    """
+    types = dict(df.dtypes)
+    for c in cols:
+        dt = types.get(c)
+        if dt == "bigint":
+            df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
+        elif dt == "timestamp_ntz":
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver testdata table (TESTDATA.md) as a DataFrame."""
-    if name in _NANOS_TS_COLS:
+    if name in _EVENT_TS_COLS:
         # Runtime-settable SQL confs: required even on sessions we didn't
         # build (the driver passes its own SparkSession into entry()).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -33,10 +55,7 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # naive civil-time interpretation regardless of host timezone.
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    for c in _NANOS_TS_COLS.get(name, ()):
-        if dict(df.dtypes).get(c) == "bigint":
-            df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
-    return df
+    return canonicalize_ts(df, *_EVENT_TS_COLS.get(name, ()))
 
 
 def read_tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]:

@@ -41,14 +41,6 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-# events.parquet stores ts as TIMESTAMP(NANOS); with the nanosAsLong conf the
-# file-source schema sees a BIGINT (see sources/readers.py for the batch
-# twin of this handling).
-_EVENTS_RAW_DDL = (
-    "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, "
-    "value DOUBLE, props STRING"
-)
-
 WATERMARK_DELAY = "1 hour"
 
 # Every oracle joins this 1-row relation and keeps closed windows only —
@@ -57,14 +49,22 @@ _SQL_WM = f"(SELECT max(CAST(ts AS TIMESTAMP)) - INTERVAL {WATERMARK_DELAY} AS w
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``sources.readers.read_table('events')``: the
+    file-source schema is probed from the parquet footer (the physical ts
+    type has varied across testdata generations — nanos-as-BIGINT vs
+    TIMESTAMP_NTZ micros), then ts is canonicalized to TIMESTAMP exactly
+    like the batch reader so watermarks/windows see one type."""
+    from pyspark_coding_challenge_spark.sources.readers import canonicalize_ts
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    file_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     raw = (
-        spark.readStream.schema(_EVENTS_RAW_DDL)
+        spark.readStream.schema(file_schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return canonicalize_ts(raw, "ts")
 
 
 def _fresh_dirs(slug: str) -> tuple[str, str]:
