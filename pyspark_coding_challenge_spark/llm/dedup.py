@@ -34,6 +34,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from pyspark_coding_challenge_spark.sources.readers import read_table, rebalance_for_compute
 
@@ -325,6 +326,125 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# near-dup clustering: connected components over verified pairs
+# ---------------------------------------------------------------------------
+
+CC_MAX_ITER = 25
+
+
+def connected_components(edges: DataFrame, src_col: str = "doc_a",
+                         dst_col: str = "doc_b",
+                         max_iter: int = CC_MAX_ITER) -> DataFrame:
+    """Min-label propagation connected components over an undirected edge
+    list: every node converges to the minimum node id in its component.
+
+    Shape per round: one equi-join of the (persisted, symmetrized) edge list
+    against current labels on the node key, then a map-side-combining
+    ``min`` aggregate — the same shuffle a big groupBy pays, O(E) per round.
+    Rounds needed = graph diameter; near-dup graphs are small dense cliques
+    plus short template chains, so this converges in a handful of rounds
+    (bounded by ``max_iter`` as a runaway guard). For adversarial
+    long-chain graphs the known upgrade is alternating large-star/
+    small-star (Kiveris et al., "Connected Components in MapReduce"),
+    which rewires edges toward the minimum and converges in O(log^2 n)
+    rounds with the identical join+min per-round shape.
+
+    Convergence detection costs one scalar action per round: labels only
+    ever DECREASE, so ``sum(label)`` is strictly monotone and a fixpoint is
+    exactly "sum unchanged" — no change-count join needed.
+    ``localCheckpoint`` truncates the growing lineage so round N's plan
+    doesn't replay rounds 1..N-1.
+
+    Returns ``(node, label)`` — label = min node id of the component.
+    """
+    sym = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .union(edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
+        .persist()
+    )
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    prev_sum = None
+    for _ in range(max_iter):
+        neigh = sym.join(labels, sym["src"] == labels["node"]).select(
+            F.col("dst").alias("node"), "label"
+        )
+        labels = (
+            neigh.unionByName(labels.select("node", "label"))
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    sym.unpersist()
+    return labels
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS: the missing last stage of a real dedup
+    pipeline. Pairwise near-dup output (``dedup_minhash_lsh``) is not
+    actionable on its own — if A~B and B~C, deleting per-pair keeps either
+    too much or too little. This operator groups the verified pairs into
+    connected components and elects one deterministic keeper per cluster
+    (the minimum doc_id), which is exactly what corpus curation deletes
+    against at scale.
+
+    Output: one row per document that appears in >= 1 verified near-dup
+    pair — (doc_id, cluster_id = min doc_id of its component, cluster_size,
+    is_keeper). Docs in no pair are implicitly their own singleton cluster
+    (excluded here to keep the result proportional to the duplicate set,
+    not the corpus).
+
+    DuckDB oracle: the same minhash CTE chain as ``dedup_minhash_lsh`` plus
+    a recursive CTE computing min-reachable-label over the symmetrized edge
+    list — the UNION-distinct semantics of ``WITH RECURSIVE`` terminate at
+    exactly the transitive closure this loop converges to.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    pairs = (
+        verify_jaccard(d, lsh_candidate_pairs(d))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b")
+    )
+    cc = connected_components(pairs)
+    w = Window.partitionBy("cluster_id")
+    return (
+        cc.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+        .withColumn("cluster_size", F.count("*").over(w))
+        .withColumn("is_keeper", (F.col("doc_id") == F.col("cluster_id")).cast("int"))
+    )
+
+
+def _clusters_oracle() -> str:
+    return f"""
+WITH RECURSIVE {minhash_pair_ctes('documents')},
+pairs AS (SELECT doc_a, doc_b FROM verified WHERE jac >= {JACCARD_THRESHOLD}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+walk(node, label) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node
+),
+cc AS (SELECT node AS doc_id, min(label) AS cluster_id FROM walk GROUP BY node)
+SELECT doc_id, cluster_id,
+       count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       CAST(CASE WHEN doc_id = cluster_id THEN 1 ELSE 0 END AS INTEGER) AS is_keeper
+FROM cc
+"""
+
+
+# ---------------------------------------------------------------------------
 # SimHash (60-bit signature, one higher-order pass)
 # ---------------------------------------------------------------------------
 
@@ -503,4 +623,5 @@ def register_all(register) -> None:
     register("dedup_fingerprint", dedup_fingerprint, DEDUP_FINGERPRINT_ORACLE)
     register("dedup_ngram_jaccard", dedup_ngram_jaccard, DEDUP_NGRAM_JACCARD_ORACLE)
     register("dedup_minhash_lsh", dedup_minhash_lsh, _minhash_oracle())
+    register("dedup_clusters", dedup_clusters, _clusters_oracle())
     register("dedup_simhash", dedup_simhash, _simhash_oracle())

@@ -90,7 +90,7 @@ def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     uniform = (
         d.filter(h < int(SAMPLE_DENOM * UNIFORM_PCT / 100))
         .select(
-            F.lit("uniform").alias("section"),
+            F.lit("uniform").alias("sample_kind"),
             "doc_id",
             "source",
             F.lit(None).cast("int").alias("stratum_rank"),
@@ -101,7 +101,7 @@ def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", "source", F.row_number().over(w).alias("rn"))
         .filter(F.col("rn") <= STRATUM_K)
         .select(
-            F.lit("stratified").alias("section"),
+            F.lit("stratified").alias("sample_kind"),
             "doc_id",
             "source",
             F.col("rn").cast("int").alias("stratum_rank"),
@@ -111,11 +111,11 @@ def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SAMPLE_DETERMINISTIC_ORACLE = f"""
-SELECT 'uniform' AS section, doc_id, source, CAST(NULL AS INTEGER) AS stratum_rank
+SELECT 'uniform' AS sample_kind, doc_id, source, CAST(NULL AS INTEGER) AS stratum_rank
 FROM documents
 WHERE {sql_md5_fold60("CAST(doc_id AS VARCHAR)")} < {int(SAMPLE_DENOM * UNIFORM_PCT / 100)}
 UNION ALL BY NAME
-SELECT 'stratified' AS section, doc_id, source, CAST(rn AS INTEGER) AS stratum_rank
+SELECT 'stratified' AS sample_kind, doc_id, source, CAST(rn AS INTEGER) AS stratum_rank
 FROM (
   SELECT doc_id, source,
          row_number() OVER (PARTITION BY source
@@ -127,5 +127,12 @@ WHERE rn <= {STRATUM_K}
 
 
 def register_all(register) -> None:
-    register("data_profile", data_profile, DATA_PROFILE_ORACLE)
-    register("sample_deterministic", sample_deterministic, SAMPLE_DETERMINISTIC_ORACLE)
+    from pyspark_coding_challenge_spark.plans.merge import register_merged
+
+    # Profiling + reproducible sampling ride ONE slug so the registry stays
+    # inside the driver's 50-slug correctness window while `dedup_clusters`
+    # gets its own slot (plans/merge.py explains the cap).
+    register_merged(register, "data_profile", [
+        ("profile", data_profile, DATA_PROFILE_ORACLE),
+        ("sample", sample_deterministic, SAMPLE_DETERMINISTIC_ORACLE),
+    ])

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from pyspark_coding_challenge_spark.sources.readers import read_table
 
@@ -224,8 +225,67 @@ LIMIT 100
 """
 
 
+SEQ_LEN = 512  # packed-sequence token budget
+
+
+def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concatenate-and-chunk sequence packing — the GPT-style pretraining
+    batcher: per shard (here the ``source`` column; at 100 TB the file/shard
+    key), documents are concatenated in doc_id order and the token stream is
+    cut into fixed ``SEQ_LEN`` windows. Each doc maps to the half-open token
+    interval [tok_start, tok_end) via one window cumsum, and the chunk ids
+    it spans are pure integer division — no sequential state, no UDF.
+
+    Parallelism = number of shards (each shard's cumsum is one window
+    partition); packing is embarrassingly parallel ACROSS shards, which is
+    the property that matters at scale — a global pack order would serialize
+    the corpus through one partition and is deliberately avoided.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    df = (
+        d.select(
+            "doc_id",
+            "source",
+            F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
+        )
+        .withColumn("tok_end", F.sum("n_tokens").over(w))
+        .withColumn("tok_start", F.col("tok_end") - F.col("n_tokens"))
+    )
+    return df.select(
+        "doc_id",
+        "source",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        F.expr(f"tok_start div {SEQ_LEN}").alias("chunk_start"),
+        F.expr(f"(tok_end - 1) div {SEQ_LEN}").alias("chunk_end"),
+    )
+
+
+TEXT_PACK_SEQUENCES_ORACLE = f"""
+SELECT doc_id, source, CAST(n_tokens AS INTEGER) AS n_tokens,
+       tok_start // {SEQ_LEN} AS chunk_start,
+       (tok_end - 1) // {SEQ_LEN} AS chunk_end
+FROM (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         sum(CAST(len(string_split(text, ' ')) AS BIGINT))
+           OVER (PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tok_end,
+         sum(CAST(len(string_split(text, ' ')) AS BIGINT))
+           OVER (PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - CAST(len(string_split(text, ' ')) AS BIGINT) AS tok_start
+  FROM documents
+)
+"""
+
+
 def register_all(register) -> None:
-    """text_analysis carries the four per-document kernels as sections (one
+    """text_analysis carries the five per-document kernels as sections (one
     driver slot, same per-section oracles); the corpus-level vocabulary is
     its own slug."""
     from pyspark_coding_challenge_spark.plans.merge import register_merged
@@ -235,5 +295,6 @@ def register_all(register) -> None:
         ("quality_score", text_quality_score, TEXT_QUALITY_SCORE_ORACLE),
         ("token_count", text_token_count, TEXT_TOKEN_COUNT_ORACLE),
         ("fingerprint", text_fingerprint, TEXT_FINGERPRINT_ORACLE),
+        ("pack_sequences", text_pack_sequences, TEXT_PACK_SEQUENCES_ORACLE),
     ])
     register("text_vocab_topn", text_vocab_topn, TEXT_VOCAB_TOPN_ORACLE)

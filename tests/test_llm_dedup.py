@@ -98,3 +98,51 @@ def test_lsh_never_pairs_doc_with_itself_or_duplicates_pairs(spark):
 def test_docs_shorter_than_shingle_width_produce_no_signature(spark, text):
     sig = D.minhash_signatures(_docs(spark, [text]))
     assert sig.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# connected-components clustering
+# ---------------------------------------------------------------------------
+
+
+def test_connected_components_chain_and_clique(spark):
+    # chain 1-2-3-4 (diameter 3, needs >1 propagation round) + clique {10,11,12}
+    # + isolated pair {20,21}
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        schema="doc_a BIGINT, doc_b BIGINT",
+    )
+    got = {r.node: r.label for r in D.connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_label_is_min_regardless_of_edge_direction(spark):
+    # min node appears only on the b-side; symmetrization must still spread it
+    edges = spark.createDataFrame(
+        [(5, 1), (5, 9), (9, 7)], schema="doc_a BIGINT, doc_b BIGINT"
+    )
+    got = {r.node: r.label for r in D.connected_components(edges).collect()}
+    assert got == {1: 1, 5: 1, 9: 1, 7: 1}
+
+
+def test_dedup_clusters_groups_transitive_near_dups(spark, tmp_path):
+    # A~B and B~C but A,C may or may not pair directly — the cluster must
+    # still merge all three; keeper = min doc_id.
+    docs = _docs(
+        spark,
+        [
+            BASE,
+            BASE.replace("green", "blue"),
+            BASE.replace("green", "blue").replace("quick", "swift"),
+            "completely unrelated text about databases and query planners running fast",
+        ],
+    )
+    pairs = (
+        D.verify_jaccard(docs, D.lsh_candidate_pairs(docs))
+        .filter(F.col("jaccard") >= D.JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b")
+    )
+    cc = D.connected_components(pairs)
+    labels = {r.node: r.label for r in cc.collect()}
+    assert labels.get(0) == 0 and labels.get(1) == 0 and labels.get(2) == 0
+    assert 3 not in labels  # unrelated doc is in no pair, so no cluster row

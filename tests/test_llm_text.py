@@ -1,0 +1,63 @@
+"""Unit tests for the sequence-packing kernel (llm/text.py)."""
+
+from __future__ import annotations
+
+from pyspark_coding_challenge_spark.llm.text import SEQ_LEN, text_pack_sequences
+
+
+def _pack(spark, tmp_path, rows):
+    """Write a tiny documents.parquet and run the packer over it."""
+    df = spark.createDataFrame(
+        rows, schema="doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    out = text_pack_sequences(spark, str(tmp_path))
+    return {r.doc_id: r for r in out.collect()}
+
+
+def test_pack_sequences_chunks_are_contiguous_per_source(spark, tmp_path):
+    # three docs in one source: 300 + 300 + 200 tokens with SEQ_LEN=512
+    # token stream: doc0 [0,300) chunk 0; doc1 [300,600) chunks 0-1;
+    # doc2 [600,800) chunk 1.
+    def words(n):
+        return " ".join(["w"] * n)
+
+    got = _pack(
+        spark,
+        tmp_path,
+        [
+            (0, words(300), "en", "s1", 0),
+            (1, words(300), "en", "s1", 0),
+            (2, words(200), "en", "s1", 0),
+        ],
+    )
+    assert SEQ_LEN == 512
+    assert (got[0].chunk_start, got[0].chunk_end) == (0, 0)
+    assert (got[1].chunk_start, got[1].chunk_end) == (0, 1)
+    assert (got[2].chunk_start, got[2].chunk_end) == (1, 1)
+    assert got[1].n_tokens == 300
+
+
+def test_pack_sequences_sources_pack_independently(spark, tmp_path):
+    def words(n):
+        return " ".join(["w"] * n)
+
+    got = _pack(
+        spark,
+        tmp_path,
+        [
+            (0, words(600), "en", "s1", 0),
+            (1, words(10), "en", "s2", 0),  # other shard restarts at chunk 0
+        ],
+    )
+    assert (got[0].chunk_start, got[0].chunk_end) == (0, 1)
+    assert (got[1].chunk_start, got[1].chunk_end) == (0, 0)
+
+
+def test_pack_sequences_exact_boundary_does_not_leak_into_next_chunk(spark, tmp_path):
+    def words(n):
+        return " ".join(["w"] * n)
+
+    # 512 tokens end exactly at the chunk edge: [0,512) is chunk 0 only
+    got = _pack(spark, tmp_path, [(0, words(512), "en", "s1", 0)])
+    assert (got[0].chunk_start, got[0].chunk_end) == (0, 0)
