@@ -357,15 +357,22 @@ def connected_components(edges: DataFrame, src_col: str = "doc_a",
 
     Returns ``(node, label)`` — label = min node id of the component.
     """
-    sym = (
-        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-        .union(edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
-        .persist()
-    )
+    # Persist the DIRECTED edges before symmetrizing: the union's two
+    # branches each re-evaluate the caller's edge pipeline (for
+    # dedup_clusters that is the whole minhash candidate+verify chain), so
+    # without this the first materialization pays that pipeline twice.
+    edges = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).persist()
+    sym = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).persist()
+    # Init = round 1 fused into one aggregate: label(v) = min(v, min(N(v))).
+    # (Identity-label init would spend a whole join+agg round reaching this
+    # state, plus a distinct to enumerate nodes; cliques — the common
+    # near-dup component shape — are already converged after this.)
     labels = (
-        sym.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
+        sym.groupBy(F.col("src").alias("node"))
+        .agg(F.min("dst").alias("_mn"))
+        .select("node", F.least("node", "_mn").alias("label"))
         .localCheckpoint()
     )
     prev_sum = None
@@ -384,6 +391,7 @@ def connected_components(edges: DataFrame, src_col: str = "doc_a",
             break
         prev_sum = cur_sum
     sym.unpersist()
+    edges.unpersist()
     return labels
 
 
