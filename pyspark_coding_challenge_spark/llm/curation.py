@@ -3,6 +3,11 @@ actually runs, as ONE oracle-checked operator chain:
 
     quality filter  ->  exact dedup  ->  MinHash-LSH near-dup removal
 
+plus two sibling sections on the same slug: transitive near-dup components
+(the audit view of the pair graph) and train/eval DECONTAMINATION
+(``decontaminate`` — shingle-hash overlap against a held-out split, the
+broadcast-join shape).
+
 * **Quality filter**: exact integer predicates (word count, char length) so
   both engines agree bit-for-bit — the stand-in for the richer scorers in
   ``llm/text.py`` (their thresholds are floats; curation gates must be
@@ -29,6 +34,7 @@ from pyspark.sql import functions as F
 
 from pyspark_coding_challenge_spark.llm.dedup import (
     JACCARD_THRESHOLD,
+    connected_components,
     lsh_candidate_pairs,
     minhash_pair_ctes,
     verify_jaccard,
@@ -89,54 +95,6 @@ def llm_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curate_corpus(read_table(spark, sf_dir, "documents"))
 
 
-def connected_components(pairs: DataFrame,
-                         a_col: str = "doc_a", b_col: str = "doc_b") -> DataFrame:
-    """Connected components of an undirected pair graph via hash-min label
-    propagation: ``label(v) <- min(label(v), min(label(neighbors)))``
-    iterated to fixpoint. Each round is one equi-join + min-aggregate on
-    (node, label) rows — never wider than the vertex set. Hash-min needs
-    O(graph diameter) rounds; near-dup components are short chains/cliques
-    in practice (measured: 2 rounds at sf0.1), and the large-star/small-star
-    variant [Kiveris et al., "Connected Components in MapReduce and Beyond"]
-    drops it to O(log n) with the same per-round join shape if diameter ever
-    bites. ``localCheckpoint`` truncates lineage per round (on a real
-    cluster: ``checkpoint()`` to reliable storage).
-
-    Returns (node, component) = (``a_col``'s type, min node id reachable)."""
-    edges = (
-        pairs.select(F.col(a_col).alias("s"), F.col(b_col).alias("t"))
-        .union(pairs.select(F.col(b_col).alias("s"), F.col(a_col).alias("t")))
-        .localCheckpoint()
-    )
-    labels = (
-        edges.select(F.col("s").alias("v"))
-        .distinct()
-        .select("v", F.col("v").alias("lbl"))
-        .localCheckpoint()
-    )
-    while True:
-        nbr_min = (
-            edges.join(labels, edges["s"] == labels["v"])
-            .groupBy(F.col("t").alias("dst"))
-            .agg(F.min("lbl").alias("nbr_lbl"))
-        )
-        stepped = (
-            labels.join(nbr_min, labels["v"] == nbr_min["dst"], "left")
-            .select(
-                "v",
-                F.least(F.col("lbl"), F.coalesce("nbr_lbl", F.col("lbl"))).alias("lbl"),
-                # NULL nbr_lbl means no incoming message -> unchanged.
-                (F.col("nbr_lbl") < F.col("lbl")).alias("_chg"),
-            )
-            .localCheckpoint()
-        )
-        changed = stepped.filter("_chg").count()
-        labels = stepped.drop("_chg")
-        if changed == 0:
-            break
-    return labels.select(F.col("v").alias("node"), F.col("lbl").alias("component"))
-
-
 def corpus_curation_with_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The registered slug: section ``curated`` = surviving docs (greedy
     near-dup removal), section ``clusters`` = transitive near-dup components
@@ -145,16 +103,85 @@ def corpus_curation_with_clusters(spark: SparkSession, sf_dir: str) -> DataFrame
     Greedy-by-pairs can split a chain a~b, b~c into two decisions;
     components are the policy-free ground truth a curation pipeline audits
     against (e.g. keep exactly one doc per component). The pair graph is
-    computed once and shared (``_kept_and_pairs``)."""
+    computed once and shared (``_kept_and_pairs``). Section ``decontam`` =
+    train/eval shingle-overlap detection (``decontaminate``)."""
     kept, near = _kept_and_pairs(read_table(spark, sf_dir, "documents"))
     curated = _curated(kept, near).select(F.lit("curated").alias("section"), "*")
     clusters = (
         connected_components(near)
-        .select(F.col("node").alias("doc_id"), F.col("component").alias("cluster_id"))
+        .select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
         .withColumn("cluster_size", F.count("*").over(Window.partitionBy("cluster_id")))
         .select(F.lit("clusters").alias("section"), "*")
     )
-    return curated.unionByName(clusters, allowMissingColumns=True)
+    decontam = decontaminate(spark, sf_dir).select(
+        F.lit("decontam").alias("section"), "*"
+    )
+    return curated.unionByName(clusters, allowMissingColumns=True).unionByName(
+        decontam, allowMissingColumns=True
+    )
+
+
+DECON_SHINGLE_WORDS = 6  # contamination n-gram width (13-gram at prod scale)
+EVAL_MOD = 10            # synthetic eval split: doc_id % 10 == 0
+
+
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval DECONTAMINATION — the overlap detector every serious
+    training-data pipeline runs before training: find training documents
+    sharing any ``DECON_SHINGLE_WORDS``-word shingle with the held-out eval
+    split (here the deterministic ``doc_id % EVAL_MOD == 0`` subset standing
+    in for an eval suite).
+
+    Shape: shingle both sides, hash each shingle to the portable 60-bit
+    fold, equi-join train-side shingle hashes against the BROADCAST eval
+    side — eval suites are tiny relative to a 100 TB corpus, so the big
+    side never shuffles (at extreme scale the broadcast becomes a bloom
+    filter pre-pass, same join afterwards). Output: one row per
+    contaminated training doc with how many eval docs it collides with and
+    on how many distinct shingles.
+    """
+    from pyspark_coding_challenge_spark.llm.dedup import (
+        _with_tokens,
+        _word_shingles,
+        md5_fold60,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    sh = _with_tokens(d).select(
+        "doc_id",
+        F.explode(_word_shingles("_toks", n=DECON_SHINGLE_WORDS)).alias("s"),
+    )
+    h = sh.select("doc_id", md5_fold60(F.col("s")).alias("h"))
+    train = h.filter(F.col("doc_id") % EVAL_MOD != 0)
+    ev = h.filter(F.col("doc_id") % EVAL_MOD == 0).select(
+        F.col("doc_id").alias("eval_id"), "h"
+    )
+    return (
+        train.join(F.broadcast(ev), on="h")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("eval_id").alias("eval_matches"),
+            F.countDistinct("h").alias("shared_shingles"),
+        )
+    )
+
+
+def _decontam_oracle() -> str:
+    from pyspark_coding_challenge_spark.llm.dedup import _sql_shingles, sql_md5_fold60
+
+    return f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+sets AS (SELECT doc_id, {_sql_shingles('toks', DECON_SHINGLE_WORDS)} AS sh FROM d),
+ex AS (SELECT doc_id, unnest(sh) AS s FROM sets),
+h AS (SELECT doc_id, {sql_md5_fold60('s')} AS h FROM ex),
+tr AS (SELECT doc_id, h FROM h WHERE doc_id % {EVAL_MOD} <> 0),
+ev AS (SELECT doc_id AS eval_id, h FROM h WHERE doc_id % {EVAL_MOD} = 0)
+SELECT tr.doc_id,
+       count(DISTINCT ev.eval_id) AS eval_matches,
+       count(DISTINCT tr.h) AS shared_shingles
+FROM tr JOIN ev ON tr.h = ev.h
+GROUP BY tr.doc_id
+"""
 
 
 _SQL_KEPT_CTES = f"""q AS (
@@ -212,5 +239,6 @@ def register_all(register) -> None:
         merged_oracle([
             ("curated", _curation_oracle()),
             ("clusters", _clusters_oracle()),
+            ("decontam", _decontam_oracle()),
         ]),
     )

@@ -126,13 +126,58 @@ WHERE rn <= {STRATUM_K}
 """
 
 
+# Exact integer threshold arithmetic for mixture sampling: rates are in
+# basis points and the hash is uniform on [0, 2^60), so "keep at r bp" is
+# h < r * floor(2^60 / 10000) — all int64, no float boundary ulps, max
+# product 10000 * 1.15e14 < 2^63.
+_BP_UNIT = (1 << 60) // 10000
+
+
+def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source MIXTURE sampling — the "data mixing" step that turns a raw
+    corpus into a training mixture (e.g. upweight books, downweight web):
+    each source gets its own keep-rate and membership is decided by the same
+    content-addressed hash as ``sample_deterministic``, so the mixture is
+    reproducible across runs/engines/partitionings and composes with every
+    other hash-gated stage.
+
+    The per-source rate here is derived deterministically from the source
+    name (2000-9999 basis points) so the operator exercises heterogeneous
+    rates without a config table; a production pipeline broadcast-joins its
+    curated rate table instead — the gate expression is identical. The row
+    hash is salted ('mix:') to stay independent of the uniform-sample gate.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    rate_bp = (
+        F.pmod(md5_fold60(F.col("source")), F.lit(8000)) + F.lit(2000)
+    ).cast("bigint")
+    h = md5_fold60(F.concat(F.lit("mix:"), F.col("doc_id").cast("string")))
+    return (
+        d.select("doc_id", "source", rate_bp.alias("rate_bp"), h.alias("_h"))
+        .filter(F.col("_h") < F.col("rate_bp") * F.lit(_BP_UNIT))
+        .select("doc_id", "source", "rate_bp")
+    )
+
+
+MIXTURE_SAMPLE_ORACLE = f"""
+SELECT doc_id, source, rate_bp FROM (
+  SELECT doc_id, source,
+         ({sql_md5_fold60('source')} % 8000 + 8000) % 8000 + 2000 AS rate_bp,
+         {sql_md5_fold60("'mix:' || CAST(doc_id AS VARCHAR)")} AS h
+  FROM documents
+)
+WHERE h < rate_bp * {_BP_UNIT}
+"""
+
+
 def register_all(register) -> None:
     from pyspark_coding_challenge_spark.plans.merge import register_merged
 
-    # Profiling + reproducible sampling ride ONE slug so the registry stays
-    # inside the driver's 50-slug correctness window while `dedup_clusters`
-    # gets its own slot (plans/merge.py explains the cap).
+    # Profiling + reproducible sampling + mixture ride ONE slug so the
+    # registry stays inside the driver's 50-slug correctness window while
+    # `dedup_clusters` gets its own slot (plans/merge.py explains the cap).
     register_merged(register, "data_profile", [
         ("profile", data_profile, DATA_PROFILE_ORACLE),
         ("sample", sample_deterministic, SAMPLE_DETERMINISTIC_ORACLE),
+        ("mixture", mixture_sample, MIXTURE_SAMPLE_ORACLE),
     ])

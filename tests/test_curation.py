@@ -1,7 +1,8 @@
 """Semantic tests for corpus curation's cluster audit: the iterative
-connected-components operator (llm/curation.py) must produce transitive
-closures — the property the greedy pair policy cannot, and the one the
-DuckDB recursive-CTE oracle checks only end-to-end."""
+connected-components operator (consolidated in llm/dedup.py, shared by
+curation's cluster section and the dedup_clusters slug) must produce
+transitive closures — the property the greedy pair policy cannot, and the
+one the DuckDB recursive-CTE oracle checks only end-to-end."""
 
 from __future__ import annotations
 
@@ -13,7 +14,7 @@ PAIR_SCHEMA = "doc_a BIGINT, doc_b BIGINT"
 def _components(spark, pairs):
     df = spark.createDataFrame(pairs, schema=PAIR_SCHEMA)
     return {
-        r.node: r.component for r in connected_components(df).collect()
+        r.node: r.label for r in connected_components(df).collect()
     }
 
 

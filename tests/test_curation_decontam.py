@@ -1,0 +1,51 @@
+"""Planted-contamination property tests for the decontaminate operator
+(llm/curation.py) — semantics the hash-equality oracle can't pin."""
+
+from __future__ import annotations
+
+from pyspark_coding_challenge_spark.llm.curation import (
+    DECON_SHINGLE_WORDS,
+    EVAL_MOD,
+    decontaminate,
+)
+
+
+def _write_docs(spark, tmp_path, rows):
+    df = spark.createDataFrame(
+        rows, schema="doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    return str(tmp_path)
+
+
+def test_planted_overlap_is_detected_and_clean_docs_are_not(spark, tmp_path):
+    # doc 10 is an eval doc (10 % EVAL_MOD == 0); doc 11 embeds one of its
+    # 6-word runs verbatim; doc 12 shares no 6-word run with any eval doc.
+    assert EVAL_MOD == 10 and DECON_SHINGLE_WORDS == 6
+    eval_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    contaminated = "prefix words here then alpha beta gamma delta epsilon zeta trailing tail"
+    clean = "completely different content with no shared six word runs at all today"
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (10, eval_text, "en", "s", 0),
+            (11, contaminated, "en", "s", 0),
+            (12, clean, "en", "s", 0),
+        ],
+    )
+    got = {r.doc_id: r for r in decontaminate(spark, sf).collect()}
+    assert 11 in got and got[11].eval_matches == 1 and got[11].shared_shingles >= 1
+    assert 12 not in got
+    assert 10 not in got  # eval docs are never reported as contaminated train docs
+
+
+def test_short_docs_produce_no_shingles_and_no_rows(spark, tmp_path):
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [(10, "only five words right here", "en", "s", 0),
+         (11, "only five words right here", "en", "s", 0)],
+    )
+    # 5 tokens < DECON_SHINGLE_WORDS -> zero shingles on both sides
+    assert decontaminate(spark, sf).count() == 0

@@ -132,3 +132,22 @@ def test_history_pipelines_have_no_hardcoded_repartition(spark, slug):
     plan = _plan(spark, slug)
     assert "RoundRobinPartitioning(200" not in plan
     assert "hashpartitioning(customer_id#" not in plan.split("Exchange")[0]
+
+
+def test_decontaminate_broadcasts_eval_side(spark):
+    """The eval split is tiny relative to the corpus: the shingle-hash
+    overlap join must broadcast it (BuildRight), never shuffle the train
+    side into a sort-merge join."""
+    from pyspark_coding_challenge_spark.llm import curation as C
+    plan = _plan_fn(spark, C.decontaminate)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_mixture_sample_is_scan_plus_filter_only(spark):
+    """Mixture gating is a pure narrow transformation: no exchange, no
+    join — the 100 TB corpus streams through untouched."""
+    from pyspark_coding_challenge_spark.llm import profiling as P
+    plan = _plan_fn(spark, P.mixture_sample)
+    assert "Exchange" not in plan
+    assert plan.count("FileScan parquet") == 1
