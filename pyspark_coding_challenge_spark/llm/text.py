@@ -225,6 +225,122 @@ LIMIT 100
 """
 
 
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition metrics — the RefinedWeb/Gopher-style
+    quality signals that flag boilerplate and degenerate generations:
+    fraction of duplicated tokens and of duplicated word-2-grams inside
+    each document. Pure narrow expressions (no shuffle, no UDF); rounded so
+    the double division hashes identically across engines."""
+    d = read_table(spark, sf_dir, "documents")
+    toks = "split(lower(text), ' ')"
+    grams = (
+        f"CASE WHEN size({toks}) >= 2 THEN "
+        f"transform(sequence(1, size({toks}) - 1), "
+        f"i -> concat(element_at({toks}, i), ' ', element_at({toks}, i + 1))) "
+        f"ELSE CAST(array() AS ARRAY<STRING>) END"
+    )
+    return d.select(
+        "doc_id",
+        F.expr(f"size({toks})").cast("int").alias("n_tokens"),
+        F.round(
+            F.expr(
+                f"1.0 - CAST(size(array_distinct({toks})) AS DOUBLE) / size({toks})"
+            ),
+            6,
+        ).alias("dup_token_frac"),
+        F.round(
+            F.expr(
+                f"CASE WHEN size({grams}) > 0 THEN "
+                f"1.0 - CAST(size(array_distinct({grams})) AS DOUBLE) / size({grams}) "
+                "ELSE 0.0 END"
+            ),
+            6,
+        ).alias("dup_2gram_frac"),
+    )
+
+
+TEXT_REPETITION_ORACLE = """
+WITH t AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+),
+g AS (
+  SELECT doc_id, toks,
+         CASE WHEN len(toks) >= 2 THEN
+           list_transform(generate_series(1, len(toks) - 1),
+                          i -> toks[i] || ' ' || toks[i + 1])
+         ELSE [] END AS grams
+  FROM t
+)
+SELECT doc_id,
+       CAST(len(toks) AS INTEGER) AS n_tokens,
+       ROUND(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6)
+         AS dup_token_frac,
+       ROUND(CASE WHEN len(grams) > 0
+             THEN 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams)
+             ELSE 0.0 END, 6) AS dup_2gram_frac
+FROM g
+"""
+
+
+def text_corpus_dup_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level duplicate-shingle fraction per document — the
+    FineWeb-style near-dup pressure signal: what fraction of a doc's
+    distinct 3-word shingles also appear in at least one OTHER document.
+    Shape at 100 TB: explode shingle hashes (distinct per doc by
+    construction), one hash-key count to get corpus frequency, join back on
+    the hash and aggregate per doc — two shuffles on 60-bit keys, never on
+    text, with map-side partial aggregation on both."""
+    from pyspark_coding_challenge_spark.llm.dedup import (
+        _with_tokens,
+        _word_shingles,
+        md5_fold60,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    h = (
+        _with_tokens(d)
+        .select("doc_id", F.explode(_word_shingles("_toks")).alias("s"))
+        .select("doc_id", md5_fold60(F.col("s")).alias("h"))
+    )
+    freq = h.groupBy("h").agg(F.countDistinct("doc_id").alias("n_docs"))
+    return (
+        h.join(freq, on="h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum((F.col("n_docs") > 1).cast("bigint")).alias("shared_shingles"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "shared_shingles",
+            F.round(
+                F.col("shared_shingles").cast("double") / F.col("n_shingles"), 6
+            ).alias("dup_frac"),
+        )
+    )
+
+
+def _corpus_dup_frac_oracle() -> str:
+    from pyspark_coding_challenge_spark.llm.dedup import _sql_shingles, sql_md5_fold60
+
+    return f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+sets AS (SELECT doc_id, {_sql_shingles('toks')} AS sh FROM d),
+ex AS (SELECT doc_id, unnest(sh) AS s FROM sets),
+h AS (SELECT doc_id, {sql_md5_fold60('s')} AS h FROM ex),
+freq AS (SELECT h, count(DISTINCT doc_id) AS n_docs FROM h GROUP BY h)
+SELECT h.doc_id,
+       count(*) AS n_shingles,
+       CAST(sum(CASE WHEN freq.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS shared_shingles,
+       ROUND(CAST(sum(CASE WHEN freq.n_docs > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS dup_frac
+FROM h JOIN freq USING (h)
+GROUP BY h.doc_id
+"""
+
+
 SEQ_LEN = 512  # packed-sequence token budget
 
 
@@ -285,9 +401,10 @@ FROM (
 
 
 def register_all(register) -> None:
-    """text_analysis carries the five per-document kernels as sections (one
-    driver slot, same per-section oracles); the corpus-level vocabulary is
-    its own slug."""
+    """text_analysis carries the per-document kernels plus the two
+    repetition/duplication pressure signals as sections (one driver slot,
+    same per-section oracles); the corpus-level vocabulary is its own
+    slug."""
     from pyspark_coding_challenge_spark.plans.merge import register_merged
 
     register_merged(register, "text_analysis", [
@@ -296,5 +413,7 @@ def register_all(register) -> None:
         ("token_count", text_token_count, TEXT_TOKEN_COUNT_ORACLE),
         ("fingerprint", text_fingerprint, TEXT_FINGERPRINT_ORACLE),
         ("pack_sequences", text_pack_sequences, TEXT_PACK_SEQUENCES_ORACLE),
+        ("repetition", text_repetition, TEXT_REPETITION_ORACLE),
+        ("corpus_dup_frac", text_corpus_dup_frac, _corpus_dup_frac_oracle()),
     ])
     register("text_vocab_topn", text_vocab_topn, TEXT_VOCAB_TOPN_ORACLE)

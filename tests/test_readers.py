@@ -40,3 +40,27 @@ def test_read_json_missing_columns_are_null_not_inferred(spark, tmp_path):
     back = read_json(spark, str(p), NATION_DDL).collect()
     assert {r.n_nationkey for r in back} == {1, 2}
     assert all(r.n_regionkey is None for r in back)
+
+
+def test_canonicalize_ts_handles_all_generations(spark):
+    """The driver has regenerated testdata with different physical ts types
+    across rounds (nanos-as-BIGINT, TIMESTAMP_NTZ micros, plain TIMESTAMP);
+    canonicalize_ts must map all three to the same TIMESTAMP values."""
+    from pyspark.sql import functions as F
+
+    from pyspark_coding_challenge_spark.sources.readers import canonicalize_ts
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    micros = 1_704_067_200_123_456  # 2024-01-01 00:00:00.123456 UTC
+    nanos_df = spark.createDataFrame([(micros * 1000,)], schema="ts BIGINT")
+    ntz_df = spark.sql(
+        f"SELECT CAST(timestamp_micros({micros}) AS TIMESTAMP_NTZ) AS ts"
+    )
+    ltz_df = spark.sql(f"SELECT timestamp_micros({micros}) AS ts")
+
+    vals = set()
+    for df in (nanos_df, ntz_df, ltz_df):
+        out = canonicalize_ts(df, "ts")
+        assert dict(out.dtypes)["ts"] == "timestamp"
+        vals.add(out.select(F.unix_micros("ts")).collect()[0][0])
+    assert vals == {micros}
