@@ -231,27 +231,32 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     fraction of duplicated tokens and of duplicated word-2-grams inside
     each document. Pure narrow expressions (no shuffle, no UDF); rounded so
     the double division hashes identically across engines."""
+    # _toks/_grams are materialized multi-use aliases: inlining them into
+    # every consumer (what CollapseProject does to single-use cheap exprs)
+    # would re-split/re-build the arrays once per reference — measured 11 s
+    # at sf0.1 for the inlined formulation vs sub-second materialized (same
+    # trap as the minhash signature expression, dedup.py).
     d = read_table(spark, sf_dir, "documents")
-    toks = "split(lower(text), ' ')"
-    grams = (
-        f"CASE WHEN size({toks}) >= 2 THEN "
-        f"transform(sequence(1, size({toks}) - 1), "
-        f"i -> concat(element_at({toks}, i), ' ', element_at({toks}, i + 1))) "
-        f"ELSE CAST(array() AS ARRAY<STRING>) END"
+    t = d.withColumn("_toks", F.split(F.lower("text"), " ")).withColumn(
+        "_grams",
+        F.expr(
+            "CASE WHEN size(_toks) >= 2 THEN "
+            "transform(sequence(1, size(_toks) - 1), "
+            "i -> concat(element_at(_toks, i), ' ', element_at(_toks, i + 1))) "
+            "ELSE CAST(array() AS ARRAY<STRING>) END"
+        ),
     )
-    return d.select(
+    return t.select(
         "doc_id",
-        F.expr(f"size({toks})").cast("int").alias("n_tokens"),
+        F.expr("size(_toks)").cast("int").alias("n_tokens"),
         F.round(
-            F.expr(
-                f"1.0 - CAST(size(array_distinct({toks})) AS DOUBLE) / size({toks})"
-            ),
+            F.expr("1.0 - CAST(size(array_distinct(_toks)) AS DOUBLE) / size(_toks)"),
             6,
         ).alias("dup_token_frac"),
         F.round(
             F.expr(
-                f"CASE WHEN size({grams}) > 0 THEN "
-                f"1.0 - CAST(size(array_distinct({grams})) AS DOUBLE) / size({grams}) "
+                "CASE WHEN size(_grams) > 0 THEN "
+                "1.0 - CAST(size(array_distinct(_grams)) AS DOUBLE) / size(_grams) "
                 "ELSE 0.0 END"
             ),
             6,
@@ -287,25 +292,29 @@ def text_corpus_dup_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
     FineWeb-style near-dup pressure signal: what fraction of a doc's
     distinct 3-word shingles also appear in at least one OTHER document.
     Shape at 100 TB: explode shingle hashes (distinct per doc by
-    construction), one hash-key count to get corpus frequency, join back on
-    the hash and aggregate per doc — two shuffles on 60-bit keys, never on
-    text, with map-side partial aggregation on both."""
+    construction), then corpus frequency per hash as a COUNT OVER the hash
+    partition — one shuffle on the 60-bit key, never on text, and no
+    self-join re-deriving the shingle pipeline — then the per-doc aggregate
+    (second shuffle). The narrow shingle+md5 kernel is rebalanced first so
+    a few-row-group input doesn't pin it to the scan's parallelism."""
     from pyspark_coding_challenge_spark.llm.dedup import (
         _with_tokens,
         _word_shingles,
         md5_fold60,
     )
+    from pyspark_coding_challenge_spark.sources.readers import rebalance_for_compute
 
-    d = read_table(spark, sf_dir, "documents")
+    d = rebalance_for_compute(read_table(spark, sf_dir, "documents"), "doc_id")
     h = (
         _with_tokens(d)
         .select("doc_id", F.explode(_word_shingles("_toks")).alias("s"))
         .select("doc_id", md5_fold60(F.col("s")).alias("h"))
     )
-    freq = h.groupBy("h").agg(F.countDistinct("doc_id").alias("n_docs"))
+    # Shingles are distinct WITHIN a doc, so count(*) per hash == number of
+    # docs containing the shingle.
+    with_freq = h.withColumn("n_docs", F.count("*").over(Window.partitionBy("h")))
     return (
-        h.join(freq, on="h")
-        .groupBy("doc_id")
+        with_freq.groupBy("doc_id")
         .agg(
             F.count("*").alias("n_shingles"),
             F.sum((F.col("n_docs") > 1).cast("bigint")).alias("shared_shingles"),
