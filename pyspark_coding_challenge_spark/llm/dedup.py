@@ -376,6 +376,7 @@ def connected_components(edges: DataFrame, src_col: str = "doc_a",
         .localCheckpoint()
     )
     prev_sum = None
+    converged = False
     for _ in range(max_iter):
         neigh = sym.join(labels, sym["src"] == labels["node"]).select(
             F.col("dst").alias("node"), "label"
@@ -388,11 +389,116 @@ def connected_components(edges: DataFrame, src_col: str = "doc_a",
         )
         cur_sum = labels.agg(F.sum("label")).collect()[0][0]
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
     sym.unpersist()
     edges.unpersist()
+    if not converged:
+        # Silently returning partial labels would merge/split clusters
+        # wrongly downstream; a graph needing more than max_iter rounds of
+        # hash-min is the cue to switch to large-star/small-star, not to
+        # truncate.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds; "
+            "raise max_iter or use an O(log n)-round algorithm for this graph"
+        )
     return labels
+
+
+def connected_components_star(edges: DataFrame, src_col: str = "doc_a",
+                              dst_col: str = "doc_b",
+                              max_iter: int = CC_MAX_ITER) -> DataFrame:
+    """Alternating large-star/small-star connected components (Kiveris et
+    al., "Connected Components in MapReduce and Beyond") — the
+    O(log^2 n)-ROUND algorithm that replaces hash-min when component
+    diameter is adversarial (hash-min moves the minimum one hop per round;
+    a million-doc template chain would need a million rounds of it).
+
+    Per round, both stars are one groupBy over the edge list:
+
+    * large-star: group the symmetrized edges by ``u``; with
+      ``m = min(N(u) + {u})``, re-point every STRICTLY LARGER neighbor at
+      ``m``. Long tails collapse toward minima in parallel.
+    * small-star: orient every edge (max, min) and group by the larger
+      endpoint; re-point ``u`` and all its smaller neighbors except ``m``
+      at ``m``. Flattens the remaining short trees into stars.
+
+    Edges strictly shrink toward (node, component-min) stars; convergence =
+    the small-star output equals its input (checked with one
+    ``exceptAll .. limit(1)`` probe per round — an empty difference is
+    exact, not a checksum). Returns the same (node, label) contract as
+    ``connected_components``, property-tested equal on random graphs.
+
+    Skew caveat shared with every CC formulation: the component minimum's
+    group carries the whole component's neighbor set (here via
+    ``collect_set``); a mega-component (a million copies of one boilerplate
+    page) concentrates on one key. The production mitigations are the
+    paper's combiner-based reduce and pre-collapsing exact duplicates
+    (``dedup_exact``) BEFORE near-dup clustering — which this engine's
+    curation chain already does.
+    """
+    e = (
+        edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def _large_star(cur: DataFrame) -> DataFrame:
+        sym = cur.union(cur.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        grouped = sym.groupBy("u").agg(
+            F.min("v").alias("_mn"), F.collect_set("v").alias("_nbrs")
+        )
+        m = F.least(F.col("u"), F.col("_mn"))
+        return (
+            grouped.select(m.alias("m"), F.col("u"), F.explode("_nbrs").alias("v"))
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def _small_star(cur: DataFrame) -> DataFrame:
+        oriented = cur.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        grouped = oriented.groupBy("u").agg(
+            F.min("v").alias("_mn"), F.collect_set("v").alias("_nbrs")
+        )
+        return (
+            grouped.select(
+                "u", "_mn", F.explode(F.array_union("_nbrs", F.array("u"))).alias("n")
+            )
+            .filter(F.col("n") != F.col("_mn"))
+            .select(F.col("n").alias("u"), F.col("_mn").alias("v"))
+            .distinct()
+        )
+
+    converged = False
+    for _ in range(max_iter):
+        after_large = _large_star(e)
+        after_small = _small_star(after_large).localCheckpoint()
+        if (
+            after_small.exceptAll(e).limit(1).count() == 0
+            and e.exceptAll(after_small).limit(1).count() == 0
+        ):
+            e = after_small
+            converged = True
+            break
+        e = after_small
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iter} rounds"
+        )
+    # Fixpoint edges are (node, component-min) stars; add the roots
+    # themselves (a root has no outgoing star edge).
+    roots = e.select(F.col("v").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    members = e.select(F.col("u").alias("node"), F.col("v").alias("label"))
+    return members.unionByName(roots)
 
 
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -146,3 +146,54 @@ def test_dedup_clusters_groups_transitive_near_dups(spark, tmp_path):
     labels = {r.node: r.label for r in cc.collect()}
     assert labels.get(0) == 0 and labels.get(1) == 0 and labels.get(2) == 0
     assert 3 not in labels  # unrelated doc is in no pair, so no cluster row
+
+
+def test_connected_components_raises_rather_than_truncating(spark):
+    # a long chain propagates the min one hop per round; with max_iter too
+    # small the operator must REFUSE (silently partial labels would corrupt
+    # downstream dedup), not return.
+    chain = [(i, i + 1) for i in range(1, 12)]
+    edges = spark.createDataFrame(chain, schema="doc_a BIGINT, doc_b BIGINT")
+    import pytest
+
+    with pytest.raises(RuntimeError, match="did not converge"):
+        D.connected_components(edges, max_iter=2)
+
+
+# ---------------------------------------------------------------------------
+# large-star/small-star vs hash-min equivalence
+# ---------------------------------------------------------------------------
+
+
+def _cc_both(spark, pairs):
+    edges = spark.createDataFrame(pairs, schema="doc_a BIGINT, doc_b BIGINT")
+    hm = {r.node: r.label for r in D.connected_components(edges).collect()}
+    ss = {r.node: r.label for r in D.connected_components_star(edges).collect()}
+    return hm, ss
+
+
+def test_star_star_matches_hash_min_on_mixed_graph(spark):
+    pairs = [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21),
+             (30, 31), (31, 32), (32, 30), (32, 33)]
+    hm, ss = _cc_both(spark, pairs)
+    assert hm == ss
+
+
+def test_star_star_matches_hash_min_on_random_graphs(spark):
+    import random
+
+    rng = random.Random(42)
+    nodes = list(range(1, 40))
+    pairs = list({(min(a, b), max(a, b))
+                  for a, b in (rng.sample(nodes, 2) for _ in range(45))})
+    hm, ss = _cc_both(spark, [(a, b) for a, b in pairs])
+    assert hm == ss
+
+
+def test_star_star_collapses_long_chain_in_logarithmic_rounds(spark):
+    # a 60-node chain needs ~58 hash-min rounds (> CC_MAX_ITER) but only
+    # O(log^2 n) star rounds — the scale-path claim, executed.
+    chain = [(i, i + 1) for i in range(1, 60)]
+    edges = spark.createDataFrame(chain, schema="doc_a BIGINT, doc_b BIGINT")
+    got = {r.node: r.label for r in D.connected_components_star(edges).collect()}
+    assert got == {i: 1 for i in range(1, 61)}
