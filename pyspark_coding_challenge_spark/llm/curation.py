@@ -147,13 +147,19 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = read_table(spark, sf_dir, "documents")
-    sh = _with_tokens(d).select(
-        "doc_id",
-        F.explode(_word_shingles("_toks", n=DECON_SHINGLE_WORDS)).alias("s"),
-    )
-    h = sh.select("doc_id", md5_fold60(F.col("s")).alias("h"))
-    train = h.filter(F.col("doc_id") % EVAL_MOD != 0)
-    ev = h.filter(F.col("doc_id") % EVAL_MOD == 0).select(
+
+    def _shingle_hashes(docs: DataFrame) -> DataFrame:
+        # Split BEFORE shingling: filtering after would run the shingle+md5
+        # kernel over both splits twice, and the split predicate pushes
+        # into the scan this way.
+        sh = _with_tokens(docs).select(
+            "doc_id",
+            F.explode(_word_shingles("_toks", n=DECON_SHINGLE_WORDS)).alias("s"),
+        )
+        return sh.select("doc_id", md5_fold60(F.col("s")).alias("h"))
+
+    train = _shingle_hashes(d.filter(F.col("doc_id") % EVAL_MOD != 0))
+    ev = _shingle_hashes(d.filter(F.col("doc_id") % EVAL_MOD == 0)).select(
         F.col("doc_id").alias("eval_id"), "h"
     )
     return (
