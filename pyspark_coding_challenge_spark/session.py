@@ -37,11 +37,17 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
-        # Driver testdata stores events.ts as parquet TIMESTAMP(NANOS), which
-        # Spark cannot read natively; read as long and convert in the reader
-        # (sources/readers.py) with truncation to micros — same truncation
-        # DuckDB applies on CAST(ts_ns AS TIMESTAMP).
+        # Some driver testdata generations store events.ts as parquet
+        # TIMESTAMP(NANOS), which Spark cannot read natively; with this conf
+        # it surfaces as long nanos, which the reader normalizes
+        # (sources/readers.py::canonicalize_ts) alongside the newer
+        # TIMESTAMP_NTZ micros generation.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Iterative operators (connected components, IVF training) leave
+        # localCheckpoint RDDs that the ContextCleaner only reclaims after a
+        # driver GC; long many-query sessions (the bench runs ~150 query
+        # executions in one JVM) otherwise accumulate them into GC spikes.
+        .config("spark.cleaner.periodicGC.interval", "1min")
         # Files: 128 MiB split targets keep scan partitions executor-friendly
         # at any SF; AQE coalesces the small end.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
