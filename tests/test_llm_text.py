@@ -61,3 +61,34 @@ def test_pack_sequences_exact_boundary_does_not_leak_into_next_chunk(spark, tmp_
     # 512 tokens end exactly at the chunk edge: [0,512) is chunk 0 only
     got = _pack(spark, tmp_path, [(0, words(512), "en", "s1", 0)])
     assert (got[0].chunk_start, got[0].chunk_end) == (0, 0)
+
+
+# ---------------------------------------------------------------------------
+# mixture sampling (llm/profiling.py)
+# ---------------------------------------------------------------------------
+
+
+def test_mixture_sample_is_deterministic_and_rate_faithful(spark):
+    from pyspark_coding_challenge_spark.llm.profiling import mixture_sample
+    from pyspark_coding_challenge_spark.sources.readers import read_table
+
+    sf = "/root/testdata/sf0.01"
+    a = {(r.doc_id, r.source, r.rate_bp) for r in mixture_sample(spark, sf).collect()}
+    b = {(r.doc_id, r.source, r.rate_bp) for r in mixture_sample(spark, sf).collect()}
+    assert a == b and a  # content-addressed: identical across runs
+
+    # every source keeps at most its rate's worth (loose upper bound:
+    # binomial tail with n=25 — allow generous slack) and rates vary
+    rates = {}
+    kept = {}
+    for _, source, rate_bp in a:
+        rates[source] = rate_bp
+    for doc_id, source, _ in a:
+        kept[source] = kept.get(source, 0) + 1
+    assert len(set(rates.values())) > 1  # heterogeneous rates across sources
+    total = read_table(spark, sf, "documents").groupBy("source").count().collect()
+    n_by_source = {r.source: r["count"] for r in total}
+    for source, n_kept in kept.items():
+        assert n_kept <= n_by_source[source]
+        # rate 2000-9999 bp; with n=25 a >0.999-confidence bound is loose
+        assert n_kept / n_by_source[source] <= rates[source] / 10000 + 0.35
