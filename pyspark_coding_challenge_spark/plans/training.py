@@ -64,11 +64,11 @@ def produce_training_examples(
 
     ``lookback_days`` bounds how far history may reach (it CHANGES semantics:
     actions older than the bound are excluded even when the last
-    ``max_history`` would include them). At the default max_history=1000
-    the unbounded rolling path copies up to O(days x K^2) structs per
-    long-lived customer (operators/history.py) — production callers with
-    years-active customers should set a lookback that matches how much
-    history the model actually consumes."""
+    ``max_history`` would include them). At the default max_history=1000 an
+    unset lookback auto-selects the bounded 365-day path inside
+    ``rolling_last_k_history`` (the unbounded frame is O(K^2) per active
+    day; see ROLLING_AUTO_LOOKBACK_MIN_K in operators/history.py) — pass an
+    explicit larger ``lookback_days`` to widen the horizon."""
     actions = normalize_actions(clicks, add_to_carts, orders)
     if repartition_count:
         actions = actions.repartition(repartition_count, "customer_id")

@@ -17,9 +17,10 @@ batch-count independent: however the source is split into micro-batches,
 append emits each closed window exactly once and withholds the tail within
 the delay of max(ts).
 
-The two non-append slugs are deliberate: ``streaming_custom_stateful``
-(update mode — its running totals are re-emitted per batch, so the sink is
-aggregated per key to stay batch-count independent) and nothing else.
+The one non-append slug is deliberate: ``streaming_custom_stateful``
+(update mode — its running totals are re-emitted per batch, written to
+parquet via ``foreachBatch`` and aggregated per key on read-back to stay
+batch-count independent). No slug uses a driver memory sink.
 
 The reference is batch-only (SURVEY §2.11) — this layer is an extension
 mandated by the north star, built on the streaming-native versions of the
@@ -36,7 +37,6 @@ from __future__ import annotations
 import os
 import shutil
 import tempfile
-import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -122,21 +122,38 @@ def run_to_parquet(stream: DataFrame, spark: SparkSession, slug: str) -> DataFra
     return spark.read.parquet(sink)
 
 
-def run_to_table(stream: DataFrame, spark: SparkSession, mode: str) -> DataFrame:
-    """Memory-sink escape hatch for output modes the file sinks don't take
-    (update). Driver-materialized — only for slugs whose per-batch output is
-    small by construction (custom_stateful emits one row per touched key)."""
-    name = f"stream_{uuid.uuid4().hex[:12]}"
+def run_update_to_parquet(stream: DataFrame, spark: SparkSession, slug: str) -> DataFrame:
+    """Drive an update-mode streaming DataFrame to completion via
+    ``foreachBatch``, appending each micro-batch's emitted rows to a parquet
+    file sink; return the read-back result (all batches' rows, so a key
+    touched in N batches appears N times — callers reduce per key).
+
+    The parquet sink proper refuses update mode, but foreachBatch receives
+    each micro-batch's update rows as a plain batch DataFrame whose write is
+    executor-side and distributed — NOTHING is materialized on the driver,
+    unlike the memory sink this replaced (r4 verdict's one scale-killer:
+    update-mode output is one row per touched key per batch, which at 100 TB
+    is the whole key population)."""
+    sink, ck = _fresh_dirs(slug)
+
+    def _append(batch_df: DataFrame, _batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(sink)
+
     with _stream_shuffle_partitions(spark):
         q = (
-            stream.writeStream.format("memory")
-            .queryName(name)
-            .outputMode(mode)
+            stream.writeStream.foreachBatch(_append)
+            .option("checkpointLocation", ck)
+            .outputMode("update")
             .trigger(availableNow=True)
             .start()
         )
         q.awaitTermination()
-    return spark.table(name)
+    wrote_files = os.path.isdir(sink) and any(
+        f.endswith(".parquet") for f in os.listdir(sink)
+    )
+    if not wrote_files:  # zero-row source: no batch ever wrote
+        return spark.createDataFrame([], stream.schema)
+    return spark.read.parquet(sink)
 
 
 def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -299,10 +316,11 @@ def streaming_custom_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     hatch for stateful logic the built-in windows can't express (here a
     running per-user counter, chosen precisely because its final state IS
     SQL-expressible, so the driver can oracle the custom-operator plumbing).
-    Update mode: each micro-batch emits one row per touched user. The sink
-    is reduced to the row with the highest cnt per user (cnt is strictly
-    monotone across batches for a touched key), so the result is identical
-    whether the source arrives as one batch or many."""
+    Update mode: each micro-batch emits one row per touched user, appended
+    to a parquet sink executor-side via foreachBatch (never the driver). The
+    read-back is reduced to the row with the highest cnt per user (cnt is
+    strictly monotone across batches for a touched key), so the result is
+    identical whether the source arrives as one batch or many."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     ev = read_events_stream(spark, sf_dir).select(
@@ -315,7 +333,7 @@ def streaming_custom_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    out = run_to_table(counted, spark, mode="update")
+    out = run_update_to_parquet(counted, spark, "custom_stateful")
     return (
         out.groupBy("user_id")
         .agg(F.max(F.struct("cnt", "sum_milli")).alias("b"))

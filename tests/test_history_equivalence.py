@@ -96,6 +96,35 @@ def test_rolling_same_day_leakage_excluded(spark):
     assert out.count() == 0  # midnight action is ON the cutoff day
 
 
+def test_equivalence_at_training_default_k1000(spark):
+    """r4 verdict #4: nothing above K=5 was ever executed while the training
+    default is max_history=1000. At K>ROLLING_AUTO_LOOKBACK_MIN_K the
+    rolling path auto-selects the bounded 365-day range frame (linear in
+    in-horizon actions, not K^2); on data spanning far less than a year the
+    bound is invisible, so the result must still EXACTLY equal the
+    unbounded join formulation."""
+    from pyspark_coding_challenge_spark.plans.flagship import encode_event_type
+    from pyspark_coding_challenge_spark.sources.readers import read_table
+
+    events = read_table(spark, "/root/testdata/sf0.01", "events")
+    span_days = events.select(
+        F.datediff(F.max(F.to_date("ts")), F.min(F.to_date("ts")))
+    ).collect()[0][0]
+    assert span_days < 300  # precondition: horizon cannot bite on this data
+
+    acts = events.select(
+        F.col("user_id").cast("bigint").alias("customer_id"),
+        F.col("ts").alias("action_time"),
+        F.col("event_id").cast("bigint").alias("item_id"),
+        encode_event_type().alias("action_type"),
+    )
+    cutoffs = events.select(
+        F.col("user_id").cast("bigint").alias("customer_id"),
+        F.to_date("ts").cast("timestamp").alias("cutoff_ts"),
+    ).distinct()
+    _assert_equivalent(spark, acts, cutoffs, k=1000)
+
+
 def test_bounded_lookback_drops_ancient_history(spark):
     actions = spark.createDataFrame(
         [

@@ -102,10 +102,13 @@ def test_multimodal_frame_sample_fans_out_and_covers_all_bytes(spark):
     assert rows[0].checksum == (ord("x") * FRAME_BYTES) % 1000000007
 
 
-def test_streaming_layer_has_no_complete_mode():
+def test_streaming_layer_has_no_complete_mode_and_no_memory_sink():
     """Round-2 verdict: complete mode retains all windows ever seen (the
-    watermark never evicts) and is a scale-killer. The layer must be
-    append-mode into file sinks everywhere, with update mode allowed only
+    watermark never evicts) and is a scale-killer. Round-4 verdict: the
+    memory sink materializes per-key update output on the DRIVER — at
+    100 TB the touched key-set is the user population and the driver OOMs.
+    The layer must be file sinks everywhere (append-mode parquet, or
+    foreachBatch-to-parquet for update mode), with update mode allowed only
     for the custom stateful counter (per-batch re-emission is its
     contract)."""
     import inspect
@@ -115,3 +118,5 @@ def test_streaming_layer_has_no_complete_mode():
     src = inspect.getsource(W)
     assert '"complete"' not in src  # no outputMode("complete") anywhere
     assert src.count('"update"') <= 2  # the custom-stateful pair only
+    assert 'format("memory")' not in src  # no driver-materialized sink
+    assert "format('memory')" not in src
