@@ -29,6 +29,8 @@ via the shared portable-hash CTEs (``dedup.minhash_pair_ctes``).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -125,7 +127,20 @@ DECON_SHINGLE_WORDS = 6  # contamination n-gram width (13-gram at prod scale)
 EVAL_MOD = 10            # synthetic eval split: doc_id % 10 == 0
 
 
-def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+# Force-broadcasting the eval side is only safe while it is actually an
+# eval SUITE (thousands to ~100k docs); the synthetic stand-in split here is
+# 10% of the corpus, which at real scale would OOM the driver if the hint
+# were unconditional (r4 advice). Above this many eval docs the hint is
+# dropped and the equi-join plans normally (AQE still broadcasts at runtime
+# if the built side turns out small; at extreme scale the upgrade is a bloom
+# filter pre-pass, same join afterwards).
+BROADCAST_EVAL_MAX_DOCS = int(
+    os.environ.get("SPARK_GRAFT_BROADCAST_EVAL_MAX_DOCS", "100000")
+)
+
+
+def decontaminate(spark: SparkSession, sf_dir: str,
+                  broadcast_eval: bool | None = None) -> DataFrame:
     """Train/eval DECONTAMINATION — the overlap detector every serious
     training-data pipeline runs before training: find training documents
     sharing any ``DECON_SHINGLE_WORDS``-word shingle with the held-out eval
@@ -133,12 +148,13 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     in for an eval suite).
 
     Shape: shingle both sides, hash each shingle to the portable 60-bit
-    fold, equi-join train-side shingle hashes against the BROADCAST eval
-    side — eval suites are tiny relative to a 100 TB corpus, so the big
-    side never shuffles (at extreme scale the broadcast becomes a bloom
-    filter pre-pass, same join afterwards). Output: one row per
-    contaminated training doc with how many eval docs it collides with and
-    on how many distinct shingles.
+    fold, equi-join train-side shingle hashes against the eval side. The
+    eval side gets an explicit broadcast hint only when it is genuinely
+    suite-sized: ``broadcast_eval=None`` (default) counts the eval docs
+    (one cheap metadata-backed scan) and hints iff the count is at most
+    ``BROADCAST_EVAL_MAX_DOCS``; pass True/False to skip the probe. Output:
+    one row per contaminated training doc with how many eval docs it
+    collides with and on how many distinct shingles.
     """
     from pyspark_coding_challenge_spark.llm.dedup import (
         _with_tokens,
@@ -158,12 +174,16 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return sh.select("doc_id", md5_fold60(F.col("s")).alias("h"))
 
+    eval_docs = d.filter(F.col("doc_id") % EVAL_MOD == 0)
+    if broadcast_eval is None:
+        broadcast_eval = eval_docs.count() <= BROADCAST_EVAL_MAX_DOCS
+
     train = _shingle_hashes(d.filter(F.col("doc_id") % EVAL_MOD != 0))
-    ev = _shingle_hashes(d.filter(F.col("doc_id") % EVAL_MOD == 0)).select(
-        F.col("doc_id").alias("eval_id"), "h"
-    )
+    ev = _shingle_hashes(eval_docs).select(F.col("doc_id").alias("eval_id"), "h")
+    if broadcast_eval:
+        ev = F.broadcast(ev)
     return (
-        train.join(F.broadcast(ev), on="h")
+        train.join(ev, on="h")
         .groupBy("doc_id")
         .agg(
             F.countDistinct("eval_id").alias("eval_matches"),

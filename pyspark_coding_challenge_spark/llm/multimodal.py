@@ -46,16 +46,46 @@ FRAME_SCHEMA = "doc_id BIGINT, frame_idx INT, frame_len INT, checksum BIGINT"
 
 
 def decode_image_real(payload: bytes) -> tuple[int, int, int]:
-    """Real decoder — requires an image codec this container doesn't ship.
-    Gated so the pipeline code path exists without the dependency."""
+    """Real decoder: (width, height, channels) via PIL when a codec is
+    available; NotImplementedError otherwise — so environments without the
+    dependency fall back to the deterministic fake decoder, and environments
+    with it exercise true pixel decoding (r4 verdict #8). The oracle path
+    stays the fake decoder either way (real image bytes aren't
+    SQL-reproducible)."""
     try:
-        from PIL import Image  # noqa: F401
+        from PIL import Image
     except ImportError as exc:
         raise NotImplementedError(
             "image codec not available in this environment; use the "
             "deterministic fake decoder (decode_meta_batches)"
         ) from exc
-    raise NotImplementedError("real decode path not wired in this build")
+    import io
+
+    with Image.open(io.BytesIO(payload)) as img:
+        img.load()  # force a full decode, not just the header probe
+        return img.width, img.height, len(img.getbands())
+
+
+def decode_meta_real_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+    """mapInPandas kernel over ``decode_image_real`` — the production twin
+    of ``decode_meta_batches`` for corpora whose payloads are true encoded
+    images. Same schema contract (fake_width/fake_height carry the REAL
+    dimensions here); raises NotImplementedError without a codec, so callers
+    select the kernel per environment."""
+    import pandas as pd
+
+    for pdf in batches:
+        dims = [decode_image_real(b) for b in pdf["payload"]]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_bytes": pdf["payload"].map(len).astype("int32"),
+                "first_byte": pdf["payload"].map(lambda b: b[0] if len(b) else -1).astype("int32"),
+                "fake_width": pd.Series([d[0] for d in dims], index=pdf.index, dtype="int32"),
+                "fake_height": pd.Series([d[1] for d in dims], index=pdf.index, dtype="int32"),
+                "channels": pd.Series([d[2] for d in dims], index=pdf.index, dtype="int32"),
+            }
+        )
 
 
 def decode_meta_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:

@@ -309,9 +309,14 @@ def text_corpus_dup_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
         _with_tokens(d)
         .select("doc_id", F.explode(_word_shingles("_toks")).alias("s"))
         .select("doc_id", md5_fold60(F.col("s")).alias("h"))
+        # Shingles are distinct within a doc PRE-hash, but two distinct
+        # shingles could collide on the 60-bit fold; dedup (doc_id, h) so the
+        # per-hash row count below is EXACTLY count-distinct-docs (r4 advice)
+        # — the unit becomes "distinct shingle hash", identically on both
+        # engines, with no collision assumption. Map-side partial distinct
+        # keeps the extra exchange thin.
+        .distinct()
     )
-    # Shingles are distinct WITHIN a doc, so count(*) per hash == number of
-    # docs containing the shingle.
     with_freq = h.withColumn("n_docs", F.count("*").over(Window.partitionBy("h")))
     return (
         with_freq.groupBy("doc_id")
@@ -337,16 +342,16 @@ def _corpus_dup_frac_oracle() -> str:
 WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
 sets AS (SELECT doc_id, {_sql_shingles('toks')} AS sh FROM d),
 ex AS (SELECT doc_id, unnest(sh) AS s FROM sets),
-h AS (SELECT doc_id, {sql_md5_fold60('s')} AS h FROM ex),
-freq AS (SELECT h, count(DISTINCT doc_id) AS n_docs FROM h GROUP BY h)
-SELECT h.doc_id,
+hs AS (SELECT DISTINCT doc_id, {sql_md5_fold60('s')} AS h FROM ex),
+freq AS (SELECT h, count(*) AS n_docs FROM hs GROUP BY h)
+SELECT hs.doc_id,
        count(*) AS n_shingles,
        CAST(sum(CASE WHEN freq.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
          AS shared_shingles,
        ROUND(CAST(sum(CASE WHEN freq.n_docs > 1 THEN 1 ELSE 0 END) AS DOUBLE)
              / count(*), 6) AS dup_frac
-FROM h JOIN freq USING (h)
-GROUP BY h.doc_id
+FROM hs JOIN freq USING (h)
+GROUP BY hs.doc_id
 """
 
 

@@ -77,11 +77,23 @@ def test_watermark_drops_late_rows_across_batches(spark, tmp_path):
     assert got == {("2024-01-01 08:00:00", 1)}
 
 
-def test_multimodal_real_decode_is_gated_not_fake(spark):
+def test_multimodal_real_decode_is_gated_or_decodes(spark):
+    """Without a codec the real path must refuse (NotImplementedError, never
+    a fake answer); with PIL present it must decode true image bytes."""
     from pyspark_coding_challenge_spark.llm.multimodal import decode_image_real
 
-    with pytest.raises(NotImplementedError):
-        decode_image_real(b"\x89PNG fake header")
+    try:
+        from PIL import Image
+    except ImportError:
+        with pytest.raises(NotImplementedError):
+            decode_image_real(b"\x89PNG fake header")
+        return
+
+    import io
+
+    buf = io.BytesIO()
+    Image.new("RGB", (7, 5)).save(buf, format="PNG")
+    assert decode_image_real(buf.getvalue()) == (7, 5, 3)
 
 
 def test_multimodal_frame_sample_fans_out_and_covers_all_bytes(spark):
