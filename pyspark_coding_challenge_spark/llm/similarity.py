@@ -143,12 +143,22 @@ def lsh_buckets(emb_sql: str = "emb") -> Column:
     return F.expr("array(" + ", ".join(codes) + ")")
 
 
-def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def embedding_ann_lsh(spark: SparkSession, sf_dir: str,
+                      multiprobe: int = 0) -> DataFrame:
     """ANN top-k: candidates restricted to vectors sharing an LSH bucket with
     the query in at least one table, exact cosine re-rank on candidates.
     Rows-only driver check (bucket membership is seed-defined); the
     guarantees that matter — near-dup vectors ARE found, output is a subset
-    of the brute-force ranking — are property-tested.
+    of the brute-force ranking, recall at sf0.1 stays above the pinned
+    bounds — are property-tested (tests/test_llm_similarity.py).
+
+    ``multiprobe=1`` additionally probes, per table, every bucket whose code
+    differs from the query's in exactly one bit (the classic flip-one-bit
+    multiprobe): a near neighbor that lands just across one hyperplane is
+    still found, at the cost of ``PLANES_PER_TABLE`` extra (cheap, equi-join
+    keyed) probes per table — the standard recall/cost dial when fixed
+    hyperplanes meet structureless data. Only the QUERY side fans out; the
+    corpus bucketing pass is unchanged, so the scale shape is identical.
 
     Scale shape: bucketing the corpus is one narrow pass emitting
     (table, code, vec_id); the candidate join is an equi-join on
@@ -173,6 +183,15 @@ def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tbl",
         "code",
     )
+    if multiprobe >= 1:
+        probes = F.array(
+            F.col("code"),
+            *[
+                F.col("code").bitwiseXOR(F.lit(1 << j))
+                for j in range(PLANES_PER_TABLE)
+            ],
+        )
+        queries = queries.withColumn("code", F.explode(probes))
     cands = (
         buckets.join(F.broadcast(queries), on=["tbl", "code"])
         .filter(F.col("vec_id") != F.col("query_id"))

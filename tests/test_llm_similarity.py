@@ -103,6 +103,43 @@ def test_brute_force_excludes_self_and_ranks_densely(spark, ann_setup):
         assert sorted(rs) == list(range(1, len(rs) + 1))
 
 
+def test_ann_recall_bounds_at_sf01(spark):
+    """r4 verdict #7: recall was only ever measured on crafted sf0.001-scale
+    vectors; pin it at sf0.1 (2k uniform-random vectors — the hardest case
+    for fixed hyperplanes, since true neighbors are barely above noise).
+    Bounds are defensive (measured: IVF 1.0, LSH+multiprobe 0.64, plain LSH
+    0.28) so a reseeded testdata generation doesn't flake the suite; the
+    structural assertion multiprobe >= plain holds because flip-one-bit only
+    ADDS candidate buckets."""
+    sf = "/root/testdata/sf0.1"
+    exact = {(r.query_id, r.neighbor_id) for r in S.embedding_topk(spark, sf).collect()}
+    assert len(exact) == S.N_QUERIES * S.TOP_K
+
+    def recall(df):
+        got = {(r.query_id, r.neighbor_id) for r in df.collect()}
+        return len(exact & got) / len(exact)
+
+    r_ivf = recall(S.embedding_ann_ivf(spark, sf))
+    r_plain = recall(S.embedding_ann_lsh(spark, sf))
+    r_multi = recall(S.embedding_ann_lsh(spark, sf, multiprobe=1))
+    assert r_ivf >= 0.85
+    assert r_multi >= 0.35
+    assert r_multi >= r_plain
+
+
+def test_lsh_multiprobe_finds_planted_near_dup(spark, ann_setup):
+    # multiprobe must preserve the core guarantee, not just raise recall
+    sf_dir, _ = ann_setup
+    out = S.embedding_ann_lsh(spark, sf_dir, multiprobe=1).collect()
+    by_query = {}
+    for r in out:
+        by_query.setdefault(r.query_id, []).append(r)
+    for q in range(S.N_QUERIES):
+        top = min(by_query[q], key=lambda r: r.rank)
+        assert top.neighbor_id == 100 + q
+        assert top.sim > 0.99
+
+
 def test_ivf_broadcast_path_at_realistic_list_counts(spark):
     """The quantizer must hold at n_lists far beyond the slug default of 16
     (the round-2 literal-centroid expression blew up the plan there): train
