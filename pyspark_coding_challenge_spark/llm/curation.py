@@ -47,14 +47,29 @@ MIN_WORDS = 5     # quality gate: at least 5 whitespace tokens
 MIN_CHARS = 20    # and at least 20 characters
 
 
-def _kept_and_pairs(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """Quality-filter + exact-dedup ``docs`` -> ``kept``, then run the LSH
-    candidate generator + Jaccard verify ONCE -> ``near`` (verified pairs,
-    doc_a < doc_b). Both are checkpointed: ``kept`` feeds four consumers
-    (shingling twice, the anti-join, the output projection) and ``near``
-    feeds both the removal policy and the cluster audit — materializing each
-    once is exactly what a production pipeline does (on a real cluster:
-    ``persist``/``checkpoint`` instead of ``localCheckpoint``)."""
+def _kept_and_pairs(docs: DataFrame,
+                    shared_pairs: DataFrame | None = None) -> tuple[DataFrame, DataFrame]:
+    """Quality-filter + exact-dedup ``docs`` -> ``kept``, then obtain the
+    verified near-dup pairs WITHIN kept -> ``near`` (doc_a < doc_b). Both
+    are checkpointed: ``kept`` feeds four consumers (shingling twice, the
+    anti-join, the output projection) and ``near`` feeds both the removal
+    policy and the cluster audit — materializing each once is exactly what
+    a production pipeline does (on a real cluster: ``persist``/
+    ``checkpoint`` instead of ``localCheckpoint``).
+
+    ``shared_pairs``: the session-cached full-corpus verified pair graph
+    (``dedup.verified_pairs_for_dir``). Minhash signatures, band buckets,
+    and pairwise Jaccard are all PER-DOC / PER-PAIR quantities — no doc's
+    value depends on what else is in the corpus — so the kept-corpus pair
+    graph is exactly the full-corpus graph with both endpoints restricted
+    to kept ids (two semi-joins), and recomputing the shingle->minhash->
+    verify chain over ``kept`` would produce the identical set while paying
+    the whole chain again. (Sole caveat: the mega-bucket chunk cap splits
+    by id order WITHIN the corpus actually bucketed, so an over-cap bucket
+    could chunk differently full-vs-kept; buckets at test scale are far
+    under the cap, and at production scale the restriction direction only
+    gains recall.) When ``shared_pairs`` is None the chain is computed over
+    ``kept`` directly — the standalone shape."""
     q = docs.filter(
         (F.size(F.split(F.col("text"), " ")) >= MIN_WORDS)
         & (F.length("text") >= MIN_CHARS)
@@ -65,9 +80,17 @@ def _kept_and_pairs(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
         .select("doc_id")
     )
     kept = q.join(keepers, on="doc_id", how="left_semi").localCheckpoint()
+    if shared_pairs is not None:
+        ids = kept.select("doc_id")
+        verified = shared_pairs.join(
+            ids.select(F.col("doc_id").alias("doc_a")), on="doc_a", how="left_semi"
+        ).join(
+            ids.select(F.col("doc_id").alias("doc_b")), on="doc_b", how="left_semi"
+        )
+    else:
+        verified = verify_jaccard(kept, lsh_candidate_pairs(kept))
     near = (
-        verify_jaccard(kept, lsh_candidate_pairs(kept))
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        verified.filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b")
         .localCheckpoint()
     )
@@ -87,14 +110,20 @@ def _curated(kept: DataFrame, near: DataFrame) -> DataFrame:
     )
 
 
-def curate_corpus(docs: DataFrame) -> DataFrame:
+def curate_corpus(docs: DataFrame,
+                  shared_pairs: DataFrame | None = None) -> DataFrame:
     """The curation chain over a (doc_id, text, source) relation; returns
     surviving docs with exact token/char counts."""
-    return _curated(*_kept_and_pairs(docs))
+    return _curated(*_kept_and_pairs(docs, shared_pairs))
 
 
 def llm_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return curate_corpus(read_table(spark, sf_dir, "documents"))
+    from pyspark_coding_challenge_spark.llm.dedup import verified_pairs_for_dir
+
+    return curate_corpus(
+        read_table(spark, sf_dir, "documents"),
+        shared_pairs=verified_pairs_for_dir(spark, sf_dir),
+    )
 
 
 def corpus_curation_with_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -105,9 +134,16 @@ def corpus_curation_with_clusters(spark: SparkSession, sf_dir: str) -> DataFrame
     Greedy-by-pairs can split a chain a~b, b~c into two decisions;
     components are the policy-free ground truth a curation pipeline audits
     against (e.g. keep exactly one doc per component). The pair graph is
-    computed once and shared (``_kept_and_pairs``). Section ``decontam`` =
-    train/eval shingle-overlap detection (``decontaminate``)."""
-    kept, near = _kept_and_pairs(read_table(spark, sf_dir, "documents"))
+    computed once and shared (``_kept_and_pairs``), and since round 5 comes
+    from the SESSION-shared full-corpus pair graph restricted to kept docs
+    (see ``_kept_and_pairs``). Section ``decontam`` = train/eval
+    shingle-overlap detection (``decontaminate``)."""
+    from pyspark_coding_challenge_spark.llm.dedup import verified_pairs_for_dir
+
+    kept, near = _kept_and_pairs(
+        read_table(spark, sf_dir, "documents"),
+        shared_pairs=verified_pairs_for_dir(spark, sf_dir),
+    )
     curated = _curated(kept, near).select(F.lit("curated").alias("section"), "*")
     clusters = (
         connected_components(near)
