@@ -255,6 +255,16 @@ def test_lsh_small_buckets_identical_with_and_without_cap(spark):
     assert capped == huge
 
 
+def test_lsh_candidate_join_is_keyed_by_chunk(spark):
+    # structural pin: the candidate equi-join must carry the chunk id in its
+    # join keys — that key is WHY a mega-bucket cannot pair-expand across
+    # chunks (dropping it would silently reintroduce the O(b^2) edge while
+    # every small-corpus behavior test stays green).
+    docs = _docs(spark, [BASE, BASE])
+    plan = D.lsh_candidate_pairs(docs)._jdf.queryExecution().toString()
+    assert "_ck" in plan
+
+
 def test_verified_pairs_for_dir_is_materialized_once_per_session(spark):
     # the shared pair-graph API: same DataFrame object back, persisted.
     a = D.verified_pairs_for_dir(spark, "/root/testdata/sf0.001")

@@ -114,6 +114,37 @@ def test_multimodal_frame_sample_fans_out_and_covers_all_bytes(spark):
     assert rows[0].checksum == (ord("x") * FRAME_BYTES) % 1000000007
 
 
+def test_update_mode_foreachbatch_handles_zero_row_source(spark, tmp_path):
+    """The foreachBatch-to-parquet path must return an empty frame with the
+    right schema when the source stream has no rows (no batch may ever
+    write, leaving no parquet to read back)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from pyspark_coding_challenge_spark.streaming.windows import (
+        _counter_fn,
+        run_update_to_parquet,
+    )
+
+    src = tmp_path / "empty_src"
+    src.mkdir()
+    spark.createDataFrame([], "user_id BIGINT, value_milli BIGINT").write.parquet(
+        str(src / "part.parquet")
+    )
+    stream = spark.readStream.schema("user_id BIGINT, value_milli BIGINT").parquet(
+        str(src)
+    )
+    counted = stream.groupBy("user_id").applyInPandasWithState(
+        _counter_fn,
+        outputStructType="user_id BIGINT, cnt BIGINT, sum_milli BIGINT",
+        stateStructType="cnt BIGINT, sum_milli BIGINT",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    out = run_update_to_parquet(counted, spark, "test_empty_update")
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["user_id", "cnt", "sum_milli"]
+
+
 def test_streaming_layer_has_no_complete_mode_and_no_memory_sink():
     """Round-2 verdict: complete mode retains all windows ever seen (the
     watermark never evicts) and is a scale-killer. Round-4 verdict: the
