@@ -151,3 +151,34 @@ def test_mixture_sample_is_scan_plus_filter_only(spark):
     plan = _plan_fn(spark, P.mixture_sample)
     assert "Exchange" not in plan
     assert plan.count("FileScan parquet") == 1
+
+
+def test_lsh_candidate_join_reads_one_band_materialization(spark):
+    """The chunk-split guard feeds four plan branches (chunked + overlap on
+    both sides of the self-join); without the band-relation checkpoint each
+    branch re-runs the whole shingle->minhash chain from the raw table —
+    at 100 TB, four corpus passes instead of one. The candidate plan must
+    contain NO parquet scan (every branch reads the thin materialized
+    (id, band, bucket, rn) relation)."""
+    from pyspark_coding_challenge_spark.llm import dedup as D
+    from pyspark_coding_challenge_spark.sources.readers import read_table
+
+    d = read_table(spark, SF_DIR, "documents")
+    plan = D.lsh_candidate_pairs(d)._jdf.queryExecution().executedPlan().toString()
+    assert "Scan parquet" not in plan and "FileScan parquet" not in plan
+
+
+def test_minhash_slug_reuses_persisted_pair_graph(spark):
+    """The shared per-session pair graph (verified_pairs_for_dir) must show
+    up as an InMemoryTableScan in the minhash slug's plan — i.e. consumers
+    read the materialization instead of re-deriving the minhash chain (r4
+    'What's missing' #2, now an executable gate). dedup_clusters shares the
+    same source but can't be gated this way: connected_components ends in a
+    localCheckpoint, which truncates the visible lineage."""
+    from pyspark_coding_challenge_spark.llm import dedup as D
+
+    D.verified_pairs_for_dir(spark, SF_DIR).count()  # ensure materialized
+    plan = _plan(spark, "dedup_minhash_lsh")
+    # (parquet scans still APPEAR in the string — InMemoryTableScan prints
+    # the plan it cached — but execution reads the materialization.)
+    assert "InMemoryTableScan" in plan
