@@ -414,11 +414,83 @@ FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# PII scrubbing (email / IPv4 / E.164-phone redaction)
+# ---------------------------------------------------------------------------
+
+# Dialect-portable patterns: no backreferences or lookaround, so Java regex
+# (Spark) and RE2 (DuckDB) agree. Replacement strings contain no '$'/'\',
+# so Java replacement escaping can't diverge either.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b"
+PII_PHONE_RE = r"\+[0-9]{7,15}"
+
+
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction — the scrub pass every public-web training corpus runs
+    before the text reaches a model: count and replace emails, IPv4
+    addresses, and E.164-style phone numbers with typed placeholder tokens.
+
+    The synthetic corpus contains no organic PII, so each doc's text is
+    AUGMENTED with deterministic doc_id-derived PII (an email, a phone, an
+    IP) identically on both engines — the kernel then demonstrably matches
+    and redacts real patterns while staying fully DuckDB-oracled (counts
+    AND the md5 of the scrubbed text are compared, so a replacement-
+    semantics divergence between Java regex and RE2 would hash-mismatch).
+
+    Scale shape: pure per-row regex in whole-stage codegen — no shuffle, no
+    UDF; linear in corpus bytes, embarrassingly parallel over splits. At
+    100 TB the same pass runs with the augmentation removed (real corpora
+    bring their own PII)."""
+    d = read_table(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id").cast("string"), F.lit("@example.com"),
+        F.lit(" or +1555"), F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" from 10.0."), (F.col("doc_id") % 256).cast("string"), F.lit(".7"),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(aug, PII_EMAIL_RE, "<EMAIL>"),
+            PII_PHONE_RE, "<PHONE>",
+        ),
+        PII_IPV4_RE, "<IP>",
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_count(aug, F.lit(PII_EMAIL_RE)).cast("int").alias("n_emails"),
+        F.regexp_count(aug, F.lit(PII_PHONE_RE)).cast("int").alias("n_phones"),
+        F.regexp_count(aug, F.lit(PII_IPV4_RE)).cast("int").alias("n_ips"),
+        F.md5(scrubbed).alias("scrubbed_md5"),
+    )
+
+
+def _pii_scrub_oracle() -> str:
+    aug = (
+        "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'"
+        " || ' or +1555' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+        " || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'"
+    )
+    return f"""
+WITH a AS (SELECT doc_id, {aug} AS aug FROM documents)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(aug, '{PII_EMAIL_RE}')) AS INTEGER) AS n_emails,
+       CAST(len(regexp_extract_all(aug, '\\+[0-9]{{7,15}}')) AS INTEGER) AS n_phones,
+       CAST(len(regexp_extract_all(aug, '{PII_IPV4_RE}')) AS INTEGER) AS n_ips,
+       md5(regexp_replace(
+             regexp_replace(
+               regexp_replace(aug, '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+               '\\+[0-9]{{7,15}}', '<PHONE>', 'g'),
+             '{PII_IPV4_RE}', '<IP>', 'g')) AS scrubbed_md5
+FROM a
+"""
+
+
 def register_all(register) -> None:
     """text_analysis carries the per-document kernels plus the two
-    repetition/duplication pressure signals as sections (one driver slot,
-    same per-section oracles); the corpus-level vocabulary is its own
-    slug."""
+    repetition/duplication pressure signals and the PII scrub as sections
+    (one driver slot, same per-section oracles); the corpus-level
+    vocabulary is its own slug."""
     from pyspark_coding_challenge_spark.plans.merge import register_merged
 
     register_merged(register, "text_analysis", [
@@ -429,5 +501,6 @@ def register_all(register) -> None:
         ("pack_sequences", text_pack_sequences, TEXT_PACK_SEQUENCES_ORACLE),
         ("repetition", text_repetition, TEXT_REPETITION_ORACLE),
         ("corpus_dup_frac", text_corpus_dup_frac, _corpus_dup_frac_oracle()),
+        ("pii_scrub", text_pii_scrub, _pii_scrub_oracle()),
     ])
     register("text_vocab_topn", text_vocab_topn, TEXT_VOCAB_TOPN_ORACLE)
