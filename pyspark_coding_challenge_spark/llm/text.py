@@ -415,6 +415,117 @@ FROM (
 
 
 # ---------------------------------------------------------------------------
+# span-level duplication (exact-substring dedup pressure, Lee et al. style)
+# ---------------------------------------------------------------------------
+
+SPAN_K = 8  # contiguous-token window width (50-char-ish at prod scale)
+
+
+def text_span_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-SPAN coverage per document — the positional signal behind
+    exact-substring dedup ("Deduplicating Training Data Makes Language
+    Models Better"): what fraction of a doc's token positions lie inside a
+    ``SPAN_K``-token window that also occurs verbatim in another document.
+    Differs from ``text_corpus_dup_frac`` (distinct 3-shingle overlap) in
+    being positional and contiguous: a boilerplate paragraph pasted into an
+    otherwise-unique page lights up here even when the page's shingle SET
+    barely overlaps anything.
+
+    Shape at 100 TB (the relational stand-in for a suffix array): explode
+    positional window hashes, dedupe (doc, hash), count docs per hash (one
+    hash-key shuffle), join shared hashes back to their positions (same
+    key), then per-doc coverage via an exploded position-range distinct —
+    every join/agg is keyed by the 60-bit hash or doc_id, never by text."""
+    from pyspark_coding_challenge_spark.llm.dedup import md5_fold60, _with_tokens
+    from pyspark_coding_challenge_spark.sources.readers import rebalance_for_compute
+
+    k = SPAN_K
+    d = rebalance_for_compute(read_table(spark, sf_dir, "documents"), "doc_id")
+    t = _with_tokens(d).select("doc_id", "_toks", F.size("_toks").alias("_n"))
+    gram = F.concat_ws(
+        " ", *[F.expr(f"element_at(_toks, i + {j})") for j in range(k)]
+    )
+    pos = (
+        t.select(
+            "doc_id",
+            F.explode(
+                F.expr(f"CASE WHEN _n >= {k} THEN sequence(1, _n - {k - 1}) "
+                       "ELSE CAST(array() AS ARRAY<INT>) END")
+            ).alias("i"),
+            "_toks",
+        )
+        .select("doc_id", "i", md5_fold60(gram).alias("h"))
+    )
+    freq = (
+        pos.select("doc_id", "h").distinct()
+        .groupBy("h").agg(F.count("*").alias("_nd"))
+        .filter(F.col("_nd") > 1)
+        .select("h")
+    )
+    shared = pos.join(freq, on="h")
+    cov = (
+        shared.select("doc_id", F.explode(F.expr(f"sequence(i, i + {k - 1})")).alias("p"))
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("covered_tokens"))
+    )
+    starts = shared.groupBy("doc_id").agg(F.count("*").alias("shared_starts"))
+    base = t.select("doc_id", F.col("_n").cast("int").alias("n_tokens"))
+    out = (
+        base.join(starts, on="doc_id", how="left")
+        .join(cov, on="doc_id", how="left")
+    )
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce("shared_starts", F.lit(0)).cast("bigint").alias("shared_starts"),
+        F.coalesce("covered_tokens", F.lit(0)).cast("bigint").alias("covered_tokens"),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.round(
+                F.coalesce("covered_tokens", F.lit(0)).cast("double") / F.col("n_tokens"), 6
+            ),
+        ).otherwise(0.0).alias("span_dup_frac"),
+    )
+
+
+def _span_dup_oracle() -> str:
+    from pyspark_coding_challenge_spark.llm.dedup import sql_md5_fold60
+
+    k = SPAN_K
+    gram = " || ' ' || ".join(f"toks[i + {j}]" for j in range(k))
+    return f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+starts AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(1, greatest(len(toks) - {k - 1}, 0))) AS i
+  FROM d
+),
+g AS (SELECT doc_id, i, {sql_md5_fold60(f"({gram})")} AS h FROM starts),
+dd AS (SELECT DISTINCT doc_id, h FROM g),
+freq AS (SELECT h FROM dd GROUP BY h HAVING count(*) > 1),
+sh AS (SELECT g.doc_id, g.i FROM g JOIN freq USING (h)),
+cov AS (
+  SELECT doc_id, count(DISTINCT p) AS covered FROM
+    (SELECT doc_id, unnest(generate_series(i, i + {k - 1})) AS p FROM sh)
+  GROUP BY doc_id
+),
+shs AS (SELECT doc_id, count(*) AS shared_starts FROM sh GROUP BY doc_id),
+base AS (SELECT doc_id, len(toks) AS n_tokens FROM d)
+SELECT base.doc_id,
+       CAST(base.n_tokens AS INTEGER) AS n_tokens,
+       CAST(COALESCE(shs.shared_starts, 0) AS BIGINT) AS shared_starts,
+       CAST(COALESCE(cov.covered, 0) AS BIGINT) AS covered_tokens,
+       CASE WHEN base.n_tokens > 0
+            THEN ROUND(CAST(COALESCE(cov.covered, 0) AS DOUBLE) / base.n_tokens, 6)
+            ELSE 0.0 END AS span_dup_frac
+FROM base
+LEFT JOIN shs ON shs.doc_id = base.doc_id
+LEFT JOIN cov ON cov.doc_id = base.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # PII scrubbing (email / IPv4 / E.164-phone redaction)
 # ---------------------------------------------------------------------------
 
@@ -502,5 +613,6 @@ def register_all(register) -> None:
         ("repetition", text_repetition, TEXT_REPETITION_ORACLE),
         ("corpus_dup_frac", text_corpus_dup_frac, _corpus_dup_frac_oracle()),
         ("pii_scrub", text_pii_scrub, _pii_scrub_oracle()),
+        ("span_dup", text_span_dup, _span_dup_oracle()),
     ])
     register("text_vocab_topn", text_vocab_topn, TEXT_VOCAB_TOPN_ORACLE)
