@@ -432,10 +432,13 @@ def text_span_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     barely overlaps anything.
 
     Shape at 100 TB (the relational stand-in for a suffix array): explode
-    positional window hashes, dedupe (doc, hash), count docs per hash (one
-    hash-key shuffle), join shared hashes back to their positions (same
-    key), then per-doc coverage via an exploded position-range distinct —
-    every join/agg is keyed by the 60-bit hash or doc_id, never by text."""
+    positional window hashes, then ONE shuffle keyed by the 60-bit hash: a
+    window min/max of doc_id per hash decides "occurs in another doc"
+    (min != max iff >= 2 distinct docs carry the hash — no distinct pass,
+    no count-distinct, no join back, and the gram explode is consumed
+    exactly once), then per-doc coverage via an exploded position-range
+    distinct — every shuffle is keyed by the hash or doc_id, never by
+    text."""
     from pyspark_coding_challenge_spark.llm.dedup import md5_fold60, _with_tokens
     from pyspark_coding_challenge_spark.sources.readers import rebalance_for_compute
 
@@ -456,25 +459,30 @@ def text_span_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "i", md5_fold60(gram).alias("h"))
     )
-    freq = (
-        pos.select("doc_id", "h").distinct()
-        .groupBy("h").agg(F.count("*").alias("_nd"))
-        .filter(F.col("_nd") > 1)
-        .select("h")
+    w_h = Window.partitionBy("h")
+    shared = (
+        pos.withColumn("_mn", F.min("doc_id").over(w_h))
+        .withColumn("_mx", F.max("doc_id").over(w_h))
+        .filter(F.col("_mn") != F.col("_mx"))
+        .select("doc_id", "i")
     )
-    shared = pos.join(freq, on="h")
-    cov = (
-        shared.select("doc_id", F.explode(F.expr(f"sequence(i, i + {k - 1})")).alias("p"))
-        .distinct()
+    # One aggregation serves both outputs: after exploding each start's
+    # covered range, countDistinct(i) recovers the start count (starts are
+    # unique per doc by construction) and countDistinct(p) the coverage —
+    # so the explode->window chain has exactly ONE consumer and is never
+    # recomputed.
+    agg = (
+        shared.select(
+            "doc_id", "i", F.explode(F.expr(f"sequence(i, i + {k - 1})")).alias("p")
+        )
         .groupBy("doc_id")
-        .agg(F.count("*").alias("covered_tokens"))
+        .agg(
+            F.countDistinct("i").alias("shared_starts"),
+            F.countDistinct("p").alias("covered_tokens"),
+        )
     )
-    starts = shared.groupBy("doc_id").agg(F.count("*").alias("shared_starts"))
     base = t.select("doc_id", F.col("_n").cast("int").alias("n_tokens"))
-    out = (
-        base.join(starts, on="doc_id", how="left")
-        .join(cov, on="doc_id", how="left")
-    )
+    out = base.join(agg, on="doc_id", how="left")
     return out.select(
         "doc_id",
         "n_tokens",
