@@ -92,3 +92,69 @@ def test_mixture_sample_is_deterministic_and_rate_faithful(spark):
         assert n_kept <= n_by_source[source]
         # rate 2000-9999 bp; with n=25 a >0.999-confidence bound is loose
         assert n_kept / n_by_source[source] <= rates[source] / 10000 + 0.35
+
+
+# ---------------------------------------------------------------------------
+# PII scrub + span-duplication kernels (crafted inputs — the oracle equality
+# in the registry suite can't catch a semantics change applied to BOTH sides)
+# ---------------------------------------------------------------------------
+
+
+def _docs_dir(spark, tmp_path, rows):
+    df = spark.createDataFrame(
+        rows, schema="doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    return str(tmp_path)
+
+
+def test_pii_scrub_counts_organic_and_injected_pii(spark, tmp_path):
+    from pyspark_coding_challenge_spark.llm.text import text_pii_scrub
+
+    sf = _docs_dir(spark, tmp_path, [
+        # organic email + phone + ip IN the text, plus the injected triple
+        (1, "reach a.b+c@mail.example.org or +4915712345678 at 192.168.0.1 now", "en", "s", 0),
+        (2, "no personal data here at all", "en", "s", 0),
+    ])
+    got = {r.doc_id: r for r in text_pii_scrub(spark, sf).collect()}
+    assert (got[1].n_emails, got[1].n_phones, got[1].n_ips) == (2, 2, 2)
+    assert (got[2].n_emails, got[2].n_phones, got[2].n_ips) == (1, 1, 1)
+    assert got[1].scrubbed_md5 != got[2].scrubbed_md5
+
+
+def test_span_dup_exact_coverage_on_crafted_pair(spark, tmp_path):
+    from pyspark_coding_challenge_spark.llm.text import SPAN_K, text_span_dup
+
+    k = SPAN_K
+    shared_run = " ".join(f"s{i}" for i in range(k))        # exactly one shared window
+    uniq = lambda tag, n: " ".join(f"{tag}{i}" for i in range(n))
+    sf = _docs_dir(spark, tmp_path, [
+        (1, f"{uniq('a', 4)} {shared_run} {uniq('b', 4)}", "en", "s", 0),
+        (2, f"{uniq('c', 4)} {shared_run} {uniq('d', 4)}", "en", "s", 0),
+        (3, uniq("e", k + 6), "en", "s", 0),                # nothing shared
+    ])
+    got = {r.doc_id: r for r in text_span_dup(spark, sf).collect()}
+    # docs 1/2: 4 + k + 4 tokens; the single shared k-window covers k tokens
+    for d in (1, 2):
+        assert got[d].n_tokens == k + 8
+        assert got[d].shared_starts == 1
+        assert got[d].covered_tokens == k
+        assert abs(got[d].span_dup_frac - k / (k + 8)) < 1e-6
+    assert got[3].shared_starts == 0 and got[3].covered_tokens == 0
+    assert got[3].span_dup_frac == 0.0
+
+
+def test_span_dup_overlapping_windows_cover_union_not_sum(spark, tmp_path):
+    from pyspark_coding_challenge_spark.llm.text import SPAN_K, text_span_dup
+
+    k = SPAN_K
+    # identical docs: every window shared; coverage = n_tokens, not starts*k
+    text = " ".join(f"t{i}" for i in range(k + 5))
+    sf = _docs_dir(spark, tmp_path, [
+        (1, text, "en", "s", 0), (2, text, "en", "s", 0),
+    ])
+    got = {r.doc_id: r for r in text_span_dup(spark, sf).collect()}
+    for d in (1, 2):
+        assert got[d].shared_starts == 6          # (k+5) - k + 1 starts
+        assert got[d].covered_tokens == k + 5     # full union coverage
+        assert got[d].span_dup_frac == 1.0
