@@ -27,6 +27,13 @@ def test_slug_matches_oracle(spark, slug):
     assert_matches_oracle(fn(spark, SF_DIR), sql, SF_DIR)
 
 
+def test_registry_holds_exactly_fifty_slugs():
+    """The driver's correctness gate records at most 50 slugs; a 51st would
+    silently fall outside the window (new capability -> merge it as a
+    section of an existing slug, see plans/merge.py)."""
+    assert len(_SLUGS) == 50, f"{len(_SLUGS)} slugs registered"
+
+
 def test_every_query_output_is_driver_hashable(spark):
     """No registered query may emit array/struct/map columns — the driver's
     pandas canonicalizer crashes on non-scalar cells (the r1 failure)."""
