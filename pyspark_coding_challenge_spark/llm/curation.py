@@ -64,11 +64,15 @@ def _kept_and_pairs(docs: DataFrame,
     graph is exactly the full-corpus graph with both endpoints restricted
     to kept ids (two semi-joins), and recomputing the shingle->minhash->
     verify chain over ``kept`` would produce the identical set while paying
-    the whole chain again. (Sole caveat: the mega-bucket chunk cap splits
-    by id order WITHIN the corpus actually bucketed, so an over-cap bucket
-    could chunk differently full-vs-kept; buckets at test scale are far
-    under the cap, and at production scale the restriction direction only
-    gains recall.) When ``shared_pairs`` is None the chain is computed over
+    the whole chain again. (Sole caveat: wherever the mega-bucket chunk cap
+    actually binds, the two paths can differ in EITHER direction — an
+    over-cap full-corpus bucket is chunk-split by id order over the FULL
+    membership, so two kept docs can land in different chunks even when the
+    kept-only bucket would be under the cap and pair them. Banded LSH is
+    already probabilistic recall; the cap is the same documented recall
+    trade, and ``lsh_oversized_buckets`` is the audit for where it binds.
+    No test-scale bucket approaches the cap, so the driver hashes are
+    unaffected.) When ``shared_pairs`` is None the chain is computed over
     ``kept`` directly — the standalone shape."""
     q = docs.filter(
         (F.size(F.split(F.col("text"), " ")) >= MIN_WORDS)
@@ -164,14 +168,17 @@ EVAL_MOD = 10            # synthetic eval split: doc_id % 10 == 0
 
 
 # Force-broadcasting the eval side is only safe while it is actually an
-# eval SUITE (thousands to ~100k docs); the synthetic stand-in split here is
-# 10% of the corpus, which at real scale would OOM the driver if the hint
-# were unconditional (r4 advice). Above this many eval docs the hint is
-# dropped and the equi-join plans normally (AQE still broadcasts at runtime
-# if the built side turns out small; at extreme scale the upgrade is a bloom
-# filter pre-pass, same join afterwards).
-BROADCAST_EVAL_MAX_DOCS = int(
-    os.environ.get("SPARK_GRAFT_BROADCAST_EVAL_MAX_DOCS", "100000")
+# eval SUITE; the synthetic stand-in split here is 10% of the corpus, which
+# at real scale would OOM the driver if the hint were unconditional (r4
+# advice). What is broadcast is NOT the eval docs but their exploded
+# (eval_id, shingle-hash) rows — one per token, roughly — so the guard
+# bounds eval-side TOKENS, not doc count (a 100k-doc x 1k-token suite is
+# ~10^8 broadcast rows; a doc-count bound would wave it through). Above the
+# bound the hint is dropped and the equi-join plans normally (AQE still
+# broadcasts at runtime if the built side turns out small; at extreme scale
+# the upgrade is a bloom filter pre-pass, same join afterwards).
+BROADCAST_EVAL_MAX_TOKENS = int(
+    os.environ.get("SPARK_GRAFT_BROADCAST_EVAL_MAX_TOKENS", "2000000")
 )
 
 
@@ -186,11 +193,12 @@ def decontaminate(spark: SparkSession, sf_dir: str,
     Shape: shingle both sides, hash each shingle to the portable 60-bit
     fold, equi-join train-side shingle hashes against the eval side. The
     eval side gets an explicit broadcast hint only when it is genuinely
-    suite-sized: ``broadcast_eval=None`` (default) counts the eval docs
-    (one cheap metadata-backed scan) and hints iff the count is at most
-    ``BROADCAST_EVAL_MAX_DOCS``; pass True/False to skip the probe. Output:
-    one row per contaminated training doc with how many eval docs it
-    collides with and on how many distinct shingles.
+    suite-sized: ``broadcast_eval=None`` (default) sums the eval side's
+    token counts (one column-pruned scan of the eval split — proportional
+    to what would actually be broadcast) and hints iff the total is at most
+    ``BROADCAST_EVAL_MAX_TOKENS``; pass True/False to skip the probe.
+    Output: one row per contaminated training doc with how many eval docs
+    it collides with and on how many distinct shingles.
     """
     from pyspark_coding_challenge_spark.llm.dedup import (
         _with_tokens,
@@ -212,7 +220,10 @@ def decontaminate(spark: SparkSession, sf_dir: str,
 
     eval_docs = d.filter(F.col("doc_id") % EVAL_MOD == 0)
     if broadcast_eval is None:
-        broadcast_eval = eval_docs.count() <= BROADCAST_EVAL_MAX_DOCS
+        eval_tokens = eval_docs.select(
+            F.sum(F.size(F.split(F.col("text"), " ")))
+        ).collect()[0][0]
+        broadcast_eval = (eval_tokens or 0) <= BROADCAST_EVAL_MAX_TOKENS
 
     train = _shingle_hashes(d.filter(F.col("doc_id") % EVAL_MOD != 0))
     ev = _shingle_hashes(eval_docs).select(F.col("doc_id").alias("eval_id"), "h")

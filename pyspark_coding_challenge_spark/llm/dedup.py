@@ -309,7 +309,13 @@ def lsh_candidate_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str =
     For buckets at or under the cap the chunk id is constantly 0 and the
     output is EXACTLY the classic banded-LSH candidate set (which keeps the
     DuckDB oracle, which does not model the cap, hash-identical at test
-    scale factors)."""
+    scale factors).
+
+    NB: construction is EAGER — the band relation is localCheckpoint-ed
+    (see below), so building this DataFrame runs the shingle->minhash job.
+    Callers that want the pair set should get it from the session cache
+    (``verified_pairs_for_dir``) rather than composing-and-abandoning
+    plans."""
     bands = _band_buckets(docs, id_col, text_col)
 
     w = Window.partitionBy("band", "bucket").orderBy(id_col)
@@ -382,7 +388,13 @@ def verified_pairs_for_dir(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``dedup_clusters`` and any future consumer share one materialization
     instead of each re-running the minhash chain from the raw table (~2 s
     apiece at sf0.1; at 100 TB, hours apiece). The cached set is pairs-only
-    (ids + one double) — orders of magnitude smaller than the corpus."""
+    (ids + one double) — orders of magnitude smaller than the corpus.
+
+    Staleness contract: the cache key is (applicationId, sf_dir) — if the
+    parquet under ``sf_dir`` is rewritten within one session, call
+    ``clear_pair_cache(spark)`` first or consumers keep reading the old
+    graph. Entries live for the session; ``clear_pair_cache`` is the
+    explicit release valve for long-lived drivers serving many dirs."""
     key = (spark.sparkContext.applicationId, sf_dir)
     cached = _VERIFIED_PAIRS_CACHE.get(key)
     if cached is None:
@@ -393,6 +405,24 @@ def verified_pairs_for_dir(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _VERIFIED_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def clear_pair_cache(spark: SparkSession | None = None) -> int:
+    """Unpersist and drop cached pair graphs — all of them, or only the
+    given session's. Returns how many entries were released. Use when an
+    sf_dir's data is rewritten mid-session (staleness) or to free storage
+    memory in a long-lived driver after dedup work finishes."""
+    released = 0
+    app = spark.sparkContext.applicationId if spark is not None else None
+    for key in list(_VERIFIED_PAIRS_CACHE):
+        if app is None or key[0] == app:
+            try:
+                _VERIFIED_PAIRS_CACHE[key].unpersist()
+            except Exception:
+                pass  # session already stopped; the entry is dead either way
+            del _VERIFIED_PAIRS_CACHE[key]
+            released += 1
+    return released
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:

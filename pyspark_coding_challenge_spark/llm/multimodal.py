@@ -71,11 +71,21 @@ def decode_meta_real_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.
     of ``decode_meta_batches`` for corpora whose payloads are true encoded
     images. Same schema contract (fake_width/fake_height carry the REAL
     dimensions here); raises NotImplementedError without a codec, so callers
-    select the kernel per environment."""
+    select the kernel per environment. Corrupt/undecodable payloads are
+    QUARANTINED per row as (-1, -1, 0) dims instead of failing the task —
+    one truncated image in a billion-row corpus must not abort the job
+    (filter ``channels = 0`` downstream to collect the quarantine set)."""
     import pandas as pd
 
     for pdf in batches:
-        dims = [decode_image_real(b) for b in pdf["payload"]]
+        dims = []
+        for b in pdf["payload"]:
+            try:
+                dims.append(decode_image_real(b))
+            except NotImplementedError:
+                raise  # no codec in this environment — the caller picked wrong
+            except Exception:
+                dims.append((-1, -1, 0))  # corrupt payload: quarantine row
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],

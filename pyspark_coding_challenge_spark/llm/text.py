@@ -432,13 +432,16 @@ def text_span_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     barely overlaps anything.
 
     Shape at 100 TB (the relational stand-in for a suffix array): explode
-    positional window hashes, then ONE shuffle keyed by the 60-bit hash: a
-    window min/max of doc_id per hash decides "occurs in another doc"
-    (min != max iff >= 2 distinct docs carry the hash — no distinct pass,
-    no count-distinct, no join back, and the gram explode is consumed
-    exactly once), then per-doc coverage via an exploded position-range
-    distinct — every shuffle is keyed by the hash or doc_id, never by
-    text."""
+    positional window hashes; "occurs in another doc" is min(doc_id) !=
+    max(doc_id) per hash via a map-side-combining groupBy — NOT a window
+    over the hash, which would concentrate every occurrence of a hot
+    boilerplate span (the motivating case!) into one window partition.
+    The combiner bounds the hot key at partial-aggregate granularity and
+    the join back to positions is an AQE-skew-splittable equi-join; the
+    price is the gram explode feeding two consumers (two column-pruned
+    scans) — the skew-safe side of the trade. Coverage then comes from one
+    exploded position-range aggregate; every shuffle is keyed by the hash
+    or doc_id, never by text."""
     from pyspark_coding_challenge_spark.llm.dedup import md5_fold60, _with_tokens
     from pyspark_coding_challenge_spark.sources.readers import rebalance_for_compute
 
@@ -459,13 +462,13 @@ def text_span_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "i", md5_fold60(gram).alias("h"))
     )
-    w_h = Window.partitionBy("h")
-    shared = (
-        pos.withColumn("_mn", F.min("doc_id").over(w_h))
-        .withColumn("_mx", F.max("doc_id").over(w_h))
+    freq = (
+        pos.groupBy("h")
+        .agg(F.min("doc_id").alias("_mn"), F.max("doc_id").alias("_mx"))
         .filter(F.col("_mn") != F.col("_mx"))
-        .select("doc_id", "i")
+        .select("h")
     )
+    shared = pos.join(freq, on="h").select("doc_id", "i")
     # One aggregation serves both outputs: after exploding each start's
     # covered range, countDistinct(i) recovers the start count (starts are
     # unique per doc by construction) and countDistinct(p) the coverage —
@@ -594,12 +597,12 @@ def _pii_scrub_oracle() -> str:
 WITH a AS (SELECT doc_id, {aug} AS aug FROM documents)
 SELECT doc_id,
        CAST(len(regexp_extract_all(aug, '{PII_EMAIL_RE}')) AS INTEGER) AS n_emails,
-       CAST(len(regexp_extract_all(aug, '\\+[0-9]{{7,15}}')) AS INTEGER) AS n_phones,
+       CAST(len(regexp_extract_all(aug, '{PII_PHONE_RE}')) AS INTEGER) AS n_phones,
        CAST(len(regexp_extract_all(aug, '{PII_IPV4_RE}')) AS INTEGER) AS n_ips,
        md5(regexp_replace(
              regexp_replace(
                regexp_replace(aug, '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
-               '\\+[0-9]{{7,15}}', '<PHONE>', 'g'),
+               '{PII_PHONE_RE}', '<PHONE>', 'g'),
              '{PII_IPV4_RE}', '<IP>', 'g')) AS scrubbed_md5
 FROM a
 """

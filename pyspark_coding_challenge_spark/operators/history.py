@@ -173,18 +173,29 @@ def rolling_last_k_history(
     that copies at most K structs per row.
 
     Output and ordering semantics are IDENTICAL to ``last_k_history``
-    (time desc, then payloads asc on ties; inner result), verified by the
-    equivalence property test and the unchanged flagship oracle hashes.
+    (time desc, then payloads asc on ties; inner result) WHEN the same
+    horizon applies — i.e. always for ``k <=
+    ROLLING_AUTO_LOOKBACK_MIN_K``, and for larger ``k`` whenever the data
+    (or the model's appetite) fits inside the auto-selected horizon.
+    Verified by the equivalence property tests and the unchanged flagship
+    oracle hashes.
 
     Large-K guard (r4 verdict #4): when ``k`` exceeds
-    ``ROLLING_AUTO_LOOKBACK_MIN_K`` and no ``lookback_days`` is given, the
+    ``ROLLING_AUTO_LOOKBACK_MIN_K`` and ``lookback_days`` is None, the
     bounded path is selected automatically with
     ``ROLLING_AUTO_LOOKBACK_DAYS`` — see the constant's comment for why the
     unbounded frame is quadratic in K and the horizon is lossless in
-    practice. Property-tested equivalent at K=1000 on real testdata.
+    practice. This CHANGES semantics for large-K entities whose last K
+    actions stretch past the horizon (older actions drop out). Pass any
+    NEGATIVE ``lookback_days`` to force the exact unbounded path at any K
+    (accepting its O(K^2)-per-active-day cost) — explicit, so the caller
+    owns the cost knowingly. Property-tested equivalent at K=1000 on real
+    testdata.
     """
     if lookback_days is None and k > ROLLING_AUTO_LOOKBACK_MIN_K:
         lookback_days = ROLLING_AUTO_LOOKBACK_DAYS
+    elif lookback_days is not None and lookback_days < 0:
+        lookback_days = None  # explicit unbounded opt-in
 
     act = actions.select(entity_col, time_col, *payload_cols)
 

@@ -68,7 +68,8 @@ def produce_training_examples(
     unset lookback auto-selects the bounded 365-day path inside
     ``rolling_last_k_history`` (the unbounded frame is O(K^2) per active
     day; see ROLLING_AUTO_LOOKBACK_MIN_K in operators/history.py) — pass an
-    explicit larger ``lookback_days`` to widen the horizon."""
+    explicit larger ``lookback_days`` to widen the horizon, or a negative
+    one to force the exact unbounded path at its documented cost."""
     actions = normalize_actions(clicks, add_to_carts, orders)
     if repartition_count:
         actions = actions.repartition(repartition_count, "customer_id")
