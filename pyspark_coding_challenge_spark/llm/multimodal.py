@@ -184,13 +184,98 @@ FROM frames
 """
 
 
+RESIZE_TARGET = 224  # max output width, aspect preserved
+HIST_BINS = 8
+
+RESIZE_EXTRACT_SCHEMA = (
+    "doc_id BIGINT, out_w INT, out_h INT, mean_byte INT, "
+    "feat ARRAY<BIGINT>"
+)
+
+
+def resize_extract_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+    """mapInPandas kernel for the resize + feature-extract stages: clamp the
+    (fake-)decoded dimensions to ``RESIZE_TARGET`` width preserving aspect
+    ratio (integer math — float scale factors would diverge between
+    engines), and extract a fixed-length feature vector from the payload (a
+    ``HIST_BINS``-bin byte histogram + mean byte). With a real codec the
+    histogram comes from resized pixel data; here it reads payload bytes —
+    the vectorized numpy shape (frombuffer -> bincount per row, no Python
+    per-byte loop) is identical either way."""
+    import numpy as np
+    import pandas as pd
+
+    for pdf in batches:
+        rows: dict[str, list] = {
+            "doc_id": [], "out_w": [], "out_h": [], "mean_byte": [], "feat": [],
+        }
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            n = len(payload)
+            w, h = n % 640 + 1, n * 31 % 480 + 1  # fake-decoder dims
+            out_w = min(w, RESIZE_TARGET)
+            out_h = max(1, h * out_w // w)
+            b = np.frombuffer(payload, dtype=np.uint8)
+            hist = np.bincount(b % HIST_BINS, minlength=HIST_BINS) if n else np.zeros(HIST_BINS, dtype=np.int64)
+            rows["doc_id"].append(doc_id)
+            rows["out_w"].append(out_w)
+            rows["out_h"].append(out_h)
+            rows["mean_byte"].append(int(b.sum()) // n if n else -1)
+            rows["feat"].append([int(x) for x in hist])
+        out = pd.DataFrame(rows)
+        out["out_w"] = out["out_w"].astype("int32")
+        out["out_h"] = out["out_h"].astype("int32")
+        out["mean_byte"] = out["mean_byte"].astype("int32")
+        yield out
+
+
+def multimodal_resize_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _with_payload(spark, sf_dir).mapInPandas(
+        resize_extract_batches, schema=RESIZE_EXTRACT_SCHEMA
+    )
+
+
+def _hist_bin_sql(k: int) -> str:
+    # COALESCE: list_sum over an empty list (zero-length text) is NULL in
+    # DuckDB while the numpy kernel yields a zero histogram.
+    return (
+        "CAST(COALESCE(list_sum(list_transform(generate_series(1, length(text)), "
+        f"i -> CASE WHEN ascii(substring(text, CAST(i AS INT), 1)) % {HIST_BINS} = {k} "
+        "THEN 1 ELSE 0 END)), 0) AS BIGINT)"
+    )
+
+
+MULTIMODAL_RESIZE_EXTRACT_ORACLE = f"""
+WITH dims AS (
+  SELECT doc_id, text, length(text) AS n,
+         length(text) % 640 + 1 AS w,
+         length(text) * 31 % 480 + 1 AS h
+  FROM documents
+),
+rz AS (
+  SELECT doc_id, text, n, least(w, {RESIZE_TARGET}) AS out_w,
+         greatest(1, h * least(w, {RESIZE_TARGET}) // w) AS out_h
+  FROM dims
+)
+SELECT doc_id,
+       CAST(out_w AS INTEGER) AS out_w,
+       CAST(out_h AS INTEGER) AS out_h,
+       CAST(CASE WHEN n > 0 THEN list_sum(list_transform(
+              generate_series(1, n),
+              i -> ascii(substring(text, CAST(i AS INT), 1)))) // n
+            ELSE -1 END AS INTEGER) AS mean_byte,
+       [{", ".join(_hist_bin_sql(k) for k in range(HIST_BINS))}] AS feat
+FROM rz
+"""
+
+
 def register_all(register) -> None:
     from pyspark_coding_challenge_spark.plans.merge import register_merged
 
-    # Both multimodal kernels (decode-metadata and frame-sampling) ride one
-    # slug so the whole registry fits the driver's 50-slug correctness
-    # window (see plans/merge.py).
+    # All multimodal kernels (decode-metadata, frame-sampling, and
+    # resize + feature-extraction) ride one slug so the whole registry fits
+    # the driver's 50-slug correctness window (see plans/merge.py).
     register_merged(register, "multimodal_pipeline", [
         ("decode_meta", multimodal_decode_meta, MULTIMODAL_DECODE_META_ORACLE),
         ("frame_sample", multimodal_frame_sample, MULTIMODAL_FRAME_SAMPLE_ORACLE),
+        ("resize_extract", multimodal_resize_extract, MULTIMODAL_RESIZE_EXTRACT_ORACLE),
     ])

@@ -170,14 +170,64 @@ WHERE h < rate_bp * {_BP_UNIT}
 """
 
 
+N_SHARDS = 16  # demo shard count; production sizes shards to ~1 GB each
+
+
+def shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic GLOBAL SHUFFLE + shard assignment — the last step of
+    every training-data pipeline: break source-order correlation (a model
+    must not see a whole crawl domain consecutively) and write N shards a
+    data loader can stream. ``df.orderBy(rand())`` is neither reproducible
+    nor oracle-able; instead the shuffle key is a salted content hash, so
+    the permutation is a pure function of the data — stable across runs,
+    engines, partitionings, and retries (a re-run after a 100 TB job
+    failure produces byte-identical shards).
+
+    Output: (doc_id, shard, shard_pos) — shard by ``pmod(hash, N)``,
+    position by rank of (hash, doc_id) within the shard.
+
+    Scale shape: ONE hash-partitioned shuffle (the window's partitionBy
+    moves each row once), then a per-shard sort; no global orderBy, no
+    single-reducer total order. Shard count scales with data (~1 GB each;
+    16 here), keeping every per-shard sort in-memory; the uniform hash key
+    makes shards equal-sized by construction — no skew, no stragglers. The
+    writer side is ``write_partitioned_parquet(out, ["shard"])`` on the
+    sorted frame."""
+    d = read_table(spark, sf_dir, "documents")
+    h = md5_fold60(F.concat(F.lit("shuf:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("shard").orderBy(F.col("_h").asc(), F.col("doc_id").asc())
+    return (
+        d.select(
+            "doc_id",
+            F.pmod(h, F.lit(N_SHARDS)).cast("int").alias("shard"),
+            h.alias("_h"),
+        )
+        .select("doc_id", "shard", F.row_number().over(w).cast("int").alias("shard_pos"))
+    )
+
+
+SHUFFLE_SHARD_ORACLE = f"""
+SELECT doc_id, shard, CAST(row_number() OVER (
+         PARTITION BY shard ORDER BY h, doc_id) AS INTEGER) AS shard_pos
+FROM (
+  SELECT doc_id,
+         CAST({sql_md5_fold60("'shuf:' || CAST(doc_id AS VARCHAR)")} % {N_SHARDS} AS INTEGER) AS shard,
+         {sql_md5_fold60("'shuf:' || CAST(doc_id AS VARCHAR)")} AS h
+  FROM documents
+)
+"""
+
+
 def register_all(register) -> None:
     from pyspark_coding_challenge_spark.plans.merge import register_merged
 
-    # Profiling + reproducible sampling + mixture ride ONE slug so the
-    # registry stays inside the driver's 50-slug correctness window while
-    # `dedup_clusters` gets its own slot (plans/merge.py explains the cap).
+    # Profiling + reproducible sampling + mixture + global shuffle ride ONE
+    # slug so the registry stays inside the driver's 50-slug correctness
+    # window while `dedup_clusters` gets its own slot (plans/merge.py
+    # explains the cap).
     register_merged(register, "data_profile", [
         ("profile", data_profile, DATA_PROFILE_ORACLE),
         ("sample", sample_deterministic, SAMPLE_DETERMINISTIC_ORACLE),
         ("mixture", mixture_sample, MIXTURE_SAMPLE_ORACLE),
+        ("shuffle_shard", shuffle_shard, SHUFFLE_SHARD_ORACLE),
     ])

@@ -608,11 +608,75 @@ FROM a
 """
 
 
+# ---------------------------------------------------------------------------
+# Fixed-size token chunking with overlap (RAG / context-window splitting)
+# ---------------------------------------------------------------------------
+
+CHUNK_TOKENS = 40  # chunk width in tokens (stand-in for a tokenizer's budget)
+CHUNK_STRIDE = 32  # start-to-start stride; overlap = CHUNK_TOKENS - CHUNK_STRIDE
+
+
+def text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split every document into fixed-token chunks with overlap — the
+    context-window splitter behind RAG indexing and long-document training:
+    chunk ``i`` covers tokens ``[1 + i*stride, 1 + i*stride + K - 1]``
+    (clamped at the end), so consecutive chunks share ``K - stride`` tokens
+    and no token is more than one chunk-start away from a boundary.
+
+    Output: one row per chunk with its 0-based index, start, clamped token
+    count, and the md5 of the chunk text (the value the oracle pins — an
+    off-by-one in either engine's slice flips the hash).
+
+    Scale shape: pure per-row explode in whole-stage codegen — split once,
+    explode chunk starts, slice the materialized token array; no shuffle,
+    no UDF, linear in corpus bytes. Row fan-out is n/stride per doc, the
+    same order as the downstream embedding pass consumes."""
+    from pyspark_coding_challenge_spark.llm.dedup import _with_tokens
+
+    k, st = CHUNK_TOKENS, CHUNK_STRIDE
+    t = _with_tokens(read_table(spark, sf_dir, "documents")).select(
+        "doc_id", "_toks", F.size("_toks").alias("_n")
+    )
+    return (
+        t.select(
+            "doc_id",
+            "_toks",
+            "_n",
+            F.explode(F.expr(f"sequence(1, _n, {st})")).alias("s"),
+        )
+        .select(
+            "doc_id",
+            ((F.col("s") - 1) / st).cast("int").alias("chunk_idx"),
+            F.col("s").cast("int").alias("chunk_start"),
+            F.least(F.lit(k), F.col("_n") - F.col("s") + 1).cast("int").alias("chunk_tokens"),
+            F.md5(F.concat_ws(" ", F.expr(f"slice(_toks, s, {k})"))).alias("chunk_md5"),
+        )
+    )
+
+
+def _chunk_oracle() -> str:
+    k, st = CHUNK_TOKENS, CHUNK_STRIDE
+    return f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+s AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         unnest(generate_series(1, len(toks), {st})) AS s
+  FROM d
+)
+SELECT doc_id,
+       CAST((s - 1) // {st} AS INTEGER) AS chunk_idx,
+       CAST(s AS INTEGER) AS chunk_start,
+       CAST(least({k}, n - s + 1) AS INTEGER) AS chunk_tokens,
+       md5(array_to_string(list_slice(toks, s, s + {k - 1}), ' ')) AS chunk_md5
+FROM s
+"""
+
+
 def register_all(register) -> None:
     """text_analysis carries the per-document kernels plus the two
-    repetition/duplication pressure signals and the PII scrub as sections
-    (one driver slot, same per-section oracles); the corpus-level
-    vocabulary is its own slug."""
+    repetition/duplication pressure signals, the PII scrub, and the chunker
+    as sections (one driver slot, same per-section oracles); the
+    corpus-level vocabulary is its own slug."""
     from pyspark_coding_challenge_spark.plans.merge import register_merged
 
     register_merged(register, "text_analysis", [
@@ -625,5 +689,6 @@ def register_all(register) -> None:
         ("corpus_dup_frac", text_corpus_dup_frac, _corpus_dup_frac_oracle()),
         ("pii_scrub", text_pii_scrub, _pii_scrub_oracle()),
         ("span_dup", text_span_dup, _span_dup_oracle()),
+        ("chunk", text_chunk, _chunk_oracle()),
     ])
     register("text_vocab_topn", text_vocab_topn, TEXT_VOCAB_TOPN_ORACLE)

@@ -1091,6 +1091,97 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 """
 
 
+SESSION_GAP_US = 1800 * 1_000_000  # 30-minute inactivity gap
+
+
+def window_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch gap-based sessionization of the events stream — the classic
+    lag -> flag -> running-sum -> aggregate chain: a new session starts
+    when a user's inactivity gap exceeds 30 minutes; each session reports
+    its event count, span, and value total (exact cents — double-sum order
+    nondeterminism never reaches the oracle hash).
+
+    This is the batch twin of ``streaming_session_windows``: same session
+    semantics, expressed as plain windows over history instead of
+    watermarked state.
+
+    Scale shape: ONE shuffle. The lag window, the running-sum window, and
+    the final groupBy are all keyed on ``user_id`` (the group key set is a
+    superset of the hash-partitioning key), so Catalyst plans a single
+    exchange followed by per-partition sorts — no second shuffle, no
+    driver involvement; micros stay int64 end-to-end (double epoch math
+    would lose sub-second precision at 2e15 micros)."""
+    ev = read_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy("_us", "event_id")
+    flagged = ev.select(
+        "user_id",
+        "event_id",
+        us.alias("_us"),
+        F.round(F.col("value") * 100).cast("bigint").alias("_cents"),
+    ).select(
+        "*",
+        F.when(
+            F.lag("_us").over(w).isNull()
+            | ((F.col("_us") - F.lag("_us").over(w)) > SESSION_GAP_US),
+            1,
+        ).otherwise(0).alias("_new"),
+    )
+    sess = flagged.select(
+        "user_id",
+        "_us",
+        "_cents",
+        F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("int").alias("session_seq"),
+    )
+    return (
+        sess.groupBy("user_id", "session_seq")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("_us").alias("start_us"),
+            F.max("_us").alias("end_us"),
+            F.sum("_cents").alias("value_cents"),
+        )
+        .select(
+            "user_id",
+            "session_seq",
+            "n_events",
+            "start_us",
+            "end_us",
+            (F.col("end_us") - F.col("start_us")).alias("duration_us"),
+            "value_cents",
+        )
+    )
+
+
+WINDOW_SESSIONIZE_ORACLE = f"""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+         CAST(ROUND(value*100) AS BIGINT) AS cents
+  FROM events
+),
+f AS (
+  SELECT user_id, event_id, us, cents,
+         CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > {SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS is_new
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+),
+s AS (
+  SELECT user_id, us, cents,
+         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+              ROWS UNBOUNDED PRECEDING) AS INTEGER) AS session_seq
+  FROM f
+)
+SELECT user_id, session_seq,
+       count(*) AS n_events,
+       min(us) AS start_us,
+       max(us) AS end_us,
+       max(us) - min(us) AS duration_us,
+       CAST(sum(cents) AS BIGINT) AS value_cents
+FROM s GROUP BY user_id, session_seq
+"""
+
+
 # ---------------------------------------------------------------------------
 # Composite analytics (TPC-H-shaped multi-join + agg + sort pipelines)
 # ---------------------------------------------------------------------------
@@ -1556,6 +1647,7 @@ def register_all(register) -> None:
         ("lag_lead", window_lag_lead, WINDOW_LAG_LEAD_ORACLE),
         ("sort_limit_topk", sort_limit_topk, SORT_LIMIT_TOPK_ORACLE),
         ("distribution", window_distribution, WINDOW_DISTRIBUTION_ORACLE),
+        ("sessionize", window_sessionize, WINDOW_SESSIONIZE_ORACLE),
     ])
     register_merged(register, "agg_variants", [
         ("sum_avg_count", agg_sum_avg_count, AGG_SUM_AVG_COUNT_ORACLE),

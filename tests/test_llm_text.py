@@ -144,6 +144,59 @@ def test_span_dup_exact_coverage_on_crafted_pair(spark, tmp_path):
     assert got[3].span_dup_frac == 0.0
 
 
+def test_chunking_boundaries_overlap_and_tail_clamp(spark, tmp_path):
+    import hashlib
+
+    from pyspark_coding_challenge_spark.llm.text import (
+        CHUNK_STRIDE, CHUNK_TOKENS, text_chunk,
+    )
+
+    k, st = CHUNK_TOKENS, CHUNK_STRIDE
+    toks = [f"w{i}" for i in range(1, k + 2 * st + 4)]  # n = k + 2*st + 3
+    n = len(toks)
+    sf = _docs_dir(spark, tmp_path, [
+        (1, " ".join(toks), "en", "s", 0),
+        (2, "only three tokens", "en", "s", 0),  # shorter than one chunk
+    ])
+    rows = text_chunk(spark, sf).collect()
+    c1 = sorted([r for r in rows if r.doc_id == 1], key=lambda r: r.chunk_idx)
+    # starts at 1, 1+st, 1+2st, ... while <= n
+    exp_starts = list(range(1, n + 1, st))
+    assert [r.chunk_start for r in c1] == exp_starts
+    assert [r.chunk_idx for r in c1] == list(range(len(exp_starts)))
+    for r in c1:
+        assert r.chunk_tokens == min(k, n - r.chunk_start + 1)
+        exp = " ".join(toks[r.chunk_start - 1: r.chunk_start - 1 + k])
+        assert r.chunk_md5 == hashlib.md5(exp.encode()).hexdigest()
+    # consecutive chunks overlap by exactly k - st tokens; union covers 1..n
+    covered = set()
+    for r in c1:
+        covered |= set(range(r.chunk_start, r.chunk_start + r.chunk_tokens))
+    assert covered == set(range(1, n + 1))
+    c2 = [r for r in rows if r.doc_id == 2]
+    assert len(c2) == 1 and c2[0].chunk_tokens == 3 and c2[0].chunk_idx == 0
+
+
+def test_shuffle_shard_deterministic_balanced_and_dense(spark, tmp_path):
+    from pyspark_coding_challenge_spark.llm.profiling import N_SHARDS, shuffle_shard
+
+    sf = _docs_dir(spark, tmp_path, [
+        (i, f"doc {i}", "en", "s", 0) for i in range(1, 301)
+    ])
+    a = sorted((r.doc_id, r.shard, r.shard_pos) for r in shuffle_shard(spark, sf).collect())
+    b = sorted((r.doc_id, r.shard, r.shard_pos) for r in shuffle_shard(spark, sf).collect())
+    assert a == b and len(a) == 300  # reproducible permutation, no loss
+    by_shard = {}
+    for _, sh, pos in a:
+        assert 0 <= sh < N_SHARDS
+        by_shard.setdefault(sh, []).append(pos)
+    for sh, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1))  # dense rank per shard
+    # uniform hash => no empty shard and no mega-shard at 300 rows / 16 shards
+    sizes = [len(v) for v in by_shard.values()]
+    assert len(by_shard) == N_SHARDS and max(sizes) <= 3 * min(sizes)
+
+
 def test_span_dup_overlapping_windows_cover_union_not_sum(spark, tmp_path):
     from pyspark_coding_challenge_spark.llm.text import SPAN_K, text_span_dup
 

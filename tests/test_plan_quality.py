@@ -134,6 +134,34 @@ def test_history_pipelines_have_no_hardcoded_repartition(spark, slug):
     assert "hashpartitioning(customer_id#" not in plan.split("Exchange")[0]
 
 
+def test_sessionize_single_exchange(spark):
+    """lag window, running-sum window, and session aggregate are all keyed
+    on user_id — one hash exchange total; a second exchange would re-shuffle
+    the full event log at 100 TB for nothing."""
+    plan = _plan_fn(spark, relational.window_sessionize)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "RoundRobinPartitioning" not in plan
+
+
+def test_shuffle_shard_single_exchange(spark):
+    """The deterministic global shuffle moves each row exactly once (the
+    shard window's partitionBy) — no global orderBy, no second exchange."""
+    from pyspark_coding_challenge_spark.llm import profiling as P
+    plan = _plan_fn(spark, P.shuffle_shard)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "rangepartitioning" not in plan
+
+
+def test_chunking_is_pure_narrow_codegen(spark):
+    """Chunk splitting is explode + slice over one scan: no exchange, no
+    Python, linear in corpus bytes."""
+    from pyspark_coding_challenge_spark.llm import text as T
+    plan = _plan_fn(spark, T.text_chunk)
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+    assert plan.count("FileScan parquet") == 1
+
+
 def test_decontaminate_broadcasts_eval_side(spark):
     """The eval split is tiny relative to the corpus: the shingle-hash
     overlap join must broadcast it (BuildRight), never shuffle the train

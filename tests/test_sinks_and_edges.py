@@ -63,6 +63,36 @@ def test_persist_hint_same_results(spark, small_inputs):
     assert sorted(map(tuple, plain), key=repr) == sorted(map(tuple, persisted), key=repr)
 
 
+def test_sessionize_gap_semantics_on_crafted_events(spark, tmp_path):
+    """Gap strictly-greater-than-30min starts a new session; an exactly
+    30-minute gap does NOT (the boundary the oracle equality can't pin if
+    both engines drifted the same way)."""
+    import datetime as dt
+
+    from pyspark_coding_challenge_spark.plans.relational import window_sessionize
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        # user 1: 0min, +30min (same session), +30min+1s (new session)
+        (1, t0, 1, "view", 1.0, "{}"),
+        (2, t0 + dt.timedelta(minutes=30), 1, "view", 2.0, "{}"),
+        (3, t0 + dt.timedelta(minutes=60, seconds=1), 1, "view", 4.0, "{}"),
+        # user 2: single event
+        (4, t0, 2, "click", 8.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, schema="event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+                     "event_type STRING, value DOUBLE, props STRING")
+    df.write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    got = {(r.user_id, r.session_seq): r
+           for r in window_sessionize(spark, str(tmp_path)).collect()}
+    assert set(got) == {(1, 1), (1, 2), (2, 1)}
+    assert got[(1, 1)].n_events == 2 and got[(1, 1)].value_cents == 300
+    assert got[(1, 1)].duration_us == 30 * 60 * 1_000_000
+    assert got[(1, 2)].n_events == 1 and got[(1, 2)].value_cents == 400
+    assert got[(2, 1)].n_events == 1 and got[(2, 1)].duration_us == 0
+
+
 def test_non_canonical_dt_still_joins_history(spark):
     """'2025-8-14' parses to a valid cutoff; history must still attach
     (join on to_date(dt), not the raw string — VERDICT r1 wrong-#2)."""

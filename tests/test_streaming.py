@@ -114,6 +114,30 @@ def test_multimodal_frame_sample_fans_out_and_covers_all_bytes(spark):
     assert rows[0].checksum == (ord("x") * FRAME_BYTES) % 1000000007
 
 
+def test_multimodal_resize_preserves_aspect_and_histogram_counts_bytes(spark):
+    from pyspark_coding_challenge_spark.llm.multimodal import (
+        HIST_BINS,
+        RESIZE_EXTRACT_SCHEMA,
+        RESIZE_TARGET,
+        resize_extract_batches,
+    )
+
+    # 999 bytes -> fake dims w=360, h=250 (999*31 % 480 + 1): w < target, no
+    # clamp. 300 bytes of 'x' (120) -> hist bin 120%8=0 gets all 300.
+    payload_a = bytes([120] * 300)
+    n = len(payload_a)
+    df = spark.createDataFrame(
+        [(1, bytearray(payload_a))], "doc_id BIGINT, payload BINARY"
+    )
+    r = df.mapInPandas(resize_extract_batches, schema=RESIZE_EXTRACT_SCHEMA).collect()[0]
+    w, h = n % 640 + 1, n * 31 % 480 + 1
+    exp_w = min(w, RESIZE_TARGET)
+    assert (r.out_w, r.out_h) == (exp_w, max(1, h * exp_w // w))
+    assert r.mean_byte == 120
+    assert list(r.feat) == [300] + [0] * (HIST_BINS - 1)
+    assert sum(r.feat) == n  # histogram partitions every byte
+
+
 def test_update_mode_foreachbatch_handles_zero_row_source(spark, tmp_path):
     """The foreachBatch-to-parquet path must return an empty frame with the
     right schema when the source stream has no rows (no batch may ever
