@@ -609,6 +609,78 @@ FROM a
 
 
 # ---------------------------------------------------------------------------
+# Corpus-relative rare-token pressure (perplexity-filter stand-in)
+# ---------------------------------------------------------------------------
+
+RARE_MAX_TF = 2  # corpus term frequency <= this → "rare"
+
+
+def text_rare_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-relative rare-token pressure per document — the deterministic
+    stand-in for perplexity-based quality filtering (CCNet/Gopher-style):
+    documents whose tokens are mostly hapax/near-hapax against the corpus
+    unigram model are OCR noise, mojibake, or machine junk. Reports token
+    count, rare-token count (corpus tf <= RARE_MAX_TF), hapax count, and
+    the rare fraction.
+
+    Why counts, not log-probs: the plan shape is exactly the unigram-LM
+    scoring pipeline (explode -> corpus token-frequency aggregate -> join
+    stats back to token occurrences -> per-doc re-aggregate), but the
+    score compares INTEGERS against the corpus model where an avg-log-prob
+    would sum doubles in partition order — Spark's and DuckDB's ln() can
+    differ in the last ulp and double addition isn't associative, so the
+    value-hash oracle would be flaky. The rare fraction is one exact
+    int/int division, bit-identical across engines. A production pipeline
+    swaps the integer compare for `sum(tf_occurrences * ln p)` unchanged
+    in shape.
+
+    Scale shape: the explode feeds the vocab aggregate (map-side partial
+    combine absorbs the Zipf head) and the stats join (equi-join on the
+    token key; hot stopword keys are AQE-skew-splittable). The vocab side
+    is ~10^7 rows at web scale — shuffled, not broadcast, on purpose. The
+    final per-doc aggregate shuffles on doc_id only."""
+    d = read_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    vocab = tok.groupBy("token").agg(F.count("*").alias("_tf"))
+    return (
+        tok.join(vocab, on="token")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum((F.col("_tf") <= RARE_MAX_TF).cast("bigint")).alias("n_rare"),
+            F.sum((F.col("_tf") == 1).cast("bigint")).alias("n_hapax"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_rare",
+            "n_hapax",
+            F.round(F.col("n_rare").cast("double") / F.col("n_tokens"), 6).alias("rare_frac"),
+        )
+    )
+
+
+TEXT_RARE_TOKENS_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+  FROM documents
+),
+t AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+vocab AS (SELECT token, count(*) AS tf FROM t GROUP BY token)
+SELECT doc_id,
+       count(*) AS n_tokens,
+       CAST(sum(CASE WHEN tf <= {RARE_MAX_TF} THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+       CAST(sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       ROUND(CAST(sum(CASE WHEN tf <= {RARE_MAX_TF} THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS rare_frac
+FROM t JOIN vocab USING (token)
+GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Fixed-size token chunking with overlap (RAG / context-window splitting)
 # ---------------------------------------------------------------------------
 
@@ -690,5 +762,6 @@ def register_all(register) -> None:
         ("pii_scrub", text_pii_scrub, _pii_scrub_oracle()),
         ("span_dup", text_span_dup, _span_dup_oracle()),
         ("chunk", text_chunk, _chunk_oracle()),
+        ("rare_tokens", text_rare_tokens, TEXT_RARE_TOKENS_ORACLE),
     ])
     register("text_vocab_topn", text_vocab_topn, TEXT_VOCAB_TOPN_ORACLE)
