@@ -187,9 +187,12 @@ FROM frames
 RESIZE_TARGET = 224  # max output width, aspect preserved
 HIST_BINS = 8
 
+# Histogram bins are flattened to scalar columns (feat_0..feat_7): the
+# driver's pandas canonicalizer crashes on array cells (r1 failure; gated by
+# tests/test_registry_oracles.py::test_every_query_output_is_driver_hashable).
 RESIZE_EXTRACT_SCHEMA = (
     "doc_id BIGINT, out_w INT, out_h INT, mean_byte INT, "
-    "feat ARRAY<BIGINT>"
+    + ", ".join(f"feat_{k} BIGINT" for k in range(8))
 )
 
 
@@ -207,7 +210,8 @@ def resize_extract_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.Da
 
     for pdf in batches:
         rows: dict[str, list] = {
-            "doc_id": [], "out_w": [], "out_h": [], "mean_byte": [], "feat": [],
+            "doc_id": [], "out_w": [], "out_h": [], "mean_byte": [],
+            **{f"feat_{k}": [] for k in range(HIST_BINS)},
         }
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
             n = len(payload)
@@ -220,7 +224,8 @@ def resize_extract_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.Da
             rows["out_w"].append(out_w)
             rows["out_h"].append(out_h)
             rows["mean_byte"].append(int(b.sum()) // n if n else -1)
-            rows["feat"].append([int(x) for x in hist])
+            for k in range(HIST_BINS):
+                rows[f"feat_{k}"].append(int(hist[k]))
         out = pd.DataFrame(rows)
         out["out_w"] = out["out_w"].astype("int32")
         out["out_h"] = out["out_h"].astype("int32")
@@ -263,7 +268,7 @@ SELECT doc_id,
               generate_series(1, n),
               i -> ascii(substring(text, CAST(i AS INT), 1)))) // n
             ELSE -1 END AS INTEGER) AS mean_byte,
-       [{", ".join(_hist_bin_sql(k) for k in range(HIST_BINS))}] AS feat
+       {", ".join(_hist_bin_sql(k) + f" AS feat_{k}" for k in range(HIST_BINS))}
 FROM rz
 """
 

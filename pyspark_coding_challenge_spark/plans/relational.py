@@ -1103,7 +1103,11 @@ def window_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     This is the batch twin of ``streaming_session_windows``: same session
     semantics, expressed as plain windows over history instead of
-    watermarked state.
+    watermarked state. One boundary nuance: this operator keeps an event at
+    EXACTLY gap distance in the same session (strict ``>`` starts a new
+    one), while Spark's ``session_window`` half-open intervals make the
+    same event start a new session — immaterial on real (micros-noise)
+    timestamps, pinned by the crafted-input test either way.
 
     Scale shape: ONE shuffle. The lag window, the running-sum window, and
     the final groupBy are all keyed on ``user_id`` (the group key set is a

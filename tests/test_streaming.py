@@ -134,8 +134,9 @@ def test_multimodal_resize_preserves_aspect_and_histogram_counts_bytes(spark):
     exp_w = min(w, RESIZE_TARGET)
     assert (r.out_w, r.out_h) == (exp_w, max(1, h * exp_w // w))
     assert r.mean_byte == 120
-    assert list(r.feat) == [300] + [0] * (HIST_BINS - 1)
-    assert sum(r.feat) == n  # histogram partitions every byte
+    feat = [r[f"feat_{k}"] for k in range(HIST_BINS)]
+    assert feat == [300] + [0] * (HIST_BINS - 1)
+    assert sum(feat) == n  # histogram partitions every byte
 
 
 def test_update_mode_foreachbatch_handles_zero_row_source(spark, tmp_path):
