@@ -192,6 +192,39 @@ def test_chunking_boundaries_overlap_and_tail_clamp(spark, tmp_path):
     assert len(c2) == 1 and c2[0].chunk_tokens == 3 and c2[0].chunk_idx == 0
 
 
+def test_chunking_matches_python_model_on_random_lengths(spark, tmp_path):
+    """Model-based check over random token counts (including n < stride,
+    n == k, n % stride boundaries): starts, clamps, and md5s must agree
+    with a pure-Python reference."""
+    import hashlib
+    import random
+
+    from pyspark_coding_challenge_spark.llm.text import (
+        CHUNK_STRIDE, CHUNK_TOKENS, text_chunk,
+    )
+
+    k, st = CHUNK_TOKENS, CHUNK_STRIDE
+    rng = random.Random(11)
+    docs = {}
+    for doc_id in range(1, 41):
+        n = rng.choice([1, 2, st - 1, st, st + 1, k - 1, k, k + 1,
+                        rng.randint(1, 4 * k)])
+        docs[doc_id] = [f"t{doc_id}_{i}" for i in range(n)]
+    sf = _docs_dir(spark, tmp_path, [
+        (d, " ".join(toks), "en", "s", 0) for d, toks in docs.items()
+    ])
+    model = {}
+    for d, toks in docs.items():
+        n = len(toks)
+        for idx, s in enumerate(range(1, n + 1, st)):
+            chunk = toks[s - 1: s - 1 + k]
+            model[(d, idx)] = (s, len(chunk),
+                              hashlib.md5(" ".join(chunk).encode()).hexdigest())
+    got = {(r.doc_id, r.chunk_idx): (r.chunk_start, r.chunk_tokens, r.chunk_md5)
+           for r in text_chunk(spark, sf).collect()}
+    assert got == model
+
+
 def test_shuffle_shard_deterministic_balanced_and_dense(spark, tmp_path):
     from pyspark_coding_challenge_spark.llm.profiling import N_SHARDS, shuffle_shard
 

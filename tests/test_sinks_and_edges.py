@@ -93,6 +93,58 @@ def test_sessionize_gap_semantics_on_crafted_events(spark, tmp_path):
     assert got[(2, 1)].n_events == 1 and got[(2, 1)].duration_us == 0
 
 
+@pytest.mark.parametrize("seed", [7, 23])
+def test_sessionize_matches_python_model_on_random_events(spark, tmp_path, seed):
+    """Model-based check: for random per-user event sequences with gaps
+    crafted to straddle the 30-minute boundary (0 s, 1799 s, 1800 s,
+    1801 s, 2 h), sessionization must agree with a pure-Python reference
+    on session count, membership, spans, and cent totals."""
+    import random
+    from datetime import datetime, timedelta, timezone
+
+    from pyspark_coding_challenge_spark.plans.relational import (
+        SESSION_GAP_US,
+        window_sessionize,
+    )
+
+    def _us(ts):  # naive-as-UTC micros; .timestamp() alone would use host tz
+        return int(ts.replace(tzinfo=timezone.utc).timestamp() * 1_000_000)
+
+    rng = random.Random(seed)
+    base = datetime(2024, 5, 1)
+    rows, eid = [], 0
+    for user in range(1, 41):
+        t = base + timedelta(seconds=rng.randint(0, 3600))
+        for _ in range(rng.randint(1, 12)):
+            eid += 1
+            rows.append((eid, t, user, "e", rng.randint(0, 10000) / 100.0, "{}"))
+            t += timedelta(seconds=rng.choice([0, 1, 300, 1799, 1800, 1801, 7200]))
+    df = spark.createDataFrame(
+        rows, schema="event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+                     "event_type STRING, value DOUBLE, props STRING")
+    df.write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+
+    # pure-Python model (micros integers, same strict-> boundary)
+    model = {}
+    by_user: dict[int, list] = {}
+    for e, ts, u, _, v, _p in rows:
+        by_user.setdefault(u, []).append((_us(ts), e, v))
+    for u, evs in by_user.items():
+        evs.sort()
+        seq, prev = 0, None
+        for us, _e, v in evs:
+            if prev is None or us - prev > SESSION_GAP_US:
+                seq += 1
+            prev = us
+            key = (u, seq)
+            st, en, n, cents = model.get(key, (us, us, 0, 0))
+            model[key] = (min(st, us), max(en, us), n + 1, cents + int(round(v * 100)))
+
+    got = {(r.user_id, r.session_seq): (r.start_us, r.end_us, r.n_events, r.value_cents)
+           for r in window_sessionize(spark, str(tmp_path)).collect()}
+    assert got == model
+
+
 def test_non_canonical_dt_still_joins_history(spark):
     """'2025-8-14' parses to a valid cutoff; history must still attach
     (join on to_date(dt), not the raw string — VERDICT r1 wrong-#2)."""
