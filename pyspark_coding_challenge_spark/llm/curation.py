@@ -299,6 +299,78 @@ FROM cl
 """
 
 
+KEEP_BP = 7500  # per-source quantile cut: keep the top 75% (basis points)
+
+
+def source_quantile_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-RELATIVE quality cut, per source: keep the top ``KEEP_BP``
+    fraction of each source's documents by lexical diversity (distinct
+    tokens / tokens) — the "dynamic threshold" curation policy (filter
+    against the corpus distribution, not a fixed constant), stratified so
+    one clean source can't crowd out another.
+
+    Determinism: the keep test is pure integers — ``rank * 10000 <=
+    KEEP_BP * n_source`` with rank ordered by (rounded score desc, doc_id)
+    — no percentile interpolation, whose float arithmetic could flip a
+    boundary doc between engines.
+
+    Scale shape: ONE shuffle on source; rank and count ride the same
+    window partition. Caveat at 100 TB: a single source's exact rank is
+    one sort partition — production swaps the exact rank for a per-source
+    approx-quantile threshold (computed map-side, broadcast back), keeping
+    this operator as the small-stratum / audit path."""
+    d = read_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower("text"), " ")
+    lex = F.round(
+        F.size(F.array_distinct(toks)).cast("double") / F.size(toks), 6
+    )
+    w = Window.partitionBy("source")
+    scored = d.select("doc_id", "source", lex.alias("lex_div"))
+    ranked = scored.select(
+        "doc_id",
+        "source",
+        "lex_div",
+        F.row_number().over(
+            w.orderBy(F.col("lex_div").desc(), F.col("doc_id").asc())
+        ).alias("src_rank"),
+        F.count("*").over(w).cast("bigint").alias("n_source"),
+    )
+    return ranked.select(
+        "doc_id",
+        "source",
+        "lex_div",
+        "src_rank",
+        "n_source",
+        # bigint math: int32 rank * 10000 overflows past ~214k rows/source
+        (F.col("src_rank").cast("bigint") * 10000 <= F.lit(KEEP_BP) * F.col("n_source"))
+        .cast("int").alias("keep"),
+    )
+
+
+def _source_quantile_oracle() -> str:
+    return f"""
+WITH scored AS (
+  SELECT doc_id, source,
+         ROUND(CAST(len(list_distinct(string_split(lower(text), ' '))) AS DOUBLE)
+               / len(string_split(lower(text), ' ')), 6) AS lex_div
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, source, lex_div,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY lex_div DESC, doc_id ASC) AS src_rank,
+         count(*) OVER (PARTITION BY source) AS n_source
+  FROM scored
+)
+SELECT doc_id, source, lex_div,
+       CAST(src_rank AS INTEGER) AS src_rank,
+       CAST(n_source AS BIGINT) AS n_source,
+       CAST(CASE WHEN src_rank * 10000 <= {KEEP_BP} * n_source
+                 THEN 1 ELSE 0 END AS INTEGER) AS keep
+FROM ranked
+"""
+
+
 def register_all(register) -> None:
     from pyspark_coding_challenge_spark.plans.merge import merged_oracle
 
@@ -306,12 +378,20 @@ def register_all(register) -> None:
     # cap). Custom merged fn (not register_merged) so both sections share
     # one candidate-pair computation; the oracle unions the per-section SQL
     # exactly like merged_oracle does for ordinary merged slugs.
+    def _with_quantile_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+        base = corpus_curation_with_clusters(spark, sf_dir)
+        cut = source_quantile_cut(spark, sf_dir).select(
+            F.lit("source_quantile_cut").alias("section"), "*"
+        )
+        return base.unionByName(cut, allowMissingColumns=True)
+
     register(
         "llm_corpus_curation",
-        corpus_curation_with_clusters,
+        _with_quantile_cut,
         merged_oracle([
             ("curated", _curation_oracle()),
             ("clusters", _clusters_oracle()),
             ("decontam", _decontam_oracle()),
+            ("source_quantile_cut", _source_quantile_oracle()),
         ]),
     )

@@ -45,3 +45,28 @@ def test_transitivity_beats_greedy_pair_policy(spark):
 def test_empty_pair_set_yields_empty_result(spark):
     empty = spark.createDataFrame([], schema=PAIR_SCHEMA)
     assert connected_components(empty).count() == 0
+
+
+def test_source_quantile_cut_keeps_top_fraction_per_source(spark, tmp_path):
+    """Rank-based 75% cut: with 4 docs in a source, exactly ranks 1-3 keep
+    (3*10000 <= 7500*4 but 4*10000 > 7500*4); stratification means a
+    low-diversity source still keeps its own top docs."""
+    from pyspark_coding_challenge_spark.llm.curation import source_quantile_cut
+
+    rows = [
+        # source A: descending lexical diversity 1.0, 0.75, 0.5, 0.25
+        (1, "a b c d", "A", 0), (2, "a a b c", "A", 0),
+        (3, "a a b b", "A", 0), (4, "a a a b", "A", 0),
+        # source B: uniformly low diversity — still keeps its top 3 of 4
+        (5, "x x x y", "B", 0), (6, "x x y x", "B", 0),
+        (7, "y x x x", "B", 0), (8, "x y x x", "B", 0),
+    ]
+    df = spark.createDataFrame(
+        [(d, t, "en", s, n) for d, t, s, n in rows],
+        schema="doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+    df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    got = {r.doc_id: r for r in source_quantile_cut(spark, str(tmp_path)).collect()}
+    assert [got[d].src_rank for d in (1, 2, 3, 4)] == [1, 2, 3, 4]
+    assert [got[d].keep for d in (1, 2, 3, 4)] == [1, 1, 1, 0]
+    # source B: all lex_div equal (0.5) -> rank by doc_id; 5,6,7 keep
+    assert [got[d].keep for d in (5, 6, 7, 8)] == [1, 1, 1, 0]
