@@ -162,6 +162,15 @@ def test_chunking_is_pure_narrow_codegen(spark):
     assert plan.count("FileScan parquet") == 1
 
 
+def test_source_quantile_cut_single_exchange(spark):
+    """Rank and count share one window partition on source — one shuffle,
+    one scan; a second exchange or scan would double the corpus pass."""
+    from pyspark_coding_challenge_spark.llm import curation as C
+    plan = _plan_fn(spark, C.source_quantile_cut)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("FileScan parquet") == 1
+
+
 def test_decontaminate_broadcasts_eval_side(spark):
     """The eval split is tiny relative to the corpus: the shingle-hash
     overlap join must broadcast it (BuildRight), never shuffle the train
