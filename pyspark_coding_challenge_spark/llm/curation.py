@@ -309,10 +309,13 @@ def source_quantile_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the corpus distribution, not a fixed constant), stratified so
     one clean source can't crowd out another.
 
-    Determinism: the keep test is pure integers — ``rank * 10000 <=
-    KEEP_BP * n_source`` with rank ordered by (rounded score desc, doc_id)
-    — no percentile interpolation, whose float arithmetic could flip a
-    boundary doc between engines.
+    Determinism: the keep test is pure integers — ``(rank - 1) * 10000 <
+    KEEP_BP * n_source`` (i.e. keep ``ceil(KEEP_BP/10000 * n)`` docs) with
+    rank ordered by (rounded score desc, doc_id) — no percentile
+    interpolation, whose float arithmetic could flip a boundary doc
+    between engines. Ceiling, not floor: a floor rule would keep ZERO
+    documents from any singleton source, silently eliminating exactly the
+    small/new sources the stratification exists to protect.
 
     Scale shape: ONE shuffle on source; rank and count ride the same
     window partition. Caveat at 100 TB: a single source's exact rank is
@@ -342,7 +345,7 @@ def source_quantile_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
         "src_rank",
         "n_source",
         # bigint math: int32 rank * 10000 overflows past ~214k rows/source
-        (F.col("src_rank").cast("bigint") * 10000 <= F.lit(KEEP_BP) * F.col("n_source"))
+        ((F.col("src_rank").cast("bigint") - 1) * 10000 < F.lit(KEEP_BP) * F.col("n_source"))
         .cast("int").alias("keep"),
     )
 
@@ -365,7 +368,7 @@ ranked AS (
 SELECT doc_id, source, lex_div,
        CAST(src_rank AS INTEGER) AS src_rank,
        CAST(n_source AS BIGINT) AS n_source,
-       CAST(CASE WHEN src_rank * 10000 <= {KEEP_BP} * n_source
+       CAST(CASE WHEN (src_rank - 1) * 10000 < {KEEP_BP} * n_source
                  THEN 1 ELSE 0 END AS INTEGER) AS keep
 FROM ranked
 """

@@ -300,7 +300,8 @@ LSH_MAX_BUCKET = int(os.environ.get("SPARK_GRAFT_LSH_MAX_BUCKET", "256"))
 
 
 def lsh_candidate_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-                        max_bucket: int = LSH_MAX_BUCKET) -> DataFrame:
+                        max_bucket: int = LSH_MAX_BUCKET,
+                        bands: DataFrame | None = None) -> DataFrame:
     """Banded-LSH candidate generation: docs sharing any band bucket.
     Pair expansion happens only within buckets — never all-pairs — and
     buckets larger than ``max_bucket`` are chunk-split (see LSH_MAX_BUCKET
@@ -311,12 +312,20 @@ def lsh_candidate_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str =
     DuckDB oracle, which does not model the cap, hash-identical at test
     scale factors).
 
+    ``bands``: a precomputed ``_band_buckets`` relation — pass it when the
+    same session also runs the ``lsh_oversized_buckets`` audit so the
+    shingle->minhash->band chain (the dominant cost) runs once for both.
+
     NB: construction is EAGER — the band relation is localCheckpoint-ed
     (see below), so building this DataFrame runs the shingle->minhash job.
     Callers that want the pair set should get it from the session cache
     (``verified_pairs_for_dir``) rather than composing-and-abandoning
-    plans."""
-    bands = _band_buckets(docs, id_col, text_col)
+    plans. The checkpoint's blocks are reclaimed when the returned
+    DataFrame is garbage-collected (the session config's periodic-GC
+    cleaner exists for exactly this); long-lived drivers doing many ad-hoc
+    calls should still prefer the session cache."""
+    if bands is None:
+        bands = _band_buckets(docs, id_col, text_col)
 
     w = Window.partitionBy("band", "bucket").orderBy(id_col)
     # Materialize the ranked band membership ONCE: it feeds four plan
@@ -348,14 +357,22 @@ def lsh_candidate_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str =
 
 
 def lsh_oversized_buckets(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-                          max_bucket: int = LSH_MAX_BUCKET) -> DataFrame:
+                          max_bucket: int = LSH_MAX_BUCKET,
+                          bands: DataFrame | None = None) -> DataFrame:
     """Audit ledger for the mega-bucket guard: (band, bucket, members) for
     every bucket whose membership exceeds ``max_bucket`` — i.e. the buckets
     ``lsh_candidate_pairs`` chunk-split. A production curation run inspects
     this (it is almost always boilerplate worth filtering upstream) instead
-    of discovering the skew as a hung stage."""
+    of discovering the skew as a hung stage.
+
+    ``bands``: pass the same precomputed ``_band_buckets`` relation given
+    to ``lsh_candidate_pairs`` so the audit rides the one materialized
+    banding pass instead of re-running shingle->minhash from the raw
+    corpus (at 100 TB, hours of duplicate work)."""
+    if bands is None:
+        bands = _band_buckets(docs, id_col, text_col)
     return (
-        _band_buckets(docs, id_col, text_col)
+        bands
         .groupBy("band", "bucket")
         .agg(F.count("*").alias("members"))
         .filter(F.col("members") > max_bucket)
@@ -516,22 +533,30 @@ def connected_components(edges: DataFrame, src_col: str = "doc_a",
             break
         prev_sum = cur_sum
     sym.unpersist()
-    edges.unpersist()
     if not converged:
         # Silently returning partial labels would merge/split clusters
         # wrongly downstream. Strict mode raises (a graph this deep is
         # usually a data bug); the default downgrades to the O(log^2 n)
-        # star algorithm and finishes the job.
+        # star algorithm and finishes the job. ``edges`` stays persisted
+        # through the star run — unpersisting first would make the fallback
+        # re-derive the caller's whole edge pipeline (for dedup_clusters,
+        # the minhash candidate+verify chain) on top of the max_iter rounds
+        # already spent.
         if strict:
+            edges.unpersist()
             raise RuntimeError(
                 f"connected_components did not converge in {max_iter} rounds; "
                 "use strict=False for the automatic large-star/small-star "
                 "fallback, or raise max_iter"
             )
-        return connected_components_star(
-            edges.select(F.col("src").alias(src_col), F.col("dst").alias(dst_col)),
-            src_col, dst_col,
-        )
+        try:
+            return connected_components_star(
+                edges.select(F.col("src").alias(src_col), F.col("dst").alias(dst_col)),
+                src_col, dst_col,
+            )
+        finally:
+            edges.unpersist()
+    edges.unpersist()
     return labels
 
 

@@ -37,6 +37,14 @@ if TYPE_CHECKING:
 FRAME_BYTES = 64  # fake "frame" chunk size
 _MOD = 1000000007
 
+
+def fake_dims(n_bytes):
+    """Fake-decoder dimension model: (width, height) from payload size.
+    Single source of truth for decode_meta_batches, resize_extract_batches,
+    and (transcribed as SQL in both section oracles) the DuckDB side —
+    elementwise, so it accepts ints and pandas Series alike."""
+    return n_bytes % 640 + 1, n_bytes * 31 % 480 + 1
+
 DECODE_META_SCHEMA = (
     "doc_id BIGINT, n_bytes INT, first_byte INT, fake_width INT, "
     "fake_height INT, channels INT"
@@ -106,13 +114,14 @@ def decode_meta_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataF
     for pdf in batches:
         payloads = pdf["payload"]
         n_bytes = payloads.map(len)
+        w, h = fake_dims(n_bytes)
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
                 "n_bytes": n_bytes.astype("int32"),
                 "first_byte": payloads.map(lambda b: b[0] if len(b) else -1).astype("int32"),
-                "fake_width": (n_bytes % 640 + 1).astype("int32"),
-                "fake_height": (n_bytes * 31 % 480 + 1).astype("int32"),
+                "fake_width": w.astype("int32"),
+                "fake_height": h.astype("int32"),
                 "channels": pd.Series([3] * len(pdf), index=pdf.index, dtype="int32"),
             }
         )
@@ -215,7 +224,7 @@ def resize_extract_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.Da
         }
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
             n = len(payload)
-            w, h = n % 640 + 1, n * 31 % 480 + 1  # fake-decoder dims
+            w, h = fake_dims(n)
             out_w = min(w, RESIZE_TARGET)
             out_h = max(1, h * out_w // w)
             b = np.frombuffer(payload, dtype=np.uint8)

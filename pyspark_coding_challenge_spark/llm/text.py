@@ -644,7 +644,7 @@ def text_rare_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token")
     ).filter(F.col("token") != "")
     vocab = tok.groupBy("token").agg(F.count("*").alias("_tf"))
-    return (
+    agg = (
         tok.join(vocab, on="token")
         .groupBy("doc_id")
         .agg(
@@ -652,13 +652,21 @@ def text_rare_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("_tf") <= RARE_MAX_TF).cast("bigint")).alias("n_rare"),
             F.sum((F.col("_tf") == 1).cast("bigint")).alias("n_hapax"),
         )
-        .select(
-            "doc_id",
-            "n_tokens",
-            "n_rare",
-            "n_hapax",
-            F.round(F.col("n_rare").cast("double") / F.col("n_tokens"), 6).alias("rare_frac"),
-        )
+    )
+    # Left-join the doc spine: an empty/whitespace-only doc has zero tokens
+    # after the '' filter and would otherwise VANISH from the section, while
+    # every sibling text_analysis section emits one row per document — and
+    # the junk docs this scorer exists to flag are exactly the ones a
+    # consumer must still see.
+    return d.select("doc_id").join(agg, on="doc_id", how="left").select(
+        "doc_id",
+        F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+        F.coalesce("n_rare", F.lit(0)).alias("n_rare"),
+        F.coalesce("n_hapax", F.lit(0)).alias("n_hapax"),
+        F.when(
+            F.coalesce("n_tokens", F.lit(0)) > 0,
+            F.round(F.col("n_rare").cast("double") / F.col("n_tokens"), 6),
+        ).otherwise(0.0).alias("rare_frac"),
     )
 
 
@@ -668,15 +676,23 @@ WITH tok AS (
   FROM documents
 ),
 t AS (SELECT doc_id, token FROM tok WHERE token <> ''),
-vocab AS (SELECT token, count(*) AS tf FROM t GROUP BY token)
-SELECT doc_id,
-       count(*) AS n_tokens,
-       CAST(sum(CASE WHEN tf <= {RARE_MAX_TF} THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
-       CAST(sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
-       ROUND(CAST(sum(CASE WHEN tf <= {RARE_MAX_TF} THEN 1 ELSE 0 END) AS DOUBLE)
-             / count(*), 6) AS rare_frac
-FROM t JOIN vocab USING (token)
-GROUP BY doc_id
+vocab AS (SELECT token, count(*) AS tf FROM t GROUP BY token),
+agg AS (
+  SELECT doc_id,
+         count(*) AS n_tokens,
+         CAST(sum(CASE WHEN tf <= {RARE_MAX_TF} THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+         CAST(sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+  FROM t JOIN vocab USING (token)
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(agg.n_tokens, 0) AS n_tokens,
+       COALESCE(agg.n_rare, 0) AS n_rare,
+       COALESCE(agg.n_hapax, 0) AS n_hapax,
+       CASE WHEN COALESCE(agg.n_tokens, 0) > 0
+            THEN ROUND(CAST(agg.n_rare AS DOUBLE) / agg.n_tokens, 6)
+            ELSE 0.0 END AS rare_frac
+FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id
 """
 
 

@@ -194,7 +194,11 @@ def rolling_last_k_history(
     """
     if lookback_days is None and k > ROLLING_AUTO_LOOKBACK_MIN_K:
         lookback_days = ROLLING_AUTO_LOOKBACK_DAYS
-    elif lookback_days is not None and lookback_days < 0:
+    # Normalize AFTER the auto-default too: a nonpositive value — from the
+    # caller OR from the SPARK_GRAFT_ROLLING_LOOKBACK_DAYS env var feeding
+    # ROLLING_AUTO_LOOKBACK_DAYS — means "exact unbounded path"; letting it
+    # through would build an inverted rangeBetween frame and fail analysis.
+    if lookback_days is not None and lookback_days <= 0:
         lookback_days = None  # explicit unbounded opt-in
 
     act = actions.select(entity_col, time_col, *payload_cols)

@@ -60,6 +60,9 @@ def test_source_quantile_cut_keeps_top_fraction_per_source(spark, tmp_path):
         # source B: uniformly low diversity — still keeps its top 3 of 4
         (5, "x x x y", "B", 0), (6, "x x y x", "B", 0),
         (7, "y x x x", "B", 0), (8, "x y x x", "B", 0),
+        # source C: singleton — the ceiling rule must keep it (a floor rule
+        # keeps ceil->0 and silently erases every new/small source)
+        (9, "q q q q", "C", 0),
     ]
     df = spark.createDataFrame(
         [(d, t, "en", s, n) for d, t, s, n in rows],
@@ -70,3 +73,5 @@ def test_source_quantile_cut_keeps_top_fraction_per_source(spark, tmp_path):
     assert [got[d].keep for d in (1, 2, 3, 4)] == [1, 1, 1, 0]
     # source B: all lex_div equal (0.5) -> rank by doc_id; 5,6,7 keep
     assert [got[d].keep for d in (5, 6, 7, 8)] == [1, 1, 1, 0]
+    # singleton source keeps its only doc
+    assert (got[9].src_rank, got[9].n_source, got[9].keep) == (1, 1, 1)

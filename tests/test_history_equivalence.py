@@ -140,3 +140,19 @@ def test_bounded_lookback_drops_ancient_history(spark):
     rows_roll = rolling_last_k_history(actions, cutoffs, k=5, lookback_days=30).collect()
     assert [tuple(r.actions) for r in rows_join] == [(2, 0, 0, 0, 0)]
     assert [tuple(r.actions) for r in rows_roll] == [(2, 0, 0, 0, 0)]
+
+
+def test_nonpositive_lookback_normalizes_to_unbounded_at_any_k(spark):
+    """A nonpositive lookback_days — explicit, or via the
+    SPARK_GRAFT_ROLLING_LOOKBACK_DAYS env feeding the large-K auto-default
+    — must select the exact unbounded path, not build an inverted
+    rangeBetween frame that fails analysis."""
+    actions = spark.createDataFrame(
+        [(1, ts("2025-03-01 10:00:00"), 7, 1), (1, ts("2025-03-03 10:00:00"), 8, 2)],
+        ACTIONS_DDL)
+    cutoffs = spark.createDataFrame([(1, ts("2025-03-05 00:00:00"))], CUTOFFS_DDL)
+    for bad in (0, -1):
+        # k > ROLLING_AUTO_LOOKBACK_MIN_K forces the guard path too
+        got = _collect(rolling_last_k_history(actions, cutoffs, k=100,
+                                              lookback_days=bad))
+        assert got and got[0][2][:2] == (8, 7)  # most-recent-first, unbounded

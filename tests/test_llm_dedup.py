@@ -271,3 +271,20 @@ def test_verified_pairs_for_dir_is_materialized_once_per_session(spark):
     b = D.verified_pairs_for_dir(spark, "/root/testdata/sf0.001")
     assert a is b
     assert a.storageLevel.useMemory
+
+
+def test_lsh_audit_and_candidates_share_one_band_relation(spark):
+    """Passing a precomputed band relation into both the candidate generator
+    and the oversized-bucket audit must reproduce the standalone results —
+    the single-banding-pass shape a production session runs."""
+    n, cap = 600, 64
+    docs = spark.createDataFrame([(i, BASE) for i in range(n)], schema=DOC_SCHEMA)
+    bands = D._band_buckets(docs)
+    pairs_shared = D.lsh_candidate_pairs(docs, max_bucket=cap, bands=bands).count()
+    pairs_alone = D.lsh_candidate_pairs(docs, max_bucket=cap).count()
+    assert pairs_shared == pairs_alone
+    over_shared = sorted((r.band, r.members) for r in
+                         D.lsh_oversized_buckets(docs, max_bucket=cap, bands=bands).collect())
+    over_alone = sorted((r.band, r.members) for r in
+                        D.lsh_oversized_buckets(docs, max_bucket=cap).collect())
+    assert over_shared == over_alone and over_shared

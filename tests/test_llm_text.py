@@ -151,12 +151,15 @@ def test_rare_tokens_scores_against_corpus_not_document(spark, tmp_path):
         (1, "apple banana apple", "en", "s", 0),   # apple tf=3 (not rare)
         (2, "apple cherry", "en", "s", 0),
         (3, "zzz yyy", "en", "s", 0),              # all hapax
+        (4, "   ", "en", "s", 0),                  # zero tokens — still one row
     ])
     got = {r.doc_id: r for r in text_rare_tokens(spark, sf).collect()}
+    assert set(got) == {1, 2, 3, 4}                # one row per document
     assert (got[1].n_tokens, got[1].n_rare, got[1].n_hapax) == (3, 1, 1)
     assert abs(got[1].rare_frac - 1 / 3) < 1e-6
     assert (got[2].n_tokens, got[2].n_rare) == (2, 1)  # apple common CORPUS-wide
     assert (got[3].n_rare, got[3].n_hapax, got[3].rare_frac) == (2, 2, 1.0)
+    assert (got[4].n_tokens, got[4].rare_frac) == (0, 0.0)
 
 
 def test_chunking_boundaries_overlap_and_tail_clamp(spark, tmp_path):
