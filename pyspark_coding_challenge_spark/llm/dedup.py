@@ -299,9 +299,27 @@ def _band_buckets(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
 LSH_MAX_BUCKET = int(os.environ.get("SPARK_GRAFT_LSH_MAX_BUCKET", "256"))
 
 
+def ranked_band_relation(docs: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """The MATERIALIZED banding pass: (id, band, bucket, _rn) rows,
+    ``localCheckpoint``-ed (on a cluster: persist/checkpoint). This is the
+    relation the shingle->minhash->band chain produces once per corpus;
+    ``lsh_candidate_pairs`` and ``lsh_oversized_buckets`` both consume it —
+    compute it once and pass it to both, and the dominant cost (the chain)
+    runs exactly once per session. The relation is thin — (id, band,
+    bucket, rn) x N_BANDS rows per doc, no text — so at 100 TB it is the
+    cheap thing to hold. NB: construction is EAGER (the checkpoint runs the
+    shingle->minhash job); blocks are reclaimed when the returned DataFrame
+    is garbage-collected (the session config's periodic-GC cleaner exists
+    for exactly this)."""
+    bands = _band_buckets(docs, id_col, text_col)
+    w = Window.partitionBy("band", "bucket").orderBy(id_col)
+    return bands.withColumn("_rn", F.row_number().over(w)).localCheckpoint()
+
+
 def lsh_candidate_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                         max_bucket: int = LSH_MAX_BUCKET,
-                        bands: DataFrame | None = None) -> DataFrame:
+                        ranked: DataFrame | None = None) -> DataFrame:
     """Banded-LSH candidate generation: docs sharing any band bucket.
     Pair expansion happens only within buckets — never all-pairs — and
     buckets larger than ``max_bucket`` are chunk-split (see LSH_MAX_BUCKET
@@ -312,30 +330,21 @@ def lsh_candidate_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str =
     DuckDB oracle, which does not model the cap, hash-identical at test
     scale factors).
 
-    ``bands``: a precomputed ``_band_buckets`` relation — pass it when the
-    same session also runs the ``lsh_oversized_buckets`` audit so the
-    shingle->minhash->band chain (the dominant cost) runs once for both.
+    ``ranked``: a ``ranked_band_relation`` — pass the same one to
+    ``lsh_oversized_buckets`` and the banding chain runs once for both
+    (the relation is already materialized, so sharing is real, not a
+    shared-lazy-plan illusion that each consumer re-executes).
 
-    NB: construction is EAGER — the band relation is localCheckpoint-ed
-    (see below), so building this DataFrame runs the shingle->minhash job.
-    Callers that want the pair set should get it from the session cache
-    (``verified_pairs_for_dir``) rather than composing-and-abandoning
-    plans. The checkpoint's blocks are reclaimed when the returned
-    DataFrame is garbage-collected (the session config's periodic-GC
-    cleaner exists for exactly this); long-lived drivers doing many ad-hoc
-    calls should still prefer the session cache."""
-    if bands is None:
-        bands = _band_buckets(docs, id_col, text_col)
-
-    w = Window.partitionBy("band", "bucket").orderBy(id_col)
-    # Materialize the ranked band membership ONCE: it feeds four plan
-    # branches (chunked + overlap, each on both sides of the self-join), and
-    # without this each branch re-runs the whole shingle->minhash->band
-    # chain from the raw table (measured: 4 parquet scans, 0 reused
-    # exchanges). The relation is thin — (id, band, bucket, rn) x N_BANDS
-    # rows per doc, no text — so at 100 TB it is the cheap thing to hold;
-    # on a cluster this is persist()/checkpoint() on the same line.
-    ranked = bands.withColumn("_rn", F.row_number().over(w)).localCheckpoint()
+    NB: construction is EAGER — the ranked band relation is
+    localCheckpoint-ed, so building this DataFrame runs the
+    shingle->minhash job. Callers that want the pair set should get it
+    from the session cache (``verified_pairs_for_dir``) rather than
+    composing-and-abandoning plans. The checkpoint feeds four plan
+    branches (chunked + overlap, each on both sides of the self-join);
+    without it each branch re-runs the whole chain from the raw table
+    (measured: 4 parquet scans, 0 reused exchanges)."""
+    if ranked is None:
+        ranked = ranked_band_relation(docs, id_col, text_col)
     chunked = ranked.withColumn(
         "_ck", F.floor((F.col("_rn") - 1) / F.lit(max_bucket)).cast("bigint")
     )
@@ -358,21 +367,22 @@ def lsh_candidate_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str =
 
 def lsh_oversized_buckets(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                           max_bucket: int = LSH_MAX_BUCKET,
-                          bands: DataFrame | None = None) -> DataFrame:
+                          ranked: DataFrame | None = None) -> DataFrame:
     """Audit ledger for the mega-bucket guard: (band, bucket, members) for
     every bucket whose membership exceeds ``max_bucket`` — i.e. the buckets
     ``lsh_candidate_pairs`` chunk-split. A production curation run inspects
     this (it is almost always boilerplate worth filtering upstream) instead
     of discovering the skew as a hung stage.
 
-    ``bands``: pass the same precomputed ``_band_buckets`` relation given
-    to ``lsh_candidate_pairs`` so the audit rides the one materialized
+    ``ranked``: pass the same ``ranked_band_relation`` given to
+    ``lsh_candidate_pairs`` and the audit reads the one MATERIALIZED
     banding pass instead of re-running shingle->minhash from the raw
-    corpus (at 100 TB, hours of duplicate work)."""
-    if bands is None:
-        bands = _band_buckets(docs, id_col, text_col)
+    corpus (at 100 TB, hours of duplicate work; plan-gated in
+    tests/test_llm_dedup.py). Standalone (``ranked=None``) the audit stays
+    a lazy aggregate over the chain — no hidden eager materialization."""
+    rel = ranked if ranked is not None else _band_buckets(docs, id_col, text_col)
     return (
-        bands
+        rel
         .groupBy("band", "bucket")
         .agg(F.count("*").alias("members"))
         .filter(F.col("members") > max_bucket)

@@ -178,10 +178,13 @@ def shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
     every training-data pipeline: break source-order correlation (a model
     must not see a whole crawl domain consecutively) and write N shards a
     data loader can stream. ``df.orderBy(rand())`` is neither reproducible
-    nor oracle-able; instead the shuffle key is a salted content hash, so
-    the permutation is a pure function of the data — stable across runs,
-    engines, partitionings, and retries (a re-run after a 100 TB job
-    failure produces byte-identical shards).
+    nor oracle-able; instead the shuffle key is a salted hash of the STABLE
+    DOCUMENT KEY (doc_id), so the permutation is a pure function of the
+    assigned ids — stable across runs, engines, partitionings, and retries
+    (a re-run after a 100 TB job failure produces byte-identical shards,
+    PROVIDED ids are stable across the re-run; pipelines whose ids are
+    regenerated per ingest swap the key for ``md5(text)`` to get true
+    content addressing, same plan).
 
     Output: (doc_id, shard, shard_pos) — shard by ``pmod(hash, N)``,
     position by rank of (hash, doc_id) within the shard.

@@ -658,11 +658,14 @@ def text_rare_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     # every sibling text_analysis section emits one row per document — and
     # the junk docs this scorer exists to flag are exactly the ones a
     # consumer must still see.
+    # INT counts, not the aggregate's native bigint: sibling sections emit
+    # n_tokens as int, and plans/merge.py's invariant is that shared column
+    # names keep one type across sections (no silent union widening).
     return d.select("doc_id").join(agg, on="doc_id", how="left").select(
         "doc_id",
-        F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
-        F.coalesce("n_rare", F.lit(0)).alias("n_rare"),
-        F.coalesce("n_hapax", F.lit(0)).alias("n_hapax"),
+        F.coalesce("n_tokens", F.lit(0)).cast("int").alias("n_tokens"),
+        F.coalesce("n_rare", F.lit(0)).cast("int").alias("n_rare"),
+        F.coalesce("n_hapax", F.lit(0)).cast("int").alias("n_hapax"),
         F.when(
             F.coalesce("n_tokens", F.lit(0)) > 0,
             F.round(F.col("n_rare").cast("double") / F.col("n_tokens"), 6),
@@ -686,9 +689,9 @@ agg AS (
   GROUP BY doc_id
 )
 SELECT d.doc_id,
-       COALESCE(agg.n_tokens, 0) AS n_tokens,
-       COALESCE(agg.n_rare, 0) AS n_rare,
-       COALESCE(agg.n_hapax, 0) AS n_hapax,
+       CAST(COALESCE(agg.n_tokens, 0) AS INTEGER) AS n_tokens,
+       CAST(COALESCE(agg.n_rare, 0) AS INTEGER) AS n_rare,
+       CAST(COALESCE(agg.n_hapax, 0) AS INTEGER) AS n_hapax,
        CASE WHEN COALESCE(agg.n_tokens, 0) > 0
             THEN ROUND(CAST(agg.n_rare AS DOUBLE) / agg.n_tokens, 6)
             ELSE 0.0 END AS rare_frac
@@ -735,7 +738,9 @@ def text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             ((F.col("s") - 1) / st).cast("int").alias("chunk_idx"),
-            F.col("s").cast("int").alias("chunk_start"),
+            # bigint: pack_sequences emits chunk_start as bigint, and shared
+            # column names must keep one type across merged sections
+            F.col("s").cast("bigint").alias("chunk_start"),
             F.least(F.lit(k), F.col("_n") - F.col("s") + 1).cast("int").alias("chunk_tokens"),
             F.md5(F.concat_ws(" ", F.expr(f"slice(_toks, s, {k})"))).alias("chunk_md5"),
         )
@@ -753,7 +758,7 @@ s AS (
 )
 SELECT doc_id,
        CAST((s - 1) // {st} AS INTEGER) AS chunk_idx,
-       CAST(s AS INTEGER) AS chunk_start,
+       CAST(s AS BIGINT) AS chunk_start,
        CAST(least({k}, n - s + 1) AS INTEGER) AS chunk_tokens,
        md5(array_to_string(list_slice(toks, s, s + {k - 1}), ' ')) AS chunk_md5
 FROM s

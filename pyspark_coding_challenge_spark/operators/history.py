@@ -187,7 +187,7 @@ def rolling_last_k_history(
     unbounded frame is quadratic in K and the horizon is lossless in
     practice. This CHANGES semantics for large-K entities whose last K
     actions stretch past the horizon (older actions drop out). Pass any
-    NEGATIVE ``lookback_days`` to force the exact unbounded path at any K
+    NONPOSITIVE (``<= 0``) ``lookback_days`` to force the exact unbounded path at any K
     (accepting its O(K^2)-per-active-day cost) — explicit, so the caller
     owns the cost knowingly. Property-tested equivalent at K=1000 on real
     testdata.

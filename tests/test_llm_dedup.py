@@ -274,17 +274,21 @@ def test_verified_pairs_for_dir_is_materialized_once_per_session(spark):
 
 
 def test_lsh_audit_and_candidates_share_one_band_relation(spark):
-    """Passing a precomputed band relation into both the candidate generator
-    and the oversized-bucket audit must reproduce the standalone results —
-    the single-banding-pass shape a production session runs."""
+    """Passing one ranked_band_relation into both the candidate generator
+    and the oversized-bucket audit must reproduce the standalone results,
+    AND the audit must actually read the materialization — its executed
+    plan may not rebuild the shingle->minhash chain from the raw input
+    (the sharing must be real, not a shared-lazy-plan illusion)."""
     n, cap = 600, 64
     docs = spark.createDataFrame([(i, BASE) for i in range(n)], schema=DOC_SCHEMA)
-    bands = D._band_buckets(docs)
-    pairs_shared = D.lsh_candidate_pairs(docs, max_bucket=cap, bands=bands).count()
+    ranked = D.ranked_band_relation(docs)
+    pairs_shared = D.lsh_candidate_pairs(docs, max_bucket=cap, ranked=ranked).count()
     pairs_alone = D.lsh_candidate_pairs(docs, max_bucket=cap).count()
     assert pairs_shared == pairs_alone
-    over_shared = sorted((r.band, r.members) for r in
-                         D.lsh_oversized_buckets(docs, max_bucket=cap, bands=bands).collect())
+    audit = D.lsh_oversized_buckets(docs, max_bucket=cap, ranked=ranked)
+    plan = audit._jdf.queryExecution().executedPlan().toString()
+    assert "md5" not in plan and "posexplode" not in plan  # no chain re-run
+    over_shared = sorted((r.band, r.members) for r in audit.collect())
     over_alone = sorted((r.band, r.members) for r in
                         D.lsh_oversized_buckets(docs, max_bucket=cap).collect())
     assert over_shared == over_alone and over_shared

@@ -122,8 +122,8 @@ def test_multimodal_resize_preserves_aspect_and_histogram_counts_bytes(spark):
         resize_extract_batches,
     )
 
-    # 999 bytes -> fake dims w=360, h=250 (999*31 % 480 + 1): w < target, no
-    # clamp. 300 bytes of 'x' (120) -> hist bin 120%8=0 gets all 300.
+    # 300 bytes -> fake dims w=301, h=181; w > target so the clamp branch
+    # runs (out_w=224). Byte 120 -> hist bin 120%8=0 gets all 300.
     payload_a = bytes([120] * 300)
     n = len(payload_a)
     df = spark.createDataFrame(
