@@ -90,3 +90,14 @@ def read_json(spark: SparkSession, path: str, ddl_schema: str) -> DataFrame:
 
 def read_csv(spark: SparkSession, path: str, ddl_schema: str, header: bool = True) -> DataFrame:
     return spark.read.schema(ddl_schema).csv(path, header=header)
+
+
+def read_orc(spark: SparkSession, path: str, ddl_schema: str | None = None) -> DataFrame:
+    """ORC source — the other columnar format Spark reads natively with the
+    same pushdown/pruning machinery as parquet. Schema optional: ORC files
+    are self-describing; pass ``ddl_schema`` to enforce a contract (columns
+    are matched by name, extra file columns pruned)."""
+    r = spark.read
+    if ddl_schema is not None:
+        r = r.schema(ddl_schema)
+    return r.orc(path)

@@ -5,6 +5,8 @@ no inference anywhere (SURVEY §5.2)."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from pyspark_coding_challenge_spark.sources.readers import read_csv, read_json, read_table
 
 NATION_DDL = "n_nationkey INT, n_name STRING, n_regionkey INT"
@@ -64,3 +66,27 @@ def test_canonicalize_ts_handles_all_generations(spark):
         assert dict(out.dtypes)["ts"] == "timestamp"
         vals.add(out.select(F.unix_micros("ts")).collect()[0][0])
     assert vals == {micros}
+
+
+def test_orc_partitioned_roundtrip_prunes_partitions(spark, tmp_path):
+    """ORC round-trip with dt-style partitioning: values survive, the
+    partition column reconstructs, and a partition filter prunes at scan
+    time (partitionFilters in the plan, not a post-scan filter)."""
+    from pyspark_coding_challenge_spark.sources.readers import read_orc, read_table
+    from pyspark_coding_challenge_spark.sources.writers import write_partitioned_orc
+
+    d = read_table(spark, "/root/testdata/sf0.001", "documents").limit(200)
+    src = d.select("doc_id", "text", "source")
+    out = f"{tmp_path}/docs_orc"
+    write_partitioned_orc(src, out, partition_cols=("source",))
+    back = read_orc(spark, out)
+    assert back.count() == src.count()
+    a = sorted((r.doc_id, r.text, r.source) for r in src.collect())
+    b = sorted((r.doc_id, r.text, r.source) for r in back.collect())
+    assert a == b
+    one = sorted({r.source for r in src.collect()})[0]
+    plan = (
+        read_orc(spark, out).filter(F.col("source") == one)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters: [" in plan and "isnotnull(source" in plan
