@@ -34,6 +34,18 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _check_orders(left_order: tuple[str, ...], right_order: tuple[str, ...]) -> None:
+    """The order tuples are compared positionally; unequal lengths would be
+    silently zip-truncated (ranked form: tiebreak compared against time;
+    merge form: trailing NULL order columns sort NULLS FIRST) — fail loudly
+    instead of returning semantically wrong matches."""
+    if len(left_order) != len(right_order) or not left_order:
+        raise ValueError(
+            "left_order and right_order must be non-empty and the same "
+            f"length, got {left_order!r} vs {right_order!r}"
+        )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -51,6 +63,7 @@ def asof_join(
     rest are deterministic tie-breaks). Unmatched left rows keep null right
     columns when ``how='left'`` and are dropped when ``how='inner'``.
     """
+    _check_orders(left_order, right_order)
     if right_within is not None:
         return asof_join_ranked(left, right, on, left_order, right_order,
                                 how, right_within)
@@ -107,6 +120,7 @@ def asof_join_ranked(
     partition key); duplicate left rows would be collapsed to one. Per key
     with L left and R right rows the intermediate is O(L*R) before the rank
     filter — use the merge form unless ``right_within`` is needed."""
+    _check_orders(left_order, right_order)
     lt = left.alias("l")
     rt = right.alias("r")
 

@@ -826,6 +826,9 @@ def persist_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial-aggregation orders, and a customer within ~1 ulp of the mean
     would then flip row membership (round-3 advisory)."""
     c = read_table(spark, sf_dir, "customer")
+    # The persisted relation is ONE row (count + sum), so repeated bench
+    # invocations accumulate bytes, not data — no cache/unpersist dance
+    # needed for this demo slug.
     stats = c.agg(
         F.count("*").alias("n"),
         F.sum(_cents("c_acctbal")).alias("total_cents"),

@@ -44,16 +44,26 @@ def canonicalize_ts(df: DataFrame, *cols: str) -> DataFrame:
     return df
 
 
+def ensure_event_ts_confs(spark: SparkSession) -> None:
+    """Runtime-settable SQL confs the events timestamp handling needs —
+    required even on sessions we didn't build (the driver passes its own
+    SparkSession into entry()). Shared by the batch reader and the
+    streaming source so ts canonicalization policy lives in ONE place:
+
+    * ``nanosAsLong``: legacy TIMESTAMP(NANOS) parquet surfaces as BIGINT
+      for ``canonicalize_ts`` to floor to micros.
+    * UTC session time: the parquet timestamps are tz-naive
+      (isAdjustedToUTC=false); UTC makes Spark's to_date/date_trunc agree
+      with DuckDB's naive civil-time interpretation regardless of host
+      timezone."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver testdata table (TESTDATA.md) as a DataFrame."""
     if name in _EVENT_TS_COLS:
-        # Runtime-settable SQL confs: required even on sessions we didn't
-        # build (the driver passes its own SparkSession into entry()).
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        # The parquet timestamps are tz-naive (isAdjustedToUTC=false); UTC
-        # session time makes Spark's to_date/date_trunc agree with DuckDB's
-        # naive civil-time interpretation regardless of host timezone.
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        ensure_event_ts_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     return canonicalize_ts(df, *_EVENT_TS_COLS.get(name, ()))
 

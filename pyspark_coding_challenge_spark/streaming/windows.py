@@ -54,17 +54,28 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     type has varied across testdata generations — nanos-as-BIGINT vs
     TIMESTAMP_NTZ micros), then ts is canonicalized to TIMESTAMP exactly
     like the batch reader so watermarks/windows see one type."""
-    from pyspark_coding_challenge_spark.sources.readers import canonicalize_ts
+    from pyspark_coding_challenge_spark.sources.readers import (
+        canonicalize_ts,
+        ensure_event_ts_confs,
+    )
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    file_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    ensure_event_ts_confs(spark)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    file_schema = _EVENT_SCHEMA_CACHE.get(key)
+    if file_schema is None:
+        # one footer probe per (session, dir) — streaming slugs call this
+        # up to twice per run and the bench repeats runs
+        file_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+        _EVENT_SCHEMA_CACHE[key] = file_schema
     raw = (
         spark.readStream.schema(file_schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
     return canonicalize_ts(raw, "ts")
+
+
+_EVENT_SCHEMA_CACHE: dict[tuple[str, str], "object"] = {}
 
 
 def _fresh_dirs(slug: str) -> tuple[str, str]:
@@ -107,7 +118,11 @@ class _stream_shuffle_partitions:
 
 def run_to_parquet(stream: DataFrame, spark: SparkSession, slug: str) -> DataFrame:
     """Drive a streaming DataFrame to completion (availableNow) into an
-    append-mode parquet file sink; return the read-back result."""
+    append-mode parquet file sink; return the read-back result. A query
+    that emits zero rows (e.g. the data span never closes a single window
+    under the watermark) leaves only _spark_metadata in the sink — read
+    back as an empty frame with the stream's schema instead of letting
+    spark.read.parquet fail schema inference."""
     sink, ck = _fresh_dirs(slug)
     with _stream_shuffle_partitions(spark):
         q = (
@@ -119,6 +134,11 @@ def run_to_parquet(stream: DataFrame, spark: SparkSession, slug: str) -> DataFra
             .start()
         )
         q.awaitTermination()
+    wrote_files = os.path.isdir(sink) and any(
+        f.endswith(".parquet") for f in os.listdir(sink)
+    )
+    if not wrote_files:  # zero emitted rows: nothing but _spark_metadata
+        return spark.createDataFrame([], stream.schema)
     return spark.read.parquet(sink)
 
 
@@ -396,7 +416,18 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     would grow forever. Inner-join matches are emitted as found, so the
     batch oracle is the plain interval join with no watermark filter.
     At 100 TB this is the canonical funnel/attribution join; the state
-    bound, not the data volume, sizes the cluster's state store."""
+    bound, not the data volume, sizes the cluster's state store.
+
+    Oracle-equality caveat (unlike the aggregation slugs, which are
+    batch-count independent via the closed-window filter): the unfiltered
+    batch oracle holds under SINGLE-batch delivery, which this harness
+    guarantees by construction (one events.parquet file, availableNow, no
+    maxFilesPerTrigger). Multi-batch delivery spanning more than the
+    watermark delay would apply genuine cross-batch state eviction — a view
+    older than watermark-minus-2h is dropped before a later batch's
+    purchase arrives. That is CORRECT streaming semantics (late data is
+    late), but a batch oracle cannot model it; a production consumer
+    reconciles against a batch backfill instead."""
     views = (
         read_events_stream(spark, sf_dir)
         .filter(F.col("event_type") == "view")

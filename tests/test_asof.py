@@ -79,3 +79,21 @@ def test_merge_form_has_no_per_key_pair_expansion(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_mismatched_order_tuples_raise_instead_of_truncating(spark):
+    """zip() would silently pair the tiebreak column against the time column
+    (or leave trailing NULL order columns sorting NULLS FIRST) — both forms
+    must refuse mismatched order tuples loudly."""
+    import pytest
+
+    from pyspark_coding_challenge_spark.operators.asof import asof_join, asof_join_ranked
+
+    l = spark.createDataFrame([(1, 1, 1)], "k BIGINT, t BIGINT, tb BIGINT")
+    r = spark.createDataFrame([(1, 1)], "k BIGINT, t BIGINT")
+    with pytest.raises(ValueError, match="same\\s+length"):
+        asof_join(l, r, "k", ("t", "tb"), ("t",))
+    with pytest.raises(ValueError, match="same\\s+length"):
+        asof_join_ranked(l, r, "k", ("t", "tb"), ("t",))
+    with pytest.raises(ValueError):
+        asof_join(l, r, "k", (), ())

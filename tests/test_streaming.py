@@ -188,3 +188,26 @@ def test_streaming_layer_has_no_complete_mode_and_no_memory_sink():
     assert src.count('"update"') <= 2  # the custom-stateful pair only
     assert 'format("memory")' not in src  # no driver-materialized sink
     assert "format('memory')" not in src
+
+
+def test_append_sink_zero_closed_windows_reads_back_empty(spark, tmp_path):
+    """A data span shorter than the watermark delay closes no windows: the
+    append sink holds only _spark_metadata and run_to_parquet must return
+    an empty frame with the right schema, not crash schema inference."""
+    import pandas as pd
+
+    from pyspark_coding_challenge_spark.streaming.windows import streaming_tumbling_counts
+
+    pdf = pd.DataFrame({
+        "event_id": [1, 2],
+        "ts": pd.to_datetime(["2024-01-01 08:00:00", "2024-01-01 08:10:00"]),
+        "user_id": [1, 2], "event_type": ["view", "view"],
+        "value": [1.0, 2.0], "props": ["{}", "{}"],
+    })
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    pq.write_table(pa.Table.from_pandas(pdf), f"{tmp_path}/events.parquet",
+                   coerce_timestamps="us")
+    out = streaming_tumbling_counts(spark, str(tmp_path))
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["window_start", "event_type", "cnt"]
