@@ -707,9 +707,58 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _clusters_oracle() -> str:
-    return f"""
-WITH RECURSIVE {minhash_pair_ctes('documents')},
+def dedup_clusters_sectioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The registered slug: section ``clusters`` = ``dedup_clusters``
+    (min-id keeper election, the union-find-free default), section
+    ``quality_keepers`` = one row per cluster electing the HIGHEST-QUALITY
+    member (lexical diversity desc, doc_id tiebreak) — the policy a real
+    curation pipeline wants: near-dup clusters usually contain one clean
+    original and N mutilated copies, and min-id keeps whichever crawled
+    first, not whichever is cleanest. One connected-components run serves
+    both sections (label propagation is the expensive part; the quality
+    join is a doc_id-keyed hash join against the corpus)."""
+    pairs = (
+        verified_pairs_for_dir(spark, sf_dir)
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b")
+    )
+    cc = connected_components(pairs).select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+    w = Window.partitionBy("cluster_id")
+    clusters = (
+        cc.withColumn("cluster_size", F.count("*").over(w))
+        .withColumn("is_keeper", (F.col("doc_id") == F.col("cluster_id")).cast("int"))
+        .select(F.lit("clusters").alias("section"), "*")
+    )
+    toks = F.split(F.lower("text"), " ")
+    lex = F.round(
+        F.size(F.array_distinct(toks)).cast("double") / F.size(toks), 6
+    )
+    scored = cc.join(
+        read_table(spark, sf_dir, "documents").select("doc_id", lex.alias("_lex")),
+        on="doc_id",
+    )
+    qw = Window.partitionBy("cluster_id").orderBy(
+        F.col("_lex").desc(), F.col("doc_id").asc()
+    )
+    keepers = (
+        scored.withColumn("_rn", F.row_number().over(qw))
+        .withColumn("cluster_size", F.count("*").over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.lit("quality_keepers").alias("section"),
+            "cluster_id",
+            F.col("doc_id").alias("keeper_doc_id"),
+            "cluster_size",
+            F.col("_lex").alias("keeper_lex_div"),
+        )
+    )
+    return clusters.unionByName(keepers, allowMissingColumns=True)
+
+
+_CLUSTERS_RECURSIVE_CTES = f"""
+WITH RECURSIVE {{pair_ctes}},
 pairs AS (SELECT doc_a, doc_b FROM verified WHERE jac >= {JACCARD_THRESHOLD}),
 edges AS (
   SELECT doc_a AS src, doc_b AS dst FROM pairs
@@ -722,10 +771,34 @@ walk(node, label) AS (
   SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node
 ),
 cc AS (SELECT node AS doc_id, min(label) AS cluster_id FROM walk GROUP BY node)
+"""
+
+
+def _clusters_oracle() -> str:
+    return _CLUSTERS_RECURSIVE_CTES.format(pair_ctes=minhash_pair_ctes('documents')) + """
 SELECT doc_id, cluster_id,
        count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
        CAST(CASE WHEN doc_id = cluster_id THEN 1 ELSE 0 END AS INTEGER) AS is_keeper
 FROM cc
+"""
+
+
+def _quality_keepers_oracle() -> str:
+    return _CLUSTERS_RECURSIVE_CTES.format(pair_ctes=minhash_pair_ctes('documents')) + """,
+scored AS (
+  SELECT cc.doc_id, cc.cluster_id,
+         ROUND(CAST(len(list_distinct(string_split(lower(d.text), ' '))) AS DOUBLE)
+               / len(string_split(lower(d.text), ' ')), 6) AS lex
+  FROM cc JOIN documents d ON d.doc_id = cc.doc_id
+),
+ranked AS (
+  SELECT cluster_id, doc_id, lex,
+         row_number() OVER (PARTITION BY cluster_id ORDER BY lex DESC, doc_id) AS rn,
+         count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+  FROM scored
+)
+SELECT cluster_id, doc_id AS keeper_doc_id, cluster_size, lex AS keeper_lex_div
+FROM ranked WHERE rn = 1
 """
 
 
@@ -998,5 +1071,12 @@ def register_all(register) -> None:
     register("dedup_fingerprint", dedup_fingerprint, DEDUP_FINGERPRINT_ORACLE)
     register("dedup_ngram_jaccard", dedup_ngram_jaccard, DEDUP_NGRAM_JACCARD_ORACLE)
     register("dedup_minhash_lsh", dedup_minhash_lsh, _minhash_oracle())
-    register("dedup_clusters", dedup_clusters, _clusters_oracle())
+    from pyspark_coding_challenge_spark.plans.merge import merged_oracle
+
+    # Custom merged fn (one CC run serves both sections), oracle composed
+    # exactly like register_merged's.
+    register("dedup_clusters", dedup_clusters_sectioned, merged_oracle([
+        ("clusters", _clusters_oracle()),
+        ("quality_keepers", _quality_keepers_oracle()),
+    ]))
     register("dedup_simhash", dedup_simhash, _simhash_oracle())

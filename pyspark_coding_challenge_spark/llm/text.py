@@ -536,6 +536,126 @@ LEFT JOIN cov ON cov.doc_id = base.doc_id
 """
 
 
+def text_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REMOVAL step of exact-substring dedup ("Deduplicating Training
+    Data Makes Language Models Better" actually deletes the duplicated
+    spans, it doesn't just measure them): rebuild each document with every
+    token position that lies inside a cross-document ``SPAN_K``-window
+    removed, reporting the kept-token count and the md5 of the scrubbed
+    text (the value the oracle pins — the reconstruction order and the
+    exact removal set both flip the hash).
+
+    ``text_span_dup`` is the signal; this is the action. Same shared-span
+    chain (skew-safe min!=max aggregate, never a window over the hot
+    hash), then: covered positions -> anti-join against all positions ->
+    ordered reassembly via sorted (position, token) structs. A production
+    run materializes the shared-position relation once for both
+    operators; here each section is an independent oracle-checked query.
+    Every shuffle is keyed by the gram hash or doc_id, never text."""
+    from pyspark_coding_challenge_spark.llm.dedup import md5_fold60, _with_tokens
+    from pyspark_coding_challenge_spark.sources.readers import rebalance_for_compute
+
+    k = SPAN_K
+    d = rebalance_for_compute(read_table(spark, sf_dir, "documents"), "doc_id")
+    t = _with_tokens(d).select("doc_id", "_toks", F.size("_toks").alias("_n"))
+    gram = F.concat_ws(
+        " ", *[F.expr(f"element_at(_toks, i + {j})") for j in range(k)]
+    )
+    pos = (
+        t.select(
+            "doc_id",
+            F.explode(
+                F.expr(f"CASE WHEN _n >= {k} THEN sequence(1, _n - {k - 1}) "
+                       "ELSE CAST(array() AS ARRAY<INT>) END")
+            ).alias("i"),
+            "_toks",
+        )
+        .select("doc_id", "i", md5_fold60(gram).alias("h"))
+    )
+    freq = (
+        pos.groupBy("h")
+        .agg(F.min("doc_id").alias("_mn"), F.max("doc_id").alias("_mx"))
+        .filter(F.col("_mn") != F.col("_mx"))
+        .select("h")
+    )
+    covered = (
+        pos.join(freq, on="h")
+        .select("doc_id", F.explode(F.expr(f"sequence(i, i + {k - 1})")).alias("p"))
+        .distinct()
+    )
+    allpos = t.select(
+        "doc_id", "_toks", F.explode(F.expr("sequence(1, _n)")).alias("p")
+    ).select("doc_id", "p", F.expr("element_at(_toks, p)").alias("tok"))
+    kept = allpos.join(covered, on=["doc_id", "p"], how="left_anti")
+    agg = (
+        kept.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("kept_tokens"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("p", "tok"))),
+                        lambda s: s["tok"],
+                    ),
+                )
+            ).alias("scrubbed_md5"),
+        )
+    )
+    base = t.select("doc_id", F.col("_n").cast("int").alias("n_tokens"))
+    return base.join(agg, on="doc_id", how="left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce("kept_tokens", F.lit(0)).alias("kept_tokens"),
+        # fully-scrubbed doc: md5 of the empty string, one row per doc
+        F.coalesce("scrubbed_md5", F.md5(F.lit(""))).alias("scrubbed_md5"),
+    )
+
+
+def _span_scrub_oracle() -> str:
+    from pyspark_coding_challenge_spark.llm.dedup import sql_md5_fold60
+
+    k = SPAN_K
+    gram = " || ' ' || ".join(f"toks[i + {j}]" for j in range(k))
+    return f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+starts AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(1, greatest(len(toks) - {k - 1}, 0))) AS i
+  FROM d
+),
+g AS (SELECT doc_id, i, {sql_md5_fold60(f"({gram})")} AS h FROM starts),
+freq AS (
+  SELECT h FROM (SELECT DISTINCT doc_id, h FROM g)
+  GROUP BY h HAVING count(*) > 1
+),
+cov AS (
+  SELECT DISTINCT doc_id, p FROM (
+    SELECT g.doc_id, unnest(generate_series(g.i, g.i + {k - 1})) AS p
+    FROM g JOIN freq USING (h))
+),
+allpos AS (
+  SELECT d.doc_id, p.p, d.toks[p.p] AS tok
+  FROM d, unnest(generate_series(1, len(d.toks))) AS p(p)
+),
+kept AS (
+  SELECT a.doc_id, a.p, a.tok
+  FROM allpos a LEFT JOIN cov c ON c.doc_id = a.doc_id AND c.p = a.p
+  WHERE c.p IS NULL
+),
+agg AS (
+  SELECT doc_id, CAST(count(*) AS INTEGER) AS kept_tokens,
+         md5(string_agg(tok, ' ' ORDER BY p)) AS scrubbed_md5
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(len(d.toks) AS INTEGER) AS n_tokens,
+       COALESCE(agg.kept_tokens, 0) AS kept_tokens,
+       COALESCE(agg.scrubbed_md5, md5('')) AS scrubbed_md5
+FROM d LEFT JOIN agg ON agg.doc_id = d.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # PII scrubbing (email / IPv4 / E.164-phone redaction)
 # ---------------------------------------------------------------------------
@@ -782,6 +902,7 @@ def register_all(register) -> None:
         ("corpus_dup_frac", text_corpus_dup_frac, _corpus_dup_frac_oracle()),
         ("pii_scrub", text_pii_scrub, _pii_scrub_oracle()),
         ("span_dup", text_span_dup, _span_dup_oracle()),
+        ("span_scrub", text_span_scrub, _span_scrub_oracle()),
         ("chunk", text_chunk, _chunk_oracle()),
         ("rare_tokens", text_rare_tokens, TEXT_RARE_TOKENS_ORACLE),
     ])

@@ -292,3 +292,30 @@ def test_lsh_audit_and_candidates_share_one_band_relation(spark):
     over_alone = sorted((r.band, r.members) for r in
                         D.lsh_oversized_buckets(docs, max_bucket=cap).collect())
     assert over_shared == over_alone and over_shared
+
+
+def test_quality_keeper_beats_min_id_keeper(spark, tmp_path):
+    """A near-dup cluster whose LOWEST id is the degenerate copy: min-id
+    election keeps the junk, quality election must keep the clean doc."""
+    from pyspark_coding_challenge_spark.llm.dedup import (
+        clear_pair_cache,
+        dedup_clusters_sectioned,
+    )
+
+    base = " ".join(f"w{i}" for i in range(30))       # 30 distinct tokens
+    junk = base + " " + base                          # same shingles, lex_div 0.5
+    df = spark.createDataFrame(
+        [(10, junk, "en", "s", 0), (11, base, "en", "s", 0),
+         (50, " ".join(f"z{i}" for i in range(30)), "en", "s", 0)],
+        schema="doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+    df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    try:
+        rows = dedup_clusters_sectioned(spark, str(tmp_path)).collect()
+    finally:
+        clear_pair_cache(spark)
+    clusters = [r for r in rows if r.section == "clusters"]
+    keepers = [r for r in rows if r.section == "quality_keepers"]
+    assert {r.doc_id for r in clusters} == {10, 11}
+    assert all(r.cluster_id == 10 for r in clusters)  # min-id labeling
+    assert [(r.cluster_id, r.keeper_doc_id, r.cluster_size) for r in keepers] == [(10, 11, 2)]
+    assert keepers[0].keeper_lex_div == 1.0           # the clean doc won

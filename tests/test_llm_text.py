@@ -144,6 +144,37 @@ def test_span_dup_exact_coverage_on_crafted_pair(spark, tmp_path):
     assert got[3].span_dup_frac == 0.0
 
 
+def test_span_scrub_removes_exactly_the_shared_window(spark, tmp_path):
+    """Removal twin of the span_dup signal: docs sharing one k-window lose
+    exactly those k tokens (reassembled in order), an untouched doc's
+    scrubbed md5 equals its original text's md5, and identical docs scrub
+    to the empty string."""
+    import hashlib
+
+    from pyspark_coding_challenge_spark.llm.text import SPAN_K, text_span_scrub
+
+    k = SPAN_K
+    shared_run = " ".join(f"s{i}" for i in range(k))
+    uniq = lambda tag, n: " ".join(f"{tag}{i}" for i in range(n))
+    t3 = uniq("e", k + 6)
+    dup = " ".join(f"t{i}" for i in range(k + 5))
+    sf = _docs_dir(spark, tmp_path, [
+        (1, f"{uniq('a', 4)} {shared_run} {uniq('b', 4)}", "en", "s", 0),
+        (2, f"{uniq('c', 4)} {shared_run} {uniq('d', 4)}", "en", "s", 0),
+        (3, t3, "en", "s", 0),            # nothing shared
+        (4, dup, "en", "s", 0), (5, dup, "en", "s", 0),  # fully duplicated
+    ])
+    got = {r.doc_id: r for r in text_span_scrub(spark, sf).collect()}
+    exp1 = f"{uniq('a', 4)} {uniq('b', 4)}"
+    assert got[1].kept_tokens == 8
+    assert got[1].scrubbed_md5 == hashlib.md5(exp1.encode()).hexdigest()
+    assert got[3].kept_tokens == k + 6
+    assert got[3].scrubbed_md5 == hashlib.md5(t3.encode()).hexdigest()
+    for d in (4, 5):
+        assert got[d].kept_tokens == 0
+        assert got[d].scrubbed_md5 == hashlib.md5(b"").hexdigest()
+
+
 def test_rare_tokens_scores_against_corpus_not_document(spark, tmp_path):
     from pyspark_coding_challenge_spark.llm.text import text_rare_tokens
 
