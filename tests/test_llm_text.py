@@ -175,6 +175,41 @@ def test_span_scrub_removes_exactly_the_shared_window(spark, tmp_path):
         assert got[d].scrubbed_md5 == hashlib.md5(b"").hexdigest()
 
 
+def test_span_scrub_matches_python_model_on_random_corpus(spark, tmp_path):
+    """Model-based check on a random small-vocab corpus (small vocab forces
+    organic cross-document span collisions): covered-position sets, kept
+    counts, and reconstructed-text md5s must match a pure-Python reference."""
+    import hashlib
+    import random
+
+    from pyspark_coding_challenge_spark.llm.text import SPAN_K, text_span_scrub
+
+    k = SPAN_K
+    rng = random.Random(29)
+    docs = {d: [f"v{rng.randint(0, 5)}" for _ in range(rng.randint(1, 3 * k))]
+            for d in range(1, 31)}
+    sf = _docs_dir(spark, tmp_path, [
+        (d, " ".join(toks), "en", "s", 0) for d, toks in docs.items()
+    ])
+    # python reference: gram -> set of docs; shared gram = in >= 2 docs
+    gram_docs: dict[tuple, set] = {}
+    for d, toks in docs.items():
+        for i in range(len(toks) - k + 1):
+            gram_docs.setdefault(tuple(toks[i:i + k]), set()).add(d)
+    model = {}
+    for d, toks in docs.items():
+        covered = set()
+        for i in range(len(toks) - k + 1):
+            if len(gram_docs[tuple(toks[i:i + k])]) > 1:
+                covered |= set(range(i, i + k))
+        kept = [t for p, t in enumerate(toks) if p not in covered]
+        model[d] = (len(toks), len(kept),
+                    hashlib.md5(" ".join(kept).encode()).hexdigest())
+    got = {r.doc_id: (r.n_tokens, r.kept_tokens, r.scrubbed_md5)
+           for r in text_span_scrub(spark, sf).collect()}
+    assert got == model
+
+
 def test_rare_tokens_scores_against_corpus_not_document(spark, tmp_path):
     from pyspark_coding_challenge_spark.llm.text import text_rare_tokens
 
