@@ -421,30 +421,26 @@ FROM (
 SPAN_K = 8  # contiguous-token window width (50-char-ish at prod scale)
 
 
-def text_span_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Duplicated-SPAN coverage per document — the positional signal behind
-    exact-substring dedup ("Deduplicating Training Data Makes Language
-    Models Better"): what fraction of a doc's token positions lie inside a
-    ``SPAN_K``-token window that also occurs verbatim in another document.
-    Differs from ``text_corpus_dup_frac`` (distinct 3-shingle overlap) in
-    being positional and contiguous: a boilerplate paragraph pasted into an
-    otherwise-unique page lights up here even when the page's shingle SET
-    barely overlaps anything.
-
-    Shape at 100 TB (the relational stand-in for a suffix array): explode
-    positional window hashes; "occurs in another doc" is min(doc_id) !=
-    max(doc_id) per hash via a map-side-combining groupBy — NOT a window
-    over the hash, which would concentrate every occurrence of a hot
-    boilerplate span (the motivating case!) into one window partition.
-    The combiner bounds the hot key at partial-aggregate granularity and
-    the join back to positions is an AQE-skew-splittable equi-join; the
-    price is the gram explode feeding two consumers (two column-pruned
-    scans) — the skew-safe side of the trade. Coverage then comes from one
-    exploded position-range aggregate; every shuffle is keyed by the hash
-    or doc_id, never by text."""
+def shared_span_starts_for_dir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached SHARED-SPAN relation over ``documents``: (doc_id, i)
+    rows for every ``SPAN_K``-token window starting at token ``i`` that
+    also occurs verbatim in another document. This is the expensive part
+    of both positional span operators (gram explode -> hash -> skew-safe
+    min!=max aggregate -> join back); the signal (``text_span_dup``) and
+    the removal (``text_span_scrub``) both consume it, so — like
+    ``dedup.verified_pairs_for_dir`` — it is computed once per
+    (session, sf_dir) and ``persist``-ed. The cached set is
+    duplicated-span starts only (two ids per row) — proportional to the
+    duplicate surface, not the corpus. Same staleness contract as the pair
+    cache: rewritten parquet within one session needs
+    ``clear_span_cache``."""
     from pyspark_coding_challenge_spark.llm.dedup import md5_fold60, _with_tokens
     from pyspark_coding_challenge_spark.sources.readers import rebalance_for_compute
 
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _SHARED_SPANS_CACHE.get(key)
+    if cached is not None:
+        return cached
     k = SPAN_K
     d = rebalance_for_compute(read_table(spark, sf_dir, "documents"), "doc_id")
     t = _with_tokens(d).select("doc_id", "_toks", F.size("_toks").alias("_n"))
@@ -468,7 +464,59 @@ def text_span_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_mn") != F.col("_mx"))
         .select("h")
     )
-    shared = pos.join(freq, on="h").select("doc_id", "i")
+    shared = pos.join(freq, on="h").select("doc_id", "i").persist()
+    _SHARED_SPANS_CACHE[key] = shared
+    return shared
+
+
+_SHARED_SPANS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def clear_span_cache(spark: SparkSession | None = None) -> int:
+    """Release cached shared-span relations (all, or one session's) —
+    mirrors ``dedup.clear_pair_cache``."""
+    released = 0
+    app = spark.sparkContext.applicationId if spark is not None else None
+    for key in list(_SHARED_SPANS_CACHE):
+        if app is None or key[0] == app:
+            try:
+                _SHARED_SPANS_CACHE[key].unpersist()
+            except Exception:
+                pass  # session already stopped; the entry is dead either way
+            del _SHARED_SPANS_CACHE[key]
+            released += 1
+    return released
+
+
+def text_span_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-SPAN coverage per document — the positional signal behind
+    exact-substring dedup ("Deduplicating Training Data Makes Language
+    Models Better"): what fraction of a doc's token positions lie inside a
+    ``SPAN_K``-token window that also occurs verbatim in another document.
+    Differs from ``text_corpus_dup_frac`` (distinct 3-shingle overlap) in
+    being positional and contiguous: a boilerplate paragraph pasted into an
+    otherwise-unique page lights up here even when the page's shingle SET
+    barely overlaps anything.
+
+    Shape at 100 TB (the relational stand-in for a suffix array): explode
+    positional window hashes; "occurs in another doc" is min(doc_id) !=
+    max(doc_id) per hash via a map-side-combining groupBy — NOT a window
+    over the hash, which would concentrate every occurrence of a hot
+    boilerplate span (the motivating case!) into one window partition.
+    The combiner bounds the hot key at partial-aggregate granularity and
+    the join back to positions is an AQE-skew-splittable equi-join; the
+    price is the gram explode feeding two consumers (two column-pruned
+    scans) — the skew-safe side of the trade. Coverage then comes from one
+    exploded position-range aggregate; every shuffle is keyed by the hash
+    or doc_id, never by text. The shared-span relation itself comes from
+    the session cache (``shared_span_starts_for_dir``) — one gram chain
+    serves both this signal and the ``text_span_scrub`` removal."""
+    from pyspark_coding_challenge_spark.llm.dedup import _with_tokens
+
+    k = SPAN_K
+    d = read_table(spark, sf_dir, "documents")
+    t = _with_tokens(d).select("doc_id", "_toks", F.size("_toks").alias("_n"))
+    shared = shared_span_starts_for_dir(spark, sf_dir)
     # One aggregation serves both outputs: after exploding each start's
     # covered range, countDistinct(i) recovers the start count (starts are
     # unique per doc by construction) and countDistinct(p) the coverage —
@@ -545,41 +593,19 @@ def text_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     text (the value the oracle pins — the reconstruction order and the
     exact removal set both flip the hash).
 
-    ``text_span_dup`` is the signal; this is the action. Same shared-span
-    chain (skew-safe min!=max aggregate, never a window over the hot
-    hash), then: covered positions -> anti-join against all positions ->
-    ordered reassembly via sorted (position, token) structs. A production
-    run materializes the shared-position relation once for both
-    operators; here each section is an independent oracle-checked query.
-    Every shuffle is keyed by the gram hash or doc_id, never text."""
-    from pyspark_coding_challenge_spark.llm.dedup import md5_fold60, _with_tokens
-    from pyspark_coding_challenge_spark.sources.readers import rebalance_for_compute
+    ``text_span_dup`` is the signal; this is the action. The shared-span
+    relation comes from the session cache (``shared_span_starts_for_dir``
+    — one gram chain for both operators, the materialize-once shape);
+    then: covered positions -> anti-join against all positions -> ordered
+    reassembly via sorted (position, token) structs. Every shuffle is
+    keyed by the gram hash or doc_id, never text."""
+    from pyspark_coding_challenge_spark.llm.dedup import _with_tokens
 
     k = SPAN_K
-    d = rebalance_for_compute(read_table(spark, sf_dir, "documents"), "doc_id")
+    d = read_table(spark, sf_dir, "documents")
     t = _with_tokens(d).select("doc_id", "_toks", F.size("_toks").alias("_n"))
-    gram = F.concat_ws(
-        " ", *[F.expr(f"element_at(_toks, i + {j})") for j in range(k)]
-    )
-    pos = (
-        t.select(
-            "doc_id",
-            F.explode(
-                F.expr(f"CASE WHEN _n >= {k} THEN sequence(1, _n - {k - 1}) "
-                       "ELSE CAST(array() AS ARRAY<INT>) END")
-            ).alias("i"),
-            "_toks",
-        )
-        .select("doc_id", "i", md5_fold60(gram).alias("h"))
-    )
-    freq = (
-        pos.groupBy("h")
-        .agg(F.min("doc_id").alias("_mn"), F.max("doc_id").alias("_mx"))
-        .filter(F.col("_mn") != F.col("_mx"))
-        .select("h")
-    )
     covered = (
-        pos.join(freq, on="h")
+        shared_span_starts_for_dir(spark, sf_dir)
         .select("doc_id", F.explode(F.expr(f"sequence(i, i + {k - 1})")).alias("p"))
         .distinct()
     )
