@@ -322,19 +322,19 @@ def source_quantile_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     one sort partition — production swaps the exact rank for a per-source
     approx-quantile threshold (computed map-side, broadcast back), keeping
     this operator as the small-stratum / audit path."""
+    from pyspark_coding_challenge_spark.llm.text import lexical_diversity
+
     d = read_table(spark, sf_dir, "documents")
-    toks = F.split(F.lower("text"), " ")
-    lex = F.round(
-        F.size(F.array_distinct(toks)).cast("double") / F.size(toks), 6
-    )
+    # rank on the UNROUNDED ratio (IEEE-identical across engines); the
+    # rounded value is display-only — see lexical_diversity's docstring.
     w = Window.partitionBy("source")
-    scored = d.select("doc_id", "source", lex.alias("lex_div"))
+    scored = d.select("doc_id", "source", lexical_diversity().alias("_lex"))
     ranked = scored.select(
         "doc_id",
         "source",
-        "lex_div",
+        F.round(F.col("_lex"), 6).alias("lex_div"),
         F.row_number().over(
-            w.orderBy(F.col("lex_div").desc(), F.col("doc_id").asc())
+            w.orderBy(F.col("_lex").desc(), F.col("doc_id").asc())
         ).alias("src_rank"),
         F.count("*").over(w).cast("bigint").alias("n_source"),
     )
@@ -354,14 +354,14 @@ def _source_quantile_oracle() -> str:
     return f"""
 WITH scored AS (
   SELECT doc_id, source,
-         ROUND(CAST(len(list_distinct(string_split(lower(text), ' '))) AS DOUBLE)
-               / len(string_split(lower(text), ' ')), 6) AS lex_div
+         CAST(len(list_distinct(string_split(lower(text), ' '))) AS DOUBLE)
+           / len(string_split(lower(text), ' ')) AS lex
   FROM documents
 ),
 ranked AS (
-  SELECT doc_id, source, lex_div,
+  SELECT doc_id, source, ROUND(lex, 6) AS lex_div,
          row_number() OVER (PARTITION BY source
-                            ORDER BY lex_div DESC, doc_id ASC) AS src_rank,
+                            ORDER BY lex DESC, doc_id ASC) AS src_rank,
          count(*) OVER (PARTITION BY source) AS n_source
   FROM scored
 )

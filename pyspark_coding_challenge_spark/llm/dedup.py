@@ -731,10 +731,12 @@ def dedup_clusters_sectioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("is_keeper", (F.col("doc_id") == F.col("cluster_id")).cast("int"))
         .select(F.lit("clusters").alias("section"), "*")
     )
-    toks = F.split(F.lower("text"), " ")
-    lex = F.round(
-        F.size(F.array_distinct(toks)).cast("double") / F.size(toks), 6
-    )
+    from pyspark_coding_challenge_spark.llm.text import lexical_diversity
+
+    # ORDER BY the UNROUNDED ratio (IEEE-identical across engines); round
+    # only the displayed value — a cross-engine 6th-decimal rounding
+    # divergence must flip at most a display cell, never which row wins.
+    lex = lexical_diversity()
     scored = cc.join(
         read_table(spark, sf_dir, "documents").select("doc_id", lex.alias("_lex")),
         on="doc_id",
@@ -751,7 +753,7 @@ def dedup_clusters_sectioned(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cluster_id",
             F.col("doc_id").alias("keeper_doc_id"),
             "cluster_size",
-            F.col("_lex").alias("keeper_lex_div"),
+            F.round(F.col("_lex"), 6).alias("keeper_lex_div"),
         )
     )
     return clusters.unionByName(keepers, allowMissingColumns=True)
@@ -787,8 +789,8 @@ def _quality_keepers_oracle() -> str:
     return _CLUSTERS_RECURSIVE_CTES.format(pair_ctes=minhash_pair_ctes('documents')) + """,
 scored AS (
   SELECT cc.doc_id, cc.cluster_id,
-         ROUND(CAST(len(list_distinct(string_split(lower(d.text), ' '))) AS DOUBLE)
-               / len(string_split(lower(d.text), ' ')), 6) AS lex
+         CAST(len(list_distinct(string_split(lower(d.text), ' '))) AS DOUBLE)
+           / len(string_split(lower(d.text), ' ')) AS lex
   FROM cc JOIN documents d ON d.doc_id = cc.doc_id
 ),
 ranked AS (
@@ -797,7 +799,8 @@ ranked AS (
          count(*) OVER (PARTITION BY cluster_id) AS cluster_size
   FROM scored
 )
-SELECT cluster_id, doc_id AS keeper_doc_id, cluster_size, lex AS keeper_lex_div
+SELECT cluster_id, doc_id AS keeper_doc_id, cluster_size,
+       ROUND(lex, 6) AS keeper_lex_div
 FROM ranked WHERE rn = 1
 """
 

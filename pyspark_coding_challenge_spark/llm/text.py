@@ -35,6 +35,24 @@ def _marker_hits(lang: str) -> F.Column:
     ).cast("int")
 
 
+def lexical_diversity(text_col: str = "text") -> F.Column:
+    """UNROUNDED distinct-token fraction (type-token ratio) — the shared
+    quality signal used by ``text_quality_score``'s ttr column, the
+    cluster quality-keeper election, and the per-source quantile cut.
+    Returned unrounded on purpose: the raw IEEE division of two ints is
+    bit-identical across engines, so it is safe to ORDER BY; ``round(x,6)``
+    is display-only (the two engines' rounding of a boundary value can
+    differ in the 6th decimal, which must never decide a rank)."""
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    return F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+
+
+def sql_lexical_diversity(text_col: str = "text") -> str:
+    """DuckDB twin of ``lexical_diversity`` (same IEEE division)."""
+    return (f"CAST(len(list_distinct(string_split(lower({text_col}), ' '))) AS DOUBLE)"
+            f" / len(string_split(lower({text_col}), ' '))")
+
+
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Argmax of per-language marker hits, deterministic tie order
     en > de > es > fr > zh; no hits at all -> 'und'."""

@@ -53,6 +53,23 @@ def _base(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BASE_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
+def clear_base_cache(spark: SparkSession | None = None) -> int:
+    """Unpersist and drop cached base joins (all, or one session's) — the
+    release valve the cache comment promises; mirrors dedup's
+    clear_pair_cache."""
+    released = 0
+    app = spark.sparkContext.applicationId if spark is not None else None
+    for key in list(_BASE_CACHE):
+        if app is None or key[0] == app:
+            try:
+                _BASE_CACHE[key].unpersist()
+            except Exception:
+                pass  # session already stopped; the entry is dead either way
+            del _BASE_CACHE[key]
+            released += 1
+    return released
+
+
 def training_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The base join feeds FOUR consumers (impressions + three action
     # streams); persisting it is the reference's own reuse-persistence hint

@@ -41,6 +41,23 @@ def write_bucketed_table(
     w.saveAsTable(name)
 
 
+def _write_partitioned(
+    df: DataFrame,
+    path: str,
+    fmt: str,
+    partition_cols: tuple[str, ...],
+    mode: str,
+    compression: str,
+) -> None:
+    (
+        df.write.mode(mode)
+        .option("compression", compression)
+        .partitionBy(*partition_cols)
+        .format(fmt)
+        .save(path)
+    )
+
+
 def write_partitioned_orc(
     df: DataFrame,
     path: str,
@@ -51,12 +68,7 @@ def write_partitioned_orc(
     """ORC twin of ``write_partitioned_parquet`` — same dynamic-partition
     layout, zstd by default (ORC's best size/speed point on text-heavy
     columns). Interop path for Hive-era consumers that mandate ORC."""
-    (
-        df.write.mode(mode)
-        .option("compression", compression)
-        .partitionBy(*partition_cols)
-        .orc(path)
-    )
+    _write_partitioned(df, path, "orc", partition_cols, mode, compression)
 
 
 def write_partitioned_parquet(
@@ -66,9 +78,4 @@ def write_partitioned_parquet(
     mode: str = "overwrite",
     compression: str = "snappy",
 ) -> None:
-    (
-        df.write.mode(mode)
-        .option("compression", compression)
-        .partitionBy(*partition_cols)
-        .parquet(path)
-    )
+    _write_partitioned(df, path, "parquet", partition_cols, mode, compression)

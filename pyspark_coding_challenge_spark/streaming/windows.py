@@ -78,6 +78,20 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 _EVENT_SCHEMA_CACHE: dict[tuple[str, str], "object"] = {}
 
 
+def clear_stream_schema_cache(spark: SparkSession | None = None) -> int:
+    """Invalidate cached events.parquet schemas (all, or one session's) —
+    required if sf_dir's parquet is rewritten mid-session with a different
+    physical ts type (the staleness contract shared with the pair/span/
+    base caches)."""
+    released = 0
+    app = spark.sparkContext.applicationId if spark is not None else None
+    for key in list(_EVENT_SCHEMA_CACHE):
+        if app is None or key[0] == app:
+            del _EVENT_SCHEMA_CACHE[key]
+            released += 1
+    return released
+
+
 def _fresh_dirs(slug: str) -> tuple[str, str]:
     """Fixed per-slug sink + checkpoint paths, wiped before each run —
     repeated invocations (bench best-of-2, warm-up, oracle runs) overwrite

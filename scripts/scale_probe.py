@@ -73,6 +73,10 @@ def probe(spark, sf_dir: str) -> dict[str, float]:
         build().write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    # span_dup consults a session cache (text.shared_span_starts_for_dir);
+    # clear it so every factor times the full chain (and earlier factors'
+    # persisted relations don't pressure later, larger ones)
+    T.clear_span_cache(spark)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     run("minhash_verify_chain",
         lambda: D.verify_jaccard(docs, D.lsh_candidate_pairs(docs)))

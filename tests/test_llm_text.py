@@ -164,7 +164,11 @@ def test_span_scrub_removes_exactly_the_shared_window(spark, tmp_path):
         (3, t3, "en", "s", 0),            # nothing shared
         (4, dup, "en", "s", 0), (5, dup, "en", "s", 0),  # fully duplicated
     ])
-    got = {r.doc_id: r for r in text_span_scrub(spark, sf).collect()}
+    from pyspark_coding_challenge_spark.llm.text import clear_span_cache
+    try:
+        got = {r.doc_id: r for r in text_span_scrub(spark, sf).collect()}
+    finally:
+        clear_span_cache(spark)
     exp1 = f"{uniq('a', 4)} {uniq('b', 4)}"
     assert got[1].kept_tokens == 8
     assert got[1].scrubbed_md5 == hashlib.md5(exp1.encode()).hexdigest()
@@ -205,8 +209,12 @@ def test_span_scrub_matches_python_model_on_random_corpus(spark, tmp_path):
         kept = [t for p, t in enumerate(toks) if p not in covered]
         model[d] = (len(toks), len(kept),
                     hashlib.md5(" ".join(kept).encode()).hexdigest())
-    got = {r.doc_id: (r.n_tokens, r.kept_tokens, r.scrubbed_md5)
-           for r in text_span_scrub(spark, sf).collect()}
+    from pyspark_coding_challenge_spark.llm.text import clear_span_cache
+    try:
+        got = {r.doc_id: (r.n_tokens, r.kept_tokens, r.scrubbed_md5)
+               for r in text_span_scrub(spark, sf).collect()}
+    finally:
+        clear_span_cache(spark)
     assert got == model
 
 
