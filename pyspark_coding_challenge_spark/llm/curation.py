@@ -94,7 +94,7 @@ def _kept_and_pairs(docs: DataFrame,
     else:
         verified = verify_jaccard(kept, lsh_candidate_pairs(kept))
     near = (
-        verified.filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        verified.filter(F.col("_jac_raw") >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b")
         .localCheckpoint()
     )

@@ -402,7 +402,15 @@ def verify_jaccard(docs: DataFrame, pairs: DataFrame,
     inter = F.size(F.array_intersect("sa", "sb"))
     union = F.size("sa") + F.size("sb") - inter
     jac = F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(0.0)
-    return out.select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    # _jac_raw: the UNROUNDED ratio (IEEE-identical across engines) for
+    # threshold membership decisions; ``jaccard`` (rounded) is display-only.
+    # The DuckDB oracles filter on raw ``jac`` — Spark filtering on the
+    # rounded value would disagree for a ratio within 5e-7 below the
+    # threshold (needs ~10^6-token docs, so latent, but the same
+    # row-membership class as the keeper-election fix).
+    return out.select(
+        "doc_a", "doc_b", F.round(jac, 6).alias("jaccard"), jac.alias("_jac_raw")
+    )
 
 
 def verified_pairs_for_dir(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -463,7 +471,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     comes from the shared per-session materialization
     (``verified_pairs_for_dir``)."""
     verified = verified_pairs_for_dir(spark, sf_dir)
-    return verified.filter(F.col("jaccard") >= JACCARD_THRESHOLD).select(
+    return verified.filter(F.col("_jac_raw") >= JACCARD_THRESHOLD).select(
         "doc_a", "doc_b", "jaccard"
     )
 
@@ -719,7 +727,7 @@ def dedup_clusters_sectioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     join is a doc_id-keyed hash join against the corpus)."""
     pairs = (
         verified_pairs_for_dir(spark, sf_dir)
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .filter(F.col("_jac_raw") >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b")
     )
     cc = connected_components(pairs).select(
