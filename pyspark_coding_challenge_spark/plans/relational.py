@@ -1614,6 +1614,7 @@ def register_all(register) -> None:
     50-slug correctness window. Each merged part keeps its own query fn and
     oracle verbatim — same coverage, fewer slots."""
     from pyspark_coding_challenge_spark.plans.merge import register_merged
+    from pyspark_coding_challenge_spark.plans import subqueries as sq
 
     register("scan_parquet", scan_parquet, SCAN_PARQUET_ORACLE)
     register("sink_parquet", sink_parquet, SINK_PARQUET_ORACLE)
@@ -1648,6 +1649,19 @@ def register_all(register) -> None:
         ("set_ops", set_ops, SET_OPS_ORACLE),
         ("full_outer", join_full_outer, JOIN_FULL_OUTER_ORACLE),
         ("range_bands", join_range_bands, JOIN_RANGE_BANDS_ORACLE),
+        # round-5 widening: the subquery-join family (plans/subqueries.py) —
+        # correlated EXISTS, IN-over-grouped-HAVING, NOT EXISTS + scalar
+        # threshold, and a disjunctive multi-attribute join predicate.
+        ("exists_semi", sq.exists_late_shipments,
+         sq.EXISTS_LATE_SHIPMENTS_ORACLE),
+        ("in_groupby_having", sq.in_big_quantity_orders,
+         sq.IN_BIG_QUANTITY_ORDERS_ORACLE),
+        ("not_exists_scalar", sq.not_exists_idle_customers,
+         sq.NOT_EXISTS_IDLE_CUSTOMERS_ORACLE),
+        ("disjunctive_pred", sq.disjunctive_brand_revenue,
+         sq.DISJUNCTIVE_BRAND_REVENUE_ORACLE),
+        ("salted_skew_join", sq.salted_skew_join,
+         sq.SALTED_SKEW_JOIN_ORACLE),
     ])
     register_merged(register, "window_analytics", [
         ("rank_frames", window_rank_frames, WINDOW_RANK_FRAMES_ORACLE),
@@ -1682,4 +1696,16 @@ def register_all(register) -> None:
          COMPOSITE_PARTS_BY_SUPPLIER_NATION_ORACLE),
         ("revenue_topn", composite_revenue_topn,
          COMPOSITE_REVENUE_TOPN_ORACLE),
+        # round-5 widening: scalar-subquery composites (plans/subqueries.py)
+        # — correlated scalar aggregates (Q17 shape), outer-join count
+        # distribution (Q13), share-of-global HAVING (Q11), and
+        # equality-to-max over an aggregate CTE (Q15).
+        ("correlated_avg_qty", sq.correlated_small_quantity,
+         sq.CORRELATED_SMALL_QUANTITY_ORACLE),
+        ("order_count_dist", sq.order_count_distribution,
+         sq.ORDER_COUNT_DISTRIBUTION_ORACLE),
+        ("nation_value_share", sq.nation_balance_share,
+         sq.NATION_BALANCE_SHARE_ORACLE),
+        ("top_supplier_scalar", sq.top_revenue_supplier,
+         sq.TOP_REVENUE_SUPPLIER_ORACLE),
     ])

@@ -1,0 +1,485 @@
+"""Subquery-shaped relational coverage: EXISTS / NOT EXISTS / IN-subquery /
+correlated scalar subqueries / scalar-subquery HAVING — the TPC-H query
+patterns (Q4, Q13, Q11, Q15, Q17, Q18, Q19, Q22 shapes) that the plain
+join/agg sweeps in ``plans/relational.py`` do not exercise.
+
+Why SQL text for some of these: a correlated subquery is exactly the case
+where the declarative surface matters — Catalyst's ``RewriteCorrelatedScalarSubquery``
+/ ``RewritePredicateSubquery`` rules decorrelate them into the aggregate+join
+or semi/anti-join plans we would otherwise hand-build, and letting the
+optimizer do it keeps the query one logical plan (so pushdown and join
+reordering still apply across the subquery boundary). The EXISTS/IN family is
+written with the DataFrame API (``left_semi`` / ``left_anti``) because there
+the join form *is* the idiomatic Spark spelling.
+
+Oracle-parity rules follow ``plans/relational.py``'s module doc: scalar
+output columns, exact-integer money/quantity arithmetic (no double-threshold
+boundary can flip between engines — every comparison against an average is
+rewritten as ``value * count  <op>  sum`` over bigints), identical aliases on
+both sides.
+
+Scale notes (100 TB): every shape here decorrelates to one shuffle on the
+correlation key plus a broadcast of any 1-row scalar aggregate. None of them
+pair-expands: the Q17/Q18 per-key aggregates are map-side partial, the
+EXISTS/NOT-EXISTS forms are semi/anti joins (no row multiplication), and the
+scalar subqueries (Q11/Q15/Q22) are single-row broadcasts. The fact-to-fact
+shuffles key on ``l_orderkey`` / ``l_partkey`` — high-cardinality, unskewed
+keys — and AQE handles any residual skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyspark_coding_challenge_spark.sources.readers import read_table
+
+
+def _cents(col: str):
+    """Exact integer cents of a 2-decimal money double."""
+    return F.round(F.col(col) * 100).cast("bigint")
+
+
+def _view(spark: SparkSession, sf_dir: str, table: str) -> str:
+    """Register ``read_table``'s canonicalized DataFrame as a temp view with
+    a module-prefixed name (no collision with other slugs' state) and return
+    the view name for SQL text."""
+    name = f"sq_{table}"
+    read_table(spark, sf_dir, table).createOrReplaceTempView(name)
+    return name
+
+
+# ---------------------------------------------------------------------------
+# Q4 shape: EXISTS correlated semi-join
+# ---------------------------------------------------------------------------
+
+def exists_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders (one quarter) having at least one line item shipped after the
+    order date — correlated EXISTS, counted per priority bucket.
+
+    Catalyst rewrites the EXISTS into a LEFT SEMI join on ``o_orderkey``
+    with the ``l_shipdate > o_orderdate`` correlation as the join's extra
+    predicate: no row multiplication, one shuffle keyed on orderkey, with
+    the quarter filter pushed to the orders scan."""
+    o = _view(spark, sf_dir, "orders")
+    li = _view(spark, sf_dir, "lineitem")
+    return spark.sql(f"""
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM {o}
+        WHERE o_orderdate >= timestamp'1996-01-01'
+          AND o_orderdate <  timestamp'1996-04-01'
+          AND EXISTS (SELECT 1 FROM {li}
+                      WHERE l_orderkey = o_orderkey
+                        AND l_shipdate > o_orderdate)
+        GROUP BY o_orderpriority
+    """)
+
+
+EXISTS_LATE_SHIPMENTS_ORACLE = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1996-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q18 shape: IN over a grouped-HAVING subquery
+# ---------------------------------------------------------------------------
+
+def in_big_quantity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers holding orders whose total line quantity exceeds 180 —
+    the classic IN (SELECT ... GROUP BY ... HAVING) shape.
+
+    DataFrame spelling: the HAVING subquery is a map-side-partial groupBy on
+    ``l_orderkey``; membership is a LEFT SEMI join (Catalyst produces the
+    same plan for the SQL IN form). Quantities are integral in this data,
+    so the bigint cast keeps the threshold comparison exact."""
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    li = read_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("total_qty"))
+        .filter(F.col("total_qty") > 180)
+    )
+    return (
+        o.join(big.select("l_orderkey", "total_qty"),
+               o.o_orderkey == F.col("l_orderkey"), "inner")
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.to_date("o_orderdate").cast("string").alias("orderdate"),
+            _cents("o_totalprice").alias("totalprice_cents"),
+            "total_qty",
+        )
+        .orderBy(F.col("total_qty").desc(), F.col("o_orderkey").asc())
+        .limit(25)
+    )
+
+
+IN_BIG_QUANTITY_ORDERS_ORACLE = """
+SELECT c_custkey, c_name, o_orderkey,
+       CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS orderdate,
+       CAST(ROUND(o_totalprice*100) AS BIGINT) AS totalprice_cents,
+       big.total_qty
+FROM orders
+JOIN (SELECT l_orderkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+      FROM lineitem GROUP BY l_orderkey HAVING total_qty > 180) big
+  ON o_orderkey = big.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY big.total_qty DESC, o_orderkey
+LIMIT 25
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q22 shape: NOT EXISTS anti-join gated by a scalar-subquery threshold
+# ---------------------------------------------------------------------------
+
+def not_exists_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation count/balance of customers with above-average positive
+    balance and NO orders — scalar subquery (global average) + NOT EXISTS.
+
+    The average threshold is compared in exact integers
+    (``bal_cents * n_positive > sum_cents``  ⇔  ``bal > avg``), so the two
+    engines cannot disagree on a boundary row the way an IEEE-double average
+    could. Catalyst turns the NOT EXISTS into a LEFT ANTI join and the
+    scalar aggregate into a 1-row broadcast — customers stream through one
+    shuffle-free filter plus one anti-join on ``o_custkey``."""
+    c = _view(spark, sf_dir, "customer")
+    o = _view(spark, sf_dir, "orders")
+    return spark.sql(f"""
+        WITH pos AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_pos,
+                   CAST(sum(CAST(ROUND(c_acctbal*100) AS BIGINT)) AS BIGINT) AS sum_cents
+            FROM {c} WHERE c_acctbal > 0.0
+        )
+        SELECT c_nationkey,
+               count(*) AS numcust,
+               CAST(sum(CAST(ROUND(c_acctbal*100) AS BIGINT)) AS BIGINT)
+                 AS totacctbal_cents
+        FROM {c}
+        WHERE CAST(ROUND(c_acctbal*100) AS BIGINT) * (SELECT n_pos FROM pos)
+              > (SELECT sum_cents FROM pos)
+          AND NOT EXISTS (SELECT 1 FROM {o} WHERE o_custkey = c_custkey)
+        GROUP BY c_nationkey
+    """)
+
+
+NOT_EXISTS_IDLE_CUSTOMERS_ORACLE = """
+WITH pos AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_pos,
+           CAST(sum(CAST(ROUND(c_acctbal*100) AS BIGINT)) AS BIGINT) AS sum_cents
+    FROM customer WHERE c_acctbal > 0.0
+)
+SELECT c_nationkey,
+       count(*) AS numcust,
+       CAST(sum(CAST(ROUND(c_acctbal*100) AS BIGINT)) AS BIGINT) AS totacctbal_cents
+FROM customer
+WHERE CAST(ROUND(c_acctbal*100) AS BIGINT) * (SELECT n_pos FROM pos)
+      > (SELECT sum_cents FROM pos)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_nationkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q19 shape: disjunctive multi-attribute join predicate
+# ---------------------------------------------------------------------------
+
+def disjunctive_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue over an OR of three (brand, size-range, quantity-range)
+    conjunctions — the predicate shape that defeats naive pushdown.
+
+    The equi-key ``l_partkey = p_partkey`` is shared by every disjunct, so
+    Spark plans a plain broadcast hash join (part is a dimension) with the
+    disjunction evaluated as the join's residual filter — NOT a cartesian
+    fallback; the common-key extraction is exactly what Catalyst's
+    join-condition analysis is for."""
+    p = read_table(spark, sf_dir, "part")
+    li = read_table(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5)
+         & qty.between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10)
+           & qty.between(10, 20))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 15)
+           & qty.between(20, 30))
+    )
+    revenue_e4 = F.sum(
+        _cents("l_extendedprice")
+        * (100 - F.round(F.col("l_discount") * 100).cast("bigint"))
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .groupBy("p_brand")
+        .agg(revenue_e4.alias("revenue_e4"), F.count("*").alias("line_cnt"))
+        .select("p_brand", "revenue_e4", "line_cnt")
+    )
+
+
+DISJUNCTIVE_BRAND_REVENUE_ORACLE = """
+SELECT p_brand,
+       CAST(sum(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS BIGINT)
+         AS revenue_e4,
+       count(*) AS line_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+GROUP BY p_brand
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q17 shape: correlated scalar aggregate (below-half-average line items)
+# ---------------------------------------------------------------------------
+
+def correlated_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value locked in 'small' orders: line items of one brand with quantity
+    below half that part's average quantity — TWO correlated scalar
+    subqueries over the same correlation key.
+
+    ``qty < 0.5 * avg``  is evaluated as  ``2 * qty * count < sum`` in
+    bigints: no engine-dependent IEEE average can flip a boundary row.
+    Catalyst decorrelates both subqueries into ONE aggregate on
+    ``l_partkey`` joined back to the brand-filtered probe — the plan a
+    100 TB run wants (per-key partial agg, single shuffle, no per-row
+    re-aggregation)."""
+    p = _view(spark, sf_dir, "part")
+    li = _view(spark, sf_dir, "lineitem")
+    return spark.sql(f"""
+        SELECT CAST(count(*) AS BIGINT) AS n_small,
+               CAST(sum(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT)
+                 AS value_cents
+        FROM {li} l JOIN {p} ON p_partkey = l.l_partkey
+        WHERE p_brand = 'Brand#4'
+          AND 2 * CAST(l.l_quantity AS BIGINT)
+              * (SELECT count(*) FROM {li} l2
+                 WHERE l2.l_partkey = l.l_partkey)
+              < (SELECT sum(CAST(l2.l_quantity AS BIGINT)) FROM {li} l2
+                 WHERE l2.l_partkey = l.l_partkey)
+    """)
+
+
+CORRELATED_SMALL_QUANTITY_ORACLE = """
+SELECT CAST(count(*) AS BIGINT) AS n_small,
+       CAST(sum(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT)
+         AS value_cents
+FROM lineitem l JOIN part ON p_partkey = l.l_partkey
+WHERE p_brand = 'Brand#4'
+  AND 2 * CAST(l.l_quantity AS BIGINT)
+      * (SELECT count(*) FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+      < (SELECT sum(CAST(l2.l_quantity AS BIGINT)) FROM lineitem l2
+         WHERE l2.l_partkey = l.l_partkey)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q13 shape: outer-join count distribution
+# ---------------------------------------------------------------------------
+
+def order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of per-customer order counts (including zero) with a
+    filtered join condition — LEFT OUTER join whose predicate lives in the
+    ON clause (not a post-filter, which would drop the zero bucket).
+
+    Two shuffles: customer⋈orders on custkey, then the tiny count-of-counts
+    regroup. ``count(o_orderkey)`` counts only matched rows — the
+    outer-join null semantics the shape exists to exercise."""
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, (c.c_custkey == o.o_custkey)
+               & (o.o_orderpriority != "1-URGENT"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .select("c_count", "custdist")
+    )
+
+
+ORDER_COUNT_DISTRIBUTION_ORACLE = """
+SELECT c_count, count(*) AS custdist
+FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey)
+GROUP BY c_count
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q11 shape: HAVING against a scalar subquery (share-of-global threshold)
+# ---------------------------------------------------------------------------
+
+def nation_balance_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier account balance concentrated per nation, keeping nations
+    holding more than 1/25 of the global positive balance — scalar subquery
+    inside HAVING, compared exactly as ``25 * nation_sum > global_sum``.
+
+    The global sum is a 1-row broadcast; the per-nation aggregate is one
+    shuffle on ``s_nationkey``. At 100 TB the same plan holds: the scalar
+    side never grows."""
+    s = _view(spark, sf_dir, "supplier")
+    return spark.sql(f"""
+        SELECT s_nationkey,
+               CAST(sum(CAST(ROUND(s_acctbal*100) AS BIGINT)) AS BIGINT)
+                 AS nation_bal_cents
+        FROM {s}
+        WHERE s_acctbal > 0.0
+        GROUP BY s_nationkey
+        HAVING 25 * sum(CAST(ROUND(s_acctbal*100) AS BIGINT))
+               > (SELECT sum(CAST(ROUND(s_acctbal*100) AS BIGINT))
+                  FROM {s} WHERE s_acctbal > 0.0)
+    """)
+
+
+NATION_BALANCE_SHARE_ORACLE = """
+SELECT s_nationkey,
+       CAST(sum(CAST(ROUND(s_acctbal*100) AS BIGINT)) AS BIGINT)
+         AS nation_bal_cents
+FROM supplier
+WHERE s_acctbal > 0.0
+GROUP BY s_nationkey
+HAVING 25 * sum(CAST(ROUND(s_acctbal*100) AS BIGINT))
+       > (SELECT sum(CAST(ROUND(s_acctbal*100) AS BIGINT))
+          FROM supplier WHERE s_acctbal > 0.0)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q15 shape: equality against a scalar MAX over an aggregate (top supplier)
+# ---------------------------------------------------------------------------
+
+def top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier(s) whose one-quarter shipped revenue equals the maximum —
+    the aggregate-of-aggregate scalar-subquery shape (TPC-H's revenue
+    view + max join).
+
+    The revenue CTE is computed once (Spark reuses the subquery via
+    ReuseExchange/subquery caching in AQE; at worst it is two passes over
+    an already-filtered quarter slice); revenue is exact-integer e4 so the
+    max-equality cannot be split by rounding. Deterministic even under
+    ties — all tied suppliers return."""
+    s = _view(spark, sf_dir, "supplier")
+    li = _view(spark, sf_dir, "lineitem")
+    return spark.sql(f"""
+        WITH revenue AS (
+            SELECT l_suppkey AS supplier_no,
+                   CAST(sum(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                            * (100 - CAST(ROUND(l_discount*100) AS BIGINT)))
+                        AS BIGINT) AS total_rev_e4
+            FROM {li}
+            WHERE l_shipdate >= timestamp'1996-01-01'
+              AND l_shipdate <  timestamp'1996-04-01'
+            GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, total_rev_e4
+        FROM {s} JOIN revenue ON s_suppkey = supplier_no
+        WHERE total_rev_e4 = (SELECT max(total_rev_e4) FROM revenue)
+    """)
+
+
+TOP_REVENUE_SUPPLIER_ORACLE = """
+WITH revenue AS (
+    SELECT l_suppkey AS supplier_no,
+           CAST(sum(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                    * (100 - CAST(ROUND(l_discount*100) AS BIGINT)))
+                AS BIGINT) AS total_rev_e4
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1996-04-01'
+    GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_rev_e4
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_rev_e4 = (SELECT max(total_rev_e4) FROM revenue)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Salted skewed JOIN (complement to agg_salted_skew's salted aggregation)
+# ---------------------------------------------------------------------------
+
+SALT_BUCKETS = 8
+
+
+def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-dimension join on a pathologically skewed key
+    ((l_returnflag, l_linestatus) has ~6 values over the whole fact table),
+    decomposed with an explicit salt: the fact side gets
+    ``salt = pmod(xxhash64(row-key), 8)``; the dim side is exploded 8x so
+    every (key, salt) pair exists exactly once — each fact row still matches
+    exactly ONE dim row, so the join result is row-for-row identical to the
+    unsalted join (which is what the oracle runs).
+
+    Why not broadcast: at this size broadcast is the right call (and
+    the other sections do it); this section deliberately pins the
+    shuffle-join-under-skew pattern for the case where the dim side is too
+    big to broadcast — the SHUFFLE_HASH hint suppresses the broadcast
+    strategy so the salt demonstrably spreads the hot keys across
+    6*8 = 48 reducer keys instead of 6. AQE's skew-join split handles
+    moderate sort-merge skew on its own; explicit salting is the remedy for
+    single-hot-key hash joins it can't split.
+
+    The per-group average comparison is exact-integer
+    (``qty * cnt > sum_qty``  ⇔  ``qty > avg``): no double boundary."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus",
+        F.col("l_quantity").cast("bigint").alias("qty"),
+        F.pmod(F.xxhash64("l_orderkey", "l_linenumber"),
+               F.lit(SALT_BUCKETS)).alias("_salt"),
+    )
+    dim = (
+        read_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("_sum_qty"),
+             F.count("*").alias("_cnt"))
+        .withColumn("_salt", F.explode(F.sequence(F.lit(0).cast("bigint"),
+                                                  F.lit(SALT_BUCKETS - 1).cast("bigint"))))
+    )
+    joined = li.hint("shuffle_hash").join(
+        dim, on=["l_returnflag", "l_linestatus", "_salt"], how="inner"
+    )
+    return (
+        joined.groupBy("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n_lines"),
+             F.sum((F.col("qty") * F.col("_cnt") > F.col("_sum_qty"))
+                   .cast("bigint")).alias("n_above_avg"))
+        .select("l_returnflag", "l_linestatus", "n_lines", "n_above_avg")
+    )
+
+
+SALTED_SKEW_JOIN_ORACLE = """
+WITH dim AS (
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           count(*) AS cnt
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+)
+SELECT li.l_returnflag, li.l_linestatus,
+       count(*) AS n_lines,
+       CAST(sum(CASE WHEN CAST(li.l_quantity AS BIGINT) * dim.cnt > dim.sum_qty
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_above_avg
+FROM lineitem li
+JOIN dim ON li.l_returnflag = dim.l_returnflag
+        AND li.l_linestatus = dim.l_linestatus
+GROUP BY li.l_returnflag, li.l_linestatus
+"""

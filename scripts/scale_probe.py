@@ -90,8 +90,57 @@ def probe(spark, sf_dir: str) -> dict[str, float]:
     return timings
 
 
+def build_tpch(spark, factor: int) -> str:
+    """sf0.1 relational tables with the two FACT tables (orders, lineitem)
+    replicated ``factor`` times on disjoint orderkeys; the dimension tables
+    are carried over unchanged — so per-dimension fan-in densifies with the
+    factor, which is exactly the stress the correlated/semi/salted shapes
+    see at scale (more lines per part, more orders per customer)."""
+    from pyspark.sql import functions as F
+
+    out = f"{WORK}/tpch_x{factor}"
+    if os.path.exists(out):
+        return out
+    for dim in ("customer", "part", "supplier", "nation", "region"):
+        spark.read.parquet(f"{BASE_SF}/{dim}.parquet") \
+            .write.mode("overwrite").parquet(f"{out}/{dim}.parquet")
+    for fact, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
+        base = spark.read.parquet(f"{BASE_SF}/{fact}.parquet")
+        parts = [
+            base.withColumn(key, F.col(key) + F.lit(i * 1_000_000_000))
+            for i in range(factor)
+        ]
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        df.write.mode("overwrite").parquet(f"{out}/{fact}.parquet")
+    return out
+
+
+def probe_tpch(spark, sf_dir: str) -> dict[str, float]:
+    """Time the round-5 subquery/join kernels once each (noop sink)."""
+    import time as _t
+
+    from pyspark_coding_challenge_spark.plans import subqueries as sq
+
+    timings: dict[str, float] = {}
+    for name, fn in (
+        ("exists_semi", sq.exists_late_shipments),
+        ("in_groupby_having", sq.in_big_quantity_orders),
+        ("correlated_avg_qty", sq.correlated_small_quantity),
+        ("salted_skew_join", sq.salted_skew_join),
+        ("order_count_dist", sq.order_count_distribution),
+    ):
+        t0 = _t.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(_t.perf_counter() - t0, 3)
+    return timings
+
+
 def main() -> None:
-    rnd = sys.argv[1] if len(sys.argv) > 1 else None
+    args = [a for a in sys.argv[1:] if not a.startswith("-")]
+    tpch = "--tpch" in sys.argv
+    rnd = args[0] if args else None
     os.makedirs(WORK, exist_ok=True)
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from pyspark_coding_challenge_spark.session import get_spark
@@ -99,14 +148,19 @@ def main() -> None:
     spark = get_spark(app_name="scale_probe", master="local[32]")
     spark.sparkContext.setLogLevel("ERROR")
 
-    result: dict = {"protocol": "replicated sf0.1 documents, disjoint ids, "
-                    "retagged tokens; one timed run per kernel per factor "
-                    "after a 1x warm-up", "factors": {}}
+    build = build_tpch if tpch else build_corpus
+    run = probe_tpch if tpch else probe
+    proto = ("replicated sf0.1 orders+lineitem on disjoint orderkeys, dims "
+             "unchanged; one timed run per kernel per factor after a 1x "
+             "warm-up" if tpch else
+             "replicated sf0.1 documents, disjoint ids, retagged tokens; "
+             "one timed run per kernel per factor after a 1x warm-up")
+    result: dict = {"protocol": proto, "factors": {}}
     # warm-up at 1x so JIT/codegen ramp doesn't land in the 1x numbers
-    probe(spark, build_corpus(spark, 1))
+    run(spark, build(spark, 1))
     for f in REPLICAS:
-        sf_dir = build_corpus(spark, f)
-        result["factors"][str(f)] = probe(spark, sf_dir)
+        sf_dir = build(spark, f)
+        result["factors"][str(f)] = run(spark, sf_dir)
 
     base = result["factors"]["1"]
     result["ratios_vs_1x"] = {
@@ -116,9 +170,10 @@ def main() -> None:
     out = json.dumps(result)
     print(out)
     if rnd:
-        with open(f"SCALE_PROBE_r{rnd}.json", "w") as fh:
+        name = f"SCALE_PROBE_TPCH_r{rnd}.json" if tpch else f"SCALE_PROBE_r{rnd}.json"
+        with open(name, "w") as fh:
             fh.write(out + "\n")
-        print(f"wrote SCALE_PROBE_r{rnd}.json", file=sys.stderr)
+        print(f"wrote {name}", file=sys.stderr)
     spark.stop()
     shutil.rmtree(WORK, ignore_errors=True)
 

@@ -219,3 +219,45 @@ def test_minhash_slug_reuses_persisted_pair_graph(spark):
     # (parquet scans still APPEAR in the string — InMemoryTableScan prints
     # the plan it cached — but execution reads the materialization.)
     assert "InMemoryTableScan" in plan
+
+
+def test_subquery_shapes_decorrelate_to_join_plans(spark):
+    """The round-5 subquery family must land as joins, not per-row
+    re-evaluation: EXISTS -> LeftSemi, NOT EXISTS -> LeftAnti, the
+    disjunctive predicate -> broadcast hash join (never cartesian), and the
+    correlated scalar aggregates -> ONE decorrelated aggregate (no
+    nested-loop subquery execution node)."""
+    from pyspark_coding_challenge_spark.plans import subqueries as sq
+
+    plan = _plan_fn(spark, sq.exists_late_shipments)
+    assert "LeftSemi" in plan and "CartesianProduct" not in plan
+
+    plan = _plan_fn(spark, sq.not_exists_idle_customers)
+    assert "LeftAnti" in plan and "CartesianProduct" not in plan
+
+    plan = _plan_fn(spark, sq.disjunctive_brand_revenue)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    plan = _plan_fn(spark, sq.correlated_small_quantity)
+    # decorrelated: the correlated count/sum become aggregate+join, and no
+    # row-at-a-time subquery node survives
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    plan = _plan_fn(spark, sq.in_big_quantity_orders)
+    assert "TakeOrderedAndProject" in plan  # top-25 never global-sorts
+    assert "CartesianProduct" not in plan
+
+
+def test_salted_skew_join_spreads_keys_without_broadcast(spark):
+    """The salt must actually change the physical strategy: a shuffled hash
+    join on the salted key (the pattern target), not the broadcast that
+    Spark would otherwise pick for the 6-row dim."""
+    from pyspark_coding_challenge_spark.plans import subqueries as sq
+
+    plan = _plan_fn(spark, sq.salted_skew_join)
+    assert "ShuffledHashJoin" in plan, plan
+    assert "BroadcastHashJoin" not in plan
+    assert "_salt" in plan[plan.index("ShuffledHashJoin"):].splitlines()[0]
