@@ -221,6 +221,132 @@ FROM (
 """
 
 
+LEN_BOUNDS = (32, 64, 128, 256)  # token-count bucket upper bounds
+BATCH_SIZE = 32  # examples per batch within a (shard, bucket)
+
+
+def batch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batch planning — the padding-efficiency batcher every
+    fixed-shape training loop runs: group documents of similar token length
+    so a batch pads to its bucket bound instead of the corpus max
+    (Fairseq/HF ``--group_by_length``). Buckets are FIXED boundaries (a
+    CASE over the token count, one codegen pass — no global quantile pass,
+    no driver collect); batch numbering is a per-(source, bucket)
+    ``row_number`` over the stable doc_id order, so batching is
+    embarrassingly parallel across shards exactly like ``text_pack_sequences``
+    — a global batch order would serialize the corpus and is deliberately
+    avoided. Deterministic: re-runs produce identical batch assignments.
+
+    Scale shape: one narrow projection + one shuffle on
+    (source, len_bucket) for the window; bucket count is fixed, source
+    count scales with the corpus, so window partitions stay bounded and
+    sorted in memory."""
+    d = read_table(spark, sf_dir, "documents")
+    n = F.size(F.split(F.col("text"), " ")).cast("int")
+    bucket = (
+        F.when(n <= LEN_BOUNDS[0], 0)
+        .when(n <= LEN_BOUNDS[1], 1)
+        .when(n <= LEN_BOUNDS[2], 2)
+        .when(n <= LEN_BOUNDS[3], 3)
+        .otherwise(4)
+        .cast("int")
+    )
+    w = Window.partitionBy("source", "len_bucket").orderBy("doc_id")
+    return (
+        d.select("doc_id", "source", n.alias("n_tokens"), bucket.alias("len_bucket"))
+        .withColumn("_rn", F.row_number().over(w))
+        .select(
+            "doc_id", "source", "n_tokens", "len_bucket",
+            F.expr(f"CAST((_rn - 1) div {BATCH_SIZE} AS BIGINT)").alias("batch_seq"),
+            F.expr(f"CAST((_rn - 1) % {BATCH_SIZE} AS INTEGER)").alias("batch_pos"),
+        )
+    )
+
+
+BATCH_PLAN_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens
+  FROM documents
+), b AS (
+  SELECT *, CAST(CASE WHEN n_tokens <= {LEN_BOUNDS[0]} THEN 0
+                      WHEN n_tokens <= {LEN_BOUNDS[1]} THEN 1
+                      WHEN n_tokens <= {LEN_BOUNDS[2]} THEN 2
+                      WHEN n_tokens <= {LEN_BOUNDS[3]} THEN 3
+                      ELSE 4 END AS INTEGER) AS len_bucket
+  FROM t
+)
+SELECT doc_id, source, n_tokens, len_bucket,
+       CAST((row_number() OVER (PARTITION BY source, len_bucket
+                                ORDER BY doc_id) - 1) // {BATCH_SIZE}
+            AS BIGINT) AS batch_seq,
+       CAST((row_number() OVER (PARTITION BY source, len_bucket
+                                ORDER BY doc_id) - 1) % {BATCH_SIZE}
+            AS INTEGER) AS batch_pos
+FROM b
+"""
+
+
+def integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table referential/constraint audit — the pre-flight a 100 TB
+    ingest runs before joining anything: orphan foreign keys (anti-joins on
+    the join keys the pipeline is about to use), domain violations, and
+    key-uniqueness drift, as one (metric, value) ledger.
+
+    Scale shape: each metric is one scan + one aggregate; the two anti-joins
+    shuffle on their join key (dimension side broadcast where it is a
+    dimension). Nothing collects; the ledger is O(metrics) rows."""
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    li = read_table(spark, sf_dir, "lineitem")
+    d = read_table(spark, sf_dir, "documents")
+
+    def metric(name: str, df: DataFrame) -> DataFrame:
+        return df.select(F.lit(name).alias("metric"),
+                         F.col("value").cast("bigint").alias("value"))
+
+    parts = [
+        metric("orders_orphan_custkey",
+               o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left_anti")
+               .agg(F.count("*").alias("value"))),
+        metric("lineitem_orphan_orderkey",
+               li.join(o, li.l_orderkey == o.o_orderkey, "left_anti")
+               .agg(F.count("*").alias("value"))),
+        metric("lineitem_discount_out_of_range",
+               li.filter((F.col("l_discount") < 0) | (F.col("l_discount") > 1))
+               .agg(F.count("*").alias("value"))),
+        metric("customer_dup_custkey",
+               c.agg((F.count("*") - F.countDistinct("c_custkey"))
+                     .alias("value"))),
+        metric("documents_empty_text",
+               d.filter(F.col("text").isNull() | (F.col("text") == ""))
+               .agg(F.count("*").alias("value"))),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+INTEGRITY_AUDIT_ORACLE = """
+SELECT 'orders_orphan_custkey' AS metric, CAST(count(*) AS BIGINT) AS value
+FROM orders WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+UNION ALL
+SELECT 'lineitem_orphan_orderkey', CAST(count(*) AS BIGINT)
+FROM lineitem WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+UNION ALL
+SELECT 'lineitem_discount_out_of_range', CAST(count(*) AS BIGINT)
+FROM lineitem WHERE l_discount < 0 OR l_discount > 1
+UNION ALL
+SELECT 'customer_dup_custkey',
+       CAST(count(*) - count(DISTINCT c_custkey) AS BIGINT)
+FROM customer
+UNION ALL
+SELECT 'documents_empty_text', CAST(count(*) AS BIGINT)
+FROM documents WHERE text IS NULL OR text = ''
+"""
+
+
 def register_all(register) -> None:
     from pyspark_coding_challenge_spark.plans.merge import register_merged
 
@@ -233,4 +359,6 @@ def register_all(register) -> None:
         ("sample", sample_deterministic, SAMPLE_DETERMINISTIC_ORACLE),
         ("mixture", mixture_sample, MIXTURE_SAMPLE_ORACLE),
         ("shuffle_shard", shuffle_shard, SHUFFLE_SHARD_ORACLE),
+        ("batch_plan", batch_plan, BATCH_PLAN_ORACLE),
+        ("integrity_audit", integrity_audit, INTEGRITY_AUDIT_ORACLE),
     ])

@@ -44,6 +44,9 @@ SLUGS = [
     "streaming_windowed_aggs",
     "agg_variants",
     "tpch_composites",
+    # round-5 widened slugs (subquery family / batch-plan + integrity audit)
+    "join_variants",
+    "data_profile",
 ]
 
 # End-of-r4 anchors, transcribed from BASELINE.md's prose note (same

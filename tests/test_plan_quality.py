@@ -261,3 +261,24 @@ def test_salted_skew_join_spreads_keys_without_broadcast(spark):
     assert "ShuffledHashJoin" in plan, plan
     assert "BroadcastHashJoin" not in plan
     assert "_salt" in plan[plan.index("ShuffledHashJoin"):].splitlines()[0]
+
+
+def test_batch_plan_windows_without_global_sort(spark):
+    """Length-bucketed batching must be per-(source,bucket) parallel: a
+    window exchange on the composite key, never a global Sort/Exchange
+    rangepartitioning (which would serialize the corpus)."""
+    from pyspark_coding_challenge_spark.llm import profiling as P
+
+    plan = _plan_fn(spark, P.batch_plan)
+    assert "rangepartitioning" not in plan.lower(), plan
+    assert "hashpartitioning" in plan.lower()
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_integrity_audit_uses_anti_joins(spark):
+    from pyspark_coding_challenge_spark.llm import profiling as P
+
+    plan = _plan_fn(spark, P.integrity_audit)
+    assert plan.count("LeftAnti") == 2
+    assert "CartesianProduct" not in plan
