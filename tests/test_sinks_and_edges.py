@@ -166,3 +166,106 @@ def test_non_canonical_dt_still_joins_history(spark):
     # The prior-day click is present, not silently replaced by all-pad arrays.
     assert rows[0].actions == [10, 0, 0]
     assert rows[0].action_types == [1, 0, 0]
+
+
+@pytest.mark.parametrize("seed", [11, 37])
+def test_batch_plan_matches_python_model_on_random_docs(spark, tmp_path, seed):
+    """Model-based check for length-bucketed batching: random docs with
+    token counts crafted to straddle every bucket boundary (32/64/128/256,
+    the empty doc, and the over-512 tail) must batch exactly like a
+    pure-Python model — same bucket, same batch_seq, same batch_pos."""
+    import random
+
+    from pyspark_coding_challenge_spark.llm.profiling import (
+        BATCH_SIZE,
+        LEN_BOUNDS,
+        batch_plan,
+    )
+
+    rng = random.Random(seed)
+    boundary_counts = [1, 31, 32, 33, 63, 64, 65, 127, 128, 129,
+                       255, 256, 257, 400, 600]
+    rows = []
+    for doc_id in range(1, 301):
+        n = rng.choice(boundary_counts)
+        rows.append((doc_id, " ".join(f"t{i}" for i in range(n)),
+                     "en", f"src{rng.randint(0, 3)}", n))
+    df = spark.createDataFrame(
+        rows, schema="doc_id BIGINT, text STRING, lang STRING, "
+                     "source STRING, n_chars BIGINT")
+    df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+
+    def bucket(n: int) -> int:
+        for i, b in enumerate(LEN_BOUNDS):
+            if n <= b:
+                return i
+        return len(LEN_BOUNDS)
+
+    # model: per (source, bucket), docs in doc_id order, chopped into batches
+    by_key: dict[tuple, list] = {}
+    for doc_id, text, _l, src, _n in rows:
+        n = len(text.split(" "))
+        by_key.setdefault((src, bucket(n)), []).append(doc_id)
+    model = {}
+    for (src, b), ids in by_key.items():
+        for pos, doc_id in enumerate(sorted(ids)):
+            model[doc_id] = (src, b, pos // BATCH_SIZE, pos % BATCH_SIZE)
+
+    got = {r.doc_id: (r.source, r.len_bucket, r.batch_seq, r.batch_pos)
+           for r in batch_plan(spark, str(tmp_path)).collect()}
+    assert got == model
+
+
+def test_integrity_audit_flags_crafted_violations(spark, tmp_path):
+    """The audit must count each planted defect exactly once: two orphan
+    orders, three orphan lineitems, one out-of-range discount, one
+    duplicated custkey, two empty/null documents."""
+    from pyspark_coding_challenge_spark.llm.profiling import integrity_audit
+
+    spark.createDataFrame(
+        [(1, "a", 0, 1.0, "S"), (2, "b", 0, 2.0, "S"), (2, "dup", 0, 3.0, "S")],
+        schema="c_custkey BIGINT, c_name STRING, c_nationkey INT, "
+               "c_acctbal DOUBLE, c_mktsegment STRING",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/customer.parquet")
+    spark.createDataFrame(
+        [(10, 1, "O", 5.0, "2024-01-01 00:00:00", "5-LOW"),
+         (11, 99, "O", 5.0, "2024-01-01 00:00:00", "5-LOW"),
+         (12, 98, "O", 5.0, "2024-01-01 00:00:00", "5-LOW")],
+        schema="o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, "
+               "o_totalprice DOUBLE, o_orderdate STRING, o_orderpriority STRING",
+    ).selectExpr("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+                 "CAST(o_orderdate AS TIMESTAMP) AS o_orderdate",
+                 "o_orderpriority") \
+     .write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+    li_rows = [(10, 1, 1, 1, 5.0, 10.0, 0.1, 0.0, "N", "O", "2024-01-02 00:00:00"),
+               (10, 1, 1, 2, 5.0, 10.0, 1.5, 0.0, "N", "O", "2024-01-02 00:00:00"),
+               (77, 1, 1, 1, 5.0, 10.0, 0.1, 0.0, "N", "O", "2024-01-02 00:00:00"),
+               (78, 1, 1, 1, 5.0, 10.0, 0.1, 0.0, "N", "O", "2024-01-02 00:00:00"),
+               (79, 1, 1, 1, 5.0, 10.0, 0.1, 0.0, "N", "O", "2024-01-02 00:00:00")]
+    spark.createDataFrame(
+        li_rows,
+        schema="l_orderkey BIGINT, l_partkey BIGINT, l_suppkey BIGINT, "
+               "l_linenumber INT, l_quantity DOUBLE, l_extendedprice DOUBLE, "
+               "l_discount DOUBLE, l_tax DOUBLE, l_returnflag STRING, "
+               "l_linestatus STRING, l_shipdate STRING",
+    ).selectExpr("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+                 "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+                 "l_returnflag", "l_linestatus",
+                 "CAST(l_shipdate AS TIMESTAMP) AS l_shipdate") \
+     .write.mode("overwrite").parquet(f"{tmp_path}/lineitem.parquet")
+    spark.createDataFrame(
+        [(1, "hello world", "en", "s", 11), (2, "", "en", "s", 0),
+         (3, None, "en", "s", 0)],
+        schema="doc_id BIGINT, text STRING, lang STRING, source STRING, "
+               "n_chars BIGINT",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+
+    got = {r.metric: r.value
+           for r in integrity_audit(spark, str(tmp_path)).collect()}
+    assert got == {
+        "orders_orphan_custkey": 2,
+        "lineitem_orphan_orderkey": 3,
+        "lineitem_discount_out_of_range": 1,
+        "customer_dup_custkey": 1,
+        "documents_empty_text": 2,
+    }
