@@ -63,6 +63,11 @@ def exists_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
     the quarter filter pushed to the orders scan."""
     o = _view(spark, sf_dir, "orders")
     li = _view(spark, sf_dir, "lineitem")
+    # The `l_shipdate > timestamp'1996-01-01'` inside EXISTS is IMPLIED by
+    # the correlation (l_shipdate > o_orderdate >= 1996-01-01) but Catalyst
+    # does not derive it across the subquery boundary — writing it out by
+    # hand pushes a date bound into the lineitem parquet scan, which at
+    # 100 TB skips every row group outside the window. Result-identical.
     return spark.sql(f"""
         SELECT o_orderpriority, count(*) AS order_count
         FROM {o}
@@ -70,7 +75,8 @@ def exists_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
           AND o_orderdate <  timestamp'1996-04-01'
           AND EXISTS (SELECT 1 FROM {li}
                       WHERE l_orderkey = o_orderkey
-                        AND l_shipdate > o_orderdate)
+                        AND l_shipdate > o_orderdate
+                        AND l_shipdate > timestamp'1996-01-01')
         GROUP BY o_orderpriority
     """)
 
@@ -84,7 +90,7 @@ WHERE o_orderdate >= TIMESTAMP '1996-01-01'
               WHERE l_orderkey = o_orderkey
                 AND l_shipdate > o_orderdate)
 GROUP BY o_orderpriority
-"""
+"""  # oracle omits the hand-derived bound: semantically identical
 
 
 # ---------------------------------------------------------------------------
@@ -107,10 +113,15 @@ def in_big_quantity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("total_qty"))
         .filter(F.col("total_qty") > 180)
     )
+    # No broadcast hint on customer: at 100 TB customer is a 10^8-row table,
+    # while the big-quantity filter shrinks the LEFT side to almost nothing.
+    # AQE's runtime stats see the shrunken side and pick the broadcast
+    # direction at execution time — hard-hinting the full dimension would
+    # pin the wrong side forever.
     return (
         o.join(big.select("l_orderkey", "total_qty"),
                o.o_orderkey == F.col("l_orderkey"), "inner")
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .select(
             "c_custkey",
             "c_name",
