@@ -79,3 +79,49 @@ def write_partitioned_parquet(
     compression: str = "snappy",
 ) -> None:
     _write_partitioned(df, path, "parquet", partition_cols, mode, compression)
+
+
+def compact_parquet(
+    spark,
+    src_path: str,
+    dst_path: str,
+    target_file_mb: int = 512,
+    compression: str = "snappy",
+) -> int:
+    """Small-files compaction — the maintenance job every long-running
+    ingest needs: a streaming/incremental writer leaves thousands of
+    KB-sized parquet files per partition, and at 100 TB the resulting
+    driver-side file listing + per-file open cost dominates scan time long
+    before the bytes do.
+
+    Strategy: size the output file count from the ACTUAL input bytes
+    (filesystem metadata via the Hadoop API — no data scan), then rewrite
+    with ``coalesce(n)``. ``coalesce`` (not ``repartition``) merges
+    existing partitions WITHOUT a shuffle: each output task reads several
+    input files sequentially and writes one target-sized file; row order
+    within files changes, row content never does. Returns the chosen file
+    count.
+
+    ``maxRecordsPerFile`` is deliberately NOT used here: it caps rows per
+    file but cannot merge inputs, which is the problem being solved.
+
+    Scale note: one pass over the data, zero shuffle, embarrassingly
+    parallel in the number of output files. For partitioned layouts run
+    per-partition (the src/dst paths address one partition directory), so
+    compaction parallelizes across partitions and never rewrites cold ones.
+    """
+    jvm = spark.sparkContext._jvm
+    jsc = spark.sparkContext._jsc
+    conf = jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(src_path)
+    fs = path.getFileSystem(conf)
+    total_bytes = fs.getContentSummary(path).getLength()
+    n_files = max(1, int(total_bytes / (target_file_mb * 1024 * 1024)) + 1)
+    (
+        spark.read.parquet(src_path)
+        .coalesce(n_files)
+        .write.mode("overwrite")
+        .option("compression", compression)
+        .parquet(dst_path)
+    )
+    return n_files

@@ -269,3 +269,25 @@ def test_integrity_audit_flags_crafted_violations(spark, tmp_path):
         "customer_dup_custkey": 1,
         "documents_empty_text": 2,
     }
+
+
+def test_compact_parquet_merges_small_files_preserving_rows(spark, tmp_path):
+    """200 tiny files in, a handful out; row content identical; the chosen
+    file count derives from real input bytes (no data scan)."""
+    import glob
+
+    from pyspark_coding_challenge_spark.sources.writers import compact_parquet
+
+    src = f"{tmp_path}/small"
+    dst = f"{tmp_path}/compacted"
+    df = spark.range(0, 20_000).selectExpr(
+        "id", "CAST(id % 97 AS STRING) AS k", "id * 2.5 AS v")
+    df.repartition(200).write.mode("overwrite").parquet(src)
+    assert len(glob.glob(f"{src}/part-*.parquet")) == 200
+
+    n = compact_parquet(spark, src, dst, target_file_mb=512)
+    out_files = glob.glob(f"{dst}/part-*.parquet")
+    assert len(out_files) == n <= 4
+    before = {(r.id, r.k, r.v) for r in df.collect()}
+    after = {(r.id, r.k, r.v) for r in spark.read.parquet(dst).collect()}
+    assert after == before
