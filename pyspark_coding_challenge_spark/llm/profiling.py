@@ -294,8 +294,10 @@ def integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     key-uniqueness drift, as one (metric, value) ledger.
 
     Scale shape: each metric is one scan + one aggregate; the two anti-joins
-    shuffle on their join key (dimension side broadcast where it is a
-    dimension). Nothing collects; the ledger is O(metrics) rows."""
+    shuffle on their join key (the planner broadcasts the build side when it
+    is small enough — no hand-pinned hints, since 'dimension' tables are
+    themselves huge at 100 TB). Nothing collects; the ledger is O(metrics)
+    rows."""
     o = read_table(spark, sf_dir, "orders")
     c = read_table(spark, sf_dir, "customer")
     li = read_table(spark, sf_dir, "lineitem")
@@ -306,8 +308,12 @@ def integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                          F.col("value").cast("bigint").alias("value"))
 
     parts = [
+        # No broadcast hint: customer is 10^8 rows at real scale; below the
+        # auto-broadcast threshold the planner broadcasts it anyway, above
+        # it the anti-join shuffles on the key — both correct, neither
+        # pinned wrong forever.
         metric("orders_orphan_custkey",
-               o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left_anti")
+               o.join(c, o.o_custkey == c.c_custkey, "left_anti")
                .agg(F.count("*").alias("value"))),
         metric("lineitem_orphan_orderkey",
                li.join(o, li.l_orderkey == o.o_orderkey, "left_anti")
