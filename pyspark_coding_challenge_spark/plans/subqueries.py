@@ -3,14 +3,19 @@ correlated scalar subqueries / scalar-subquery HAVING — the TPC-H query
 patterns (Q4, Q13, Q11, Q15, Q17, Q18, Q19, Q22 shapes) that the plain
 join/agg sweeps in ``plans/relational.py`` do not exercise.
 
-Why SQL text for some of these: a correlated subquery is exactly the case
-where the declarative surface matters — Catalyst's ``RewriteCorrelatedScalarSubquery``
-/ ``RewritePredicateSubquery`` rules decorrelate them into the aggregate+join
-or semi/anti-join plans we would otherwise hand-build, and letting the
-optimizer do it keeps the query one logical plan (so pushdown and join
-reordering still apply across the subquery boundary). The EXISTS/IN family is
-written with the DataFrame API (``left_semi`` / ``left_anti``) because there
-the join form *is* the idiomatic Spark spelling.
+Why SQL text for some of these: predicate subqueries (EXISTS / NOT EXISTS /
+IN) are exactly the case where the declarative surface matters — Catalyst's
+``RewritePredicateSubquery`` rule turns them into the semi/anti-join plans
+we would otherwise hand-build, and letting the optimizer do it keeps the
+query one logical plan (so pushdown and join reordering still apply across
+the subquery boundary); the plan gates pin that rewrite. CORRELATED SCALAR
+aggregates are the measured exception: Catalyst decorrelates each scalar
+subquery separately (one extra scan + aggregate per subquery — see
+``correlated_small_quantity``), so there the engine spells the
+decorrelated single-pass form directly and keeps the subquery SQL as the
+oracle. The plain IN/semi family is written with the DataFrame API
+(``left_semi`` / ``left_anti``) because there the join form *is* the
+idiomatic Spark spelling.
 
 Oracle-parity rules follow ``plans/relational.py``'s module doc: scalar
 output columns, exact-integer money/quantity arithmetic (no double-threshold
@@ -29,7 +34,7 @@ keys — and AQE handles any residual skew.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pyspark_coding_challenge_spark.sources.readers import read_table
@@ -261,29 +266,39 @@ GROUP BY p_brand
 
 def correlated_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Value locked in 'small' orders: line items of one brand with quantity
-    below half that part's average quantity — TWO correlated scalar
-    subqueries over the same correlation key.
+    below half that part's average quantity — the TPC-H Q17 correlated-
+    scalar-aggregate shape.
 
     ``qty < 0.5 * avg``  is evaluated as  ``2 * qty * count < sum`` in
     bigints: no engine-dependent IEEE average can flip a boundary row.
-    Catalyst decorrelates both subqueries into ONE aggregate on
-    ``l_partkey`` joined back to the brand-filtered probe — the plan a
-    100 TB run wants (per-key partial agg, single shuffle, no per-row
-    re-aggregation)."""
-    p = _view(spark, sf_dir, "part")
-    li = _view(spark, sf_dir, "lineitem")
-    return spark.sql(f"""
-        SELECT CAST(count(*) AS BIGINT) AS n_small,
-               CAST(sum(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT)
-                 AS value_cents
-        FROM {li} l JOIN {p} ON p_partkey = l.l_partkey
-        WHERE p_brand = 'Brand#4'
-          AND 2 * CAST(l.l_quantity AS BIGINT)
-              * (SELECT count(*) FROM {li} l2
-                 WHERE l2.l_partkey = l.l_partkey)
-              < (SELECT sum(CAST(l2.l_quantity AS BIGINT)) FROM {li} l2
-                 WHERE l2.l_partkey = l.l_partkey)
-    """)
+
+    Why NOT the SQL correlated-subquery spelling here (the oracle keeps
+    it): measured on Spark 4, Catalyst decorrelates the two scalar
+    subqueries SEPARATELY — two extra lineitem scans and aggregates
+    (6 HashAggregates, 4 scans); the subquery-merging rule does not cover
+    this correlated pair. The hand-decorrelated form below is what a
+    100 TB run wants: ONE scan of lineitem (pre-reduced by broadcasting
+    the brand-filtered part keys into the join), ONE shuffle on
+    ``l_partkey`` for a window computing the per-part count/sum alongside
+    every probe row, and the final global aggregate. No self-join, no
+    re-aggregation."""
+    p = read_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#4")
+    li = read_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_partkey")
+    probe = (
+        li.join(F.broadcast(p.select("p_partkey")),
+                li.l_partkey == F.col("p_partkey"))
+        .select("l_partkey",
+                F.col("l_quantity").cast("bigint").alias("qty"),
+                _cents("l_extendedprice").alias("price_cents"))
+        .withColumn("_cnt", F.count("*").over(w))
+        .withColumn("_sum_qty", F.sum("qty").over(w))
+        .filter(2 * F.col("qty") * F.col("_cnt") < F.col("_sum_qty"))
+    )
+    return probe.agg(
+        F.count("*").alias("n_small"),
+        F.sum("price_cents").alias("value_cents"),
+    )
 
 
 CORRELATED_SMALL_QUANTITY_ORACLE = """

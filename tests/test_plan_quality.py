@@ -241,8 +241,12 @@ def test_subquery_shapes_decorrelate_to_join_plans(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
     plan = _plan_fn(spark, sq.correlated_small_quantity)
-    # decorrelated: the correlated count/sum become aggregate+join, and no
-    # row-at-a-time subquery node survives
+    # hand-decorrelated single-pass form: exactly TWO parquet scans
+    # (lineitem + the part-key broadcast) and the per-part stats via one
+    # Window — NOT the 4-scan/6-aggregate plan Catalyst produces for the
+    # equivalent correlated-subquery SQL (which the oracle still runs)
+    assert plan.count("Scan parquet") == 2, plan
+    assert "Window" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
 
