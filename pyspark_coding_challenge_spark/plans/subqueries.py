@@ -168,7 +168,13 @@ def not_exists_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines cannot disagree on a boundary row the way an IEEE-double average
     could. Catalyst turns the NOT EXISTS into a LEFT ANTI join and the
     scalar aggregate into a 1-row broadcast — customers stream through one
-    shuffle-free filter plus one anti-join on ``o_custkey``."""
+    shuffle-free filter plus one anti-join on ``o_custkey``.
+
+    The 1-row threshold rides a CROSS JOIN of the CTE rather than two
+    scalar ``(SELECT ... FROM pos)`` expressions: Spark inlines CTEs per
+    reference, so the scalar spelling evaluated ``pos`` TWICE (measured: 6
+    scans / 10 aggregates; the cross-join form is 3 scans — customer for
+    pos, customer main, orders — which is the minimum for this shape)."""
     c = _view(spark, sf_dir, "customer")
     o = _view(spark, sf_dir, "orders")
     return spark.sql(f"""
@@ -181,9 +187,8 @@ def not_exists_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
                count(*) AS numcust,
                CAST(sum(CAST(ROUND(c_acctbal*100) AS BIGINT)) AS BIGINT)
                  AS totacctbal_cents
-        FROM {c}
-        WHERE CAST(ROUND(c_acctbal*100) AS BIGINT) * (SELECT n_pos FROM pos)
-              > (SELECT sum_cents FROM pos)
+        FROM {c} CROSS JOIN pos
+        WHERE CAST(ROUND(c_acctbal*100) AS BIGINT) * n_pos > sum_cents
           AND NOT EXISTS (SELECT 1 FROM {o} WHERE o_custkey = c_custkey)
         GROUP BY c_nationkey
     """)
@@ -357,24 +362,29 @@ GROUP BY c_count
 
 def nation_balance_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Supplier account balance concentrated per nation, keeping nations
-    holding more than 1/25 of the global positive balance — scalar subquery
-    inside HAVING, compared exactly as ``25 * nation_sum > global_sum``.
+    holding more than 1/25 of the global positive balance — the
+    share-of-global HAVING shape, compared exactly as
+    ``25 * nation_sum > global_sum``.
 
-    The global sum is a 1-row broadcast; the per-nation aggregate is one
-    shuffle on ``s_nationkey``. At 100 TB the same plan holds: the scalar
-    side never grows."""
-    s = _view(spark, sf_dir, "supplier")
-    return spark.sql(f"""
-        SELECT s_nationkey,
-               CAST(sum(CAST(ROUND(s_acctbal*100) AS BIGINT)) AS BIGINT)
-                 AS nation_bal_cents
-        FROM {s}
-        WHERE s_acctbal > 0.0
-        GROUP BY s_nationkey
-        HAVING 25 * sum(CAST(ROUND(s_acctbal*100) AS BIGINT))
-               > (SELECT sum(CAST(ROUND(s_acctbal*100) AS BIGINT))
-                  FROM {s} WHERE s_acctbal > 0.0)
-    """)
+    ONE scan: aggregate to nation level first, then the global sum is a
+    window over the ALREADY-AGGREGATED relation (bounded by the number of
+    nations — dozens of rows, so the unpartitioned window is safe; the SQL
+    scalar-subquery spelling scans supplier twice). For a share-of-global
+    over a HIGH-cardinality group (per-token, per-document) the right form
+    is the 1-row aggregate broadcast instead — an unpartitioned window
+    over millions of groups would single-partition them."""
+    s = read_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") > 0.0)
+    per_nation = s.groupBy("s_nationkey").agg(
+        F.sum(_cents("s_acctbal")).alias("nation_bal_cents")
+    )
+    total = F.sum("nation_bal_cents").over(
+        Window.partitionBy()  # nation-level relation: bounded rows
+    )
+    return (
+        per_nation.withColumn("_total", total)
+        .filter(25 * F.col("nation_bal_cents") > F.col("_total"))
+        .select("s_nationkey", "nation_bal_cents")
+    )
 
 
 NATION_BALANCE_SHARE_ORACLE = """
@@ -399,28 +409,33 @@ def top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     the aggregate-of-aggregate scalar-subquery shape (TPC-H's revenue
     view + max join).
 
-    The revenue CTE is computed once (Spark reuses the subquery via
-    ReuseExchange/subquery caching in AQE; at worst it is two passes over
-    an already-filtered quarter slice); revenue is exact-integer e4 so the
-    max-equality cannot be split by rounding. Deterministic even under
-    ties — all tied suppliers return."""
-    s = _view(spark, sf_dir, "supplier")
-    li = _view(spark, sf_dir, "lineitem")
-    return spark.sql(f"""
-        WITH revenue AS (
-            SELECT l_suppkey AS supplier_no,
-                   CAST(sum(CAST(ROUND(l_extendedprice*100) AS BIGINT)
-                            * (100 - CAST(ROUND(l_discount*100) AS BIGINT)))
-                        AS BIGINT) AS total_rev_e4
-            FROM {li}
-            WHERE l_shipdate >= timestamp'1996-01-01'
-              AND l_shipdate <  timestamp'1996-04-01'
-            GROUP BY l_suppkey
-        )
-        SELECT s_suppkey, s_name, total_rev_e4
-        FROM {s} JOIN revenue ON s_suppkey = supplier_no
-        WHERE total_rev_e4 = (SELECT max(total_rev_e4) FROM revenue)
-    """)
+    The per-supplier revenue aggregate feeds BOTH consumers (the max and
+    the equality probe), so it is materialized ONCE with
+    ``localCheckpoint`` (the repo's materialize-once idiom, see
+    ``llm/dedup.py``; on a cluster: persist/checkpoint — the storage is
+    reclaimed by the ContextCleaner when the result is dropped). The SQL
+    CTE spelling re-evaluated the revenue subtree — 2 lineitem scans;
+    this form scans lineitem once, and the aggregated relation it
+    re-reads is |suppliers|-sized, orders of magnitude smaller. Revenue
+    is exact-integer e4 so the max-equality cannot be split by rounding.
+    Deterministic even under ties — all tied suppliers return."""
+    s = read_table(spark, sf_dir, "supplier")
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.expr("timestamp'1996-01-01'"))
+        & (F.col("l_shipdate") < F.expr("timestamp'1996-04-01'"))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(
+            _cents("l_extendedprice")
+            * (100 - F.round(F.col("l_discount") * 100).cast("bigint"))
+        ).alias("total_rev_e4")
+    ).localCheckpoint()
+    mx = revenue.agg(F.max("total_rev_e4").alias("_max_rev"))
+    return (
+        revenue.join(F.broadcast(mx), F.col("total_rev_e4") == F.col("_max_rev"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("supplier_no"))
+        .select("s_suppkey", "s_name", "total_rev_e4")
+    )
 
 
 TOP_REVENUE_SUPPLIER_ORACLE = """

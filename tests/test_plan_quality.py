@@ -286,3 +286,27 @@ def test_integrity_audit_uses_anti_joins(spark):
     plan = _plan_fn(spark, P.integrity_audit)
     assert plan.count("LeftAnti") == 2
     assert "CartesianProduct" not in plan
+
+
+def test_scalar_subquery_shapes_avoid_subtree_recompute(spark):
+    """The share-of-global / equal-to-max / threshold shapes must not
+    re-evaluate their aggregate subtrees: nation_share is ONE supplier
+    scan (window over the nation-level relation), the Q22 threshold rides
+    one cross-joined CTE (3 scans total: customer x2 + orders), and
+    top_revenue_supplier scans lineitem ONCE (materialize-once
+    localCheckpoint serves both the max and the probe)."""
+    import re
+
+    from pyspark_coding_challenge_spark.plans import subqueries as sq
+
+    plan = _plan_fn(spark, sq.nation_balance_share)
+    assert len(re.findall(r"Scan parquet", plan)) == 1, plan
+
+    plan = _plan_fn(spark, sq.not_exists_idle_customers)
+    assert len(re.findall(r"Scan parquet", plan)) == 3, plan
+
+    plan = _plan_fn(spark, sq.top_revenue_supplier)
+    # lineitem was consumed at checkpoint time; the live plan reads the
+    # materialized relation twice and parquet only for supplier
+    assert len(re.findall(r"Scan parquet", plan)) == 1, plan
+    assert plan.count("Scan ExistingRDD") == 2, plan
