@@ -53,19 +53,89 @@ def sql_lexical_diversity(text_col: str = "text") -> str:
             f" / len(string_split(lower({text_col}), ' '))")
 
 
-def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Argmax of per-language marker hits, deterministic tie order
-    en > de > es > fr > zh; no hits at all -> 'und'."""
+_DOC_SIGNALS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def shared_doc_signals_for_dir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached FUSED per-document scalar signals: ONE scan of the
+    text-heavy corpus computes every cheap per-doc integer the narrow
+    sections need (whitespace/lowered/BPE-ish token counts, stopword and
+    distinct-token counts, per-language marker hits, 2-gram counts,
+    char length). ``text_lang_id`` / ``text_quality_score`` /
+    ``text_token_count`` / ``text_repetition`` all SELECT from this
+    relation instead of re-scanning and re-tokenizing the corpus — the
+    fusion a production single-pass signal job performs, expressed as a
+    materialize-once relation like ``shared_span_starts_for_dir`` and
+    ``dedup.verified_pairs_for_dir``. The cached rows are scalar-only
+    (~15 ints per doc — no text), so the persist footprint is a rounding
+    error next to the corpus. Same staleness contract as the sibling
+    caches: rewritten parquet within one session needs
+    ``clear_doc_signals_cache``."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _DOC_SIGNALS_CACHE.get(key)
+    if cached is not None:
+        return cached
     d = read_table(spark, sf_dir, "documents")
     langs = list(LANG_MARKERS)
-    with_hits = d.select(
-        "doc_id", "lang", *[_marker_hits(lg).alias(f"h_{lg}") for lg in langs]
+    quoted = ", ".join(f"'{s}'" for s in STOPWORDS)
+    # _toks/_grams are materialized multi-use aliases — same CollapseProject
+    # trap as text_repetition's original formulation: inlined, the split
+    # would re-run once per consumer expression.
+    t = d.withColumn("_toks", F.split(F.lower("text"), " ")).withColumn(
+        "_grams",
+        F.expr(
+            "CASE WHEN size(_toks) >= 2 THEN "
+            "transform(sequence(1, size(_toks) - 1), "
+            "i -> concat(element_at(_toks, i), ' ', element_at(_toks, i + 1))) "
+            "ELSE CAST(array() AS ARRAY<STRING>) END"
+        ),
     )
+    sig = t.select(
+        "doc_id",
+        "lang",
+        F.length("text").alias("n_chars_len"),
+        F.size(F.split(F.col("text"), " ")).alias("ws_tok"),
+        F.expr("size(_toks)").alias("n_tok"),
+        F.expr(f"size(filter(_toks, t -> t IN ({quoted})))").alias("n_stop"),
+        F.expr("size(array_distinct(_toks))").alias("n_uniq"),
+        F.expr("size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))")
+        .alias("bpe_tok"),
+        *[_marker_hits(lg).alias(f"h_{lg}") for lg in langs],
+        F.expr("size(_grams)").alias("n_gram"),
+        F.expr("size(array_distinct(_grams))").alias("n_uniq_gram"),
+    ).persist()
+    _DOC_SIGNALS_CACHE[key] = sig
+    return sig
+
+
+def clear_doc_signals_cache(spark: SparkSession | None = None) -> int:
+    """Release cached doc-signal relations (all, or one session's) —
+    mirrors ``clear_span_cache`` / ``dedup.clear_pair_cache``."""
+    released = 0
+    app = spark.sparkContext.applicationId if spark is not None else None
+    for key in list(_DOC_SIGNALS_CACHE):
+        if app is None or key[0] == app:
+            try:
+                _DOC_SIGNALS_CACHE[key].unpersist()
+            except Exception:
+                pass  # session already stopped; the entry is dead either way
+            del _DOC_SIGNALS_CACHE[key]
+            released += 1
+    return released
+
+
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax of per-language marker hits, deterministic tie order
+    en > de > es > fr > zh; no hits at all -> 'und'. Marker counts come
+    from the fused signals relation (one corpus scan shared with the
+    other per-doc sections)."""
+    sig = shared_doc_signals_for_dir(spark, sf_dir)
+    langs = list(LANG_MARKERS)
     best = F.greatest(*[F.col(f"h_{lg}") for lg in langs])
     pred = F.when(best == 0, "und")
     for lg in langs:  # first match wins -> fixed preference order on ties
         pred = pred.when(F.col(f"h_{lg}") == best, lg)
-    return with_hits.select(
+    return sig.select(
         "doc_id",
         pred.alias("predicted"),
         (pred == F.col("lang")).cast("int").alias("is_correct"),
@@ -102,14 +172,15 @@ TEXT_LANG_ID_ORACLE = _lang_id_oracle()
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cheap quality heuristics: length stats, stopword ratio, type-token
     ratio, mean word length — combined into one deterministic score.
-    The standard first-pass web-corpus filter (Gopher/C4-style rules)."""
-    d = read_table(spark, sf_dir, "documents")
-    toks = F.split(F.lower(F.col("text")), " ")
-    n_tok = F.size(toks)
-    quoted = ", ".join(f"'{s}'" for s in STOPWORDS)
-    n_stop = F.expr(f"size(filter(split(lower(text), ' '), t -> t IN ({quoted})))")
-    n_uniq = F.size(F.array_distinct(toks))
-    mean_wlen = (F.length("text") - n_tok + 1).cast("double") / n_tok.cast("double")
+    The standard first-pass web-corpus filter (Gopher/C4-style rules).
+    All counts come from the fused signals relation (one shared corpus
+    scan); the arithmetic below is integer-for-integer identical to
+    computing them inline."""
+    sig = shared_doc_signals_for_dir(spark, sf_dir)
+    n_tok = F.col("n_tok")
+    n_stop = F.col("n_stop")
+    n_uniq = F.col("n_uniq")
+    mean_wlen = (F.col("n_chars_len") - n_tok + 1).cast("double") / n_tok.cast("double")
     stop_ratio = n_stop.cast("double") / n_tok.cast("double")
     ttr = n_uniq.cast("double") / n_tok.cast("double")
     score = (
@@ -118,7 +189,7 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.when(stop_ratio >= 0.05, 0.2).otherwise(0.0)
         + F.when(ttr >= 0.1, 0.1).otherwise(0.0)
     )
-    return d.select(
+    return sig.select(
         "doc_id",
         n_tok.cast("int").alias("n_tokens"),
         n_uniq.cast("int").alias("n_unique"),
@@ -158,15 +229,14 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two tokenizations: whitespace, and a BPE-ish regex (letter runs /
     digit runs / single other chars) — the pre-tokenizer shape most BPE
     vocabularies assume. Both are regex-class-only patterns, identical in
-    Java and RE2 dialects."""
-    d = read_table(spark, sf_dir, "documents")
-    return d.select(
+    Java and RE2 dialects. Counts served from the fused signals relation
+    (one shared corpus scan)."""
+    sig = shared_doc_signals_for_dir(spark, sf_dir)
+    return sig.select(
         "doc_id",
-        F.size(F.split(F.col("text"), " ")).cast("int").alias("ws_tokens"),
-        F.expr("size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))")
-        .cast("int")
-        .alias("bpe_ish_tokens"),
-        F.length("text").cast("int").alias("chars"),
+        F.col("ws_tok").cast("int").alias("ws_tokens"),
+        F.col("bpe_tok").cast("int").alias("bpe_ish_tokens"),
+        F.col("n_chars_len").cast("int").alias("chars"),
     )
 
 
@@ -248,33 +318,22 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality signals that flag boilerplate and degenerate generations:
     fraction of duplicated tokens and of duplicated word-2-grams inside
     each document. Pure narrow expressions (no shuffle, no UDF); rounded so
-    the double division hashes identically across engines."""
-    # _toks/_grams are materialized multi-use aliases: inlining them into
-    # every consumer (what CollapseProject does to single-use cheap exprs)
-    # would re-split/re-build the arrays once per reference — measured 11 s
-    # at sf0.1 for the inlined formulation vs sub-second materialized (same
-    # trap as the minhash signature expression, dedup.py).
-    d = read_table(spark, sf_dir, "documents")
-    t = d.withColumn("_toks", F.split(F.lower("text"), " ")).withColumn(
-        "_grams",
-        F.expr(
-            "CASE WHEN size(_toks) >= 2 THEN "
-            "transform(sequence(1, size(_toks) - 1), "
-            "i -> concat(element_at(_toks, i), ' ', element_at(_toks, i + 1))) "
-            "ELSE CAST(array() AS ARRAY<STRING>) END"
-        ),
-    )
-    return t.select(
+    the double division hashes identically across engines. The token/gram
+    counts come from the fused signals relation (one shared corpus scan;
+    the array building — the expensive part this section's original
+    formulation materialized against CollapseProject — now happens exactly
+    once for all four per-doc sections)."""
+    sig = shared_doc_signals_for_dir(spark, sf_dir)
+    return sig.select(
         "doc_id",
-        F.expr("size(_toks)").cast("int").alias("n_tokens"),
+        F.col("n_tok").cast("int").alias("n_tokens"),
         F.round(
-            F.expr("1.0 - CAST(size(array_distinct(_toks)) AS DOUBLE) / size(_toks)"),
-            6,
+            F.expr("1.0 - CAST(n_uniq AS DOUBLE) / n_tok"), 6
         ).alias("dup_token_frac"),
         F.round(
             F.expr(
-                "CASE WHEN size(_grams) > 0 THEN "
-                "1.0 - CAST(size(array_distinct(_grams)) AS DOUBLE) / size(_grams) "
+                "CASE WHEN n_gram > 0 THEN "
+                "1.0 - CAST(n_uniq_gram AS DOUBLE) / n_gram "
                 "ELSE 0.0 END"
             ),
             6,

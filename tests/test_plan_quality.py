@@ -310,3 +310,18 @@ def test_scalar_subquery_shapes_avoid_subtree_recompute(spark):
     # materialized relation twice and parquet only for supplier
     assert len(re.findall(r"Scan parquet", plan)) == 1, plan
     assert plan.count("Scan ExistingRDD") == 2, plan
+
+
+def test_per_doc_text_sections_share_one_fused_scan(spark):
+    """lang_id / quality_score / token_count / repetition must read the
+    materialized signals relation, not re-scan and re-tokenize the corpus:
+    after the first call, each section's plan is a select over the cached
+    relation with zero parquet scans."""
+    from pyspark_coding_challenge_spark.llm import text as T
+
+    T.shared_doc_signals_for_dir(spark, SF_DIR)  # materialize once
+    for fn in (T.text_lang_id, T.text_quality_score,
+               T.text_token_count, T.text_repetition):
+        plan = _plan_fn(spark, fn)
+        assert "InMemoryTableScan" in plan, plan
+    T.clear_doc_signals_cache(spark)
