@@ -94,7 +94,9 @@ def shared_doc_signals_for_dir(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "lang",
         F.length("text").alias("n_chars_len"),
-        F.size(F.split(F.col("text"), " ")).alias("ws_tok"),
+        # lower() preserves spaces, so the whitespace token count IS the
+        # lowered token count — no second split of the raw text.
+        F.expr("size(_toks)").alias("ws_tok"),
         F.expr("size(_toks)").alias("n_tok"),
         F.expr(f"size(filter(_toks, t -> t IN ({quoted})))").alias("n_stop"),
         F.expr("size(array_distinct(_toks))").alias("n_uniq"),

@@ -220,11 +220,21 @@ def disjunctive_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     conjunctions — the predicate shape that defeats naive pushdown.
 
     The equi-key ``l_partkey = p_partkey`` is shared by every disjunct, so
-    Spark plans a plain broadcast hash join (part is a dimension) with the
-    disjunction evaluated as the join's residual filter — NOT a cartesian
-    fallback; the common-key extraction is exactly what Catalyst's
-    join-condition analysis is for."""
-    p = read_table(spark, sf_dir, "part")
+    Spark plans a plain broadcast hash join with the disjunction evaluated
+    as the join's residual filter — NOT a cartesian fallback; the
+    common-key extraction is exactly what Catalyst's join-condition
+    analysis is for. The part side is PRE-FILTERED to the part-only half
+    of each disjunct (brand + size) before the broadcast hint: any row
+    satisfying the full condition has its part row satisfying one of
+    those clauses, so the filter is result-preserving — and it is what
+    makes the broadcast legitimate at scale (three brand slices of the
+    dimension, not the full 10^10-row part table)."""
+    part_clause = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 15))
+    )
+    p = read_table(spark, sf_dir, "part").filter(part_clause)
     li = read_table(spark, sf_dir, "lineitem")
     qty = F.col("l_quantity")
     cond = (
@@ -431,9 +441,13 @@ def top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("total_rev_e4")
     ).localCheckpoint()
     mx = revenue.agg(F.max("total_rev_e4").alias("_max_rev"))
+    winners = revenue.join(
+        F.broadcast(mx), F.col("total_rev_e4") == F.col("_max_rev")
+    )
+    # Broadcast the ~1-row winners side INTO supplier (which is 10^9 rows
+    # at the target scale), never the full supplier dimension.
     return (
-        revenue.join(F.broadcast(mx), F.col("total_rev_e4") == F.col("_max_rev"))
-        .join(F.broadcast(s), F.col("s_suppkey") == F.col("supplier_no"))
+        s.join(F.broadcast(winners), F.col("s_suppkey") == F.col("supplier_no"))
         .select("s_suppkey", "s_name", "total_rev_e4")
     )
 
@@ -496,8 +510,13 @@ def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("_salt", F.explode(F.sequence(F.lit(0).cast("bigint"),
                                                   F.lit(SALT_BUCKETS - 1).cast("bigint"))))
     )
-    joined = li.hint("shuffle_hash").join(
-        dim, on=["l_returnflag", "l_linestatus", "_salt"], how="inner"
+    # The hint rides the DIM side: the hinted relation becomes the hash
+    # join's BUILD side, and building from the (exploded but still tiny)
+    # dim is the whole point — hinting the fact side would make every
+    # reducer hash-build its slice of the fact table instead.
+    joined = li.join(
+        dim.hint("shuffle_hash"),
+        on=["l_returnflag", "l_linestatus", "_salt"], how="inner"
     )
     return (
         joined.groupBy("l_returnflag", "l_linestatus")

@@ -116,7 +116,7 @@ def compact_parquet(
     path = jvm.org.apache.hadoop.fs.Path(src_path)
     fs = path.getFileSystem(conf)
     total_bytes = fs.getContentSummary(path).getLength()
-    n_files = max(1, int(total_bytes / (target_file_mb * 1024 * 1024)) + 1)
+    n_files = max(1, -(-total_bytes // (target_file_mb * 1024 * 1024)))
     (
         spark.read.parquet(src_path)
         .coalesce(n_files)

@@ -264,7 +264,11 @@ def test_salted_skew_join_spreads_keys_without_broadcast(spark):
     plan = _plan_fn(spark, sq.salted_skew_join)
     assert "ShuffledHashJoin" in plan, plan
     assert "BroadcastHashJoin" not in plan
-    assert "_salt" in plan[plan.index("ShuffledHashJoin"):].splitlines()[0]
+    join_line = plan[plan.index("ShuffledHashJoin"):].splitlines()[0]
+    assert "_salt" in join_line
+    # the (tiny, exploded) dim side must be the BUILD side — building from
+    # the fact side would hash-materialize the fact table per reducer
+    assert "BuildRight" in join_line, join_line
 
 
 def test_batch_plan_windows_without_global_sort(spark):
