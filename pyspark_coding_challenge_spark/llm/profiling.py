@@ -221,6 +221,61 @@ FROM (
 """
 
 
+TOKEN_BUDGET = 20_000  # per-source token budget for budgeted sampling
+
+
+def token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budgeted per-source sampling — the corpus-mixing primitive
+    behind 'take 30B tokens of web, 5B of code': documents are consumed in
+    a DETERMINISTIC pseudo-random order (the salted content-hash order of
+    ``shuffle_shard``/``sample_deterministic`` — stable across runs,
+    engines, and partitionings) and kept while the source's running token
+    total is below the budget; the document that CROSSES the budget is
+    kept too (budgets are approximate by one document, the standard
+    convention — truncating it would need doc splitting).
+
+    Scale shape: one narrow projection + one shuffle on ``source`` for
+    the running-sum window (parallel across sources, like batch_plan);
+    at 100 TB the per-source ordering key keeps each window partition a
+    single source's docs and the budget cut discards the tail without
+    ever materializing it downstream."""
+    d = read_table(spark, sf_dir, "documents")
+    h = md5_fold60(F.concat(F.lit("tb:"), F.col("doc_id").cast("string")))
+    base = d.select(
+        "doc_id", "source",
+        F.size(F.split(F.col("text"), " ")).cast("int").alias("n_tokens"),
+        h.alias("_h"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("_h").asc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        base.withColumn("cum_tokens", F.sum("n_tokens").over(w).cast("bigint"))
+        .filter(F.col("cum_tokens") - F.col("n_tokens") < TOKEN_BUDGET)
+        .select("doc_id", "source", "n_tokens", "cum_tokens")
+    )
+
+
+TOKEN_BUDGET_SAMPLE_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+         {sql_md5_fold60("'tb:' || CAST(doc_id AS VARCHAR)")} AS h
+  FROM documents
+), c AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_tokens
+  FROM t
+)
+SELECT doc_id, source, n_tokens, cum_tokens
+FROM c WHERE cum_tokens - n_tokens < {TOKEN_BUDGET}
+"""
+
+
 LEN_BOUNDS = (32, 64, 128, 256)  # token-count bucket upper bounds
 BATCH_SIZE = 32  # examples per batch within a (shard, bucket)
 
@@ -367,4 +422,5 @@ def register_all(register) -> None:
         ("shuffle_shard", shuffle_shard, SHUFFLE_SHARD_ORACLE),
         ("batch_plan", batch_plan, BATCH_PLAN_ORACLE),
         ("integrity_audit", integrity_audit, INTEGRITY_AUDIT_ORACLE),
+        ("token_budget", token_budget_sample, TOKEN_BUDGET_SAMPLE_ORACLE),
     ])

@@ -329,3 +329,11 @@ def test_per_doc_text_sections_share_one_fused_scan(spark):
         plan = _plan_fn(spark, fn)
         assert "InMemoryTableScan" in plan, plan
     T.clear_doc_signals_cache(spark)
+
+
+def test_token_budget_sample_single_exchange_no_global_sort(spark):
+    from pyspark_coding_challenge_spark.llm import profiling as P
+
+    plan = _plan_fn(spark, P.token_budget_sample)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "rangepartitioning" not in plan.lower()

@@ -291,3 +291,46 @@ def test_compact_parquet_merges_small_files_preserving_rows(spark, tmp_path):
     before = {(r.id, r.k, r.v) for r in df.collect()}
     after = {(r.id, r.k, r.v) for r in spark.read.parquet(dst).collect()}
     assert after == before
+
+
+def test_token_budget_sample_matches_python_model(spark, tmp_path):
+    """Crafted corpus: the doc that CROSSES the per-source budget is kept,
+    everything after it is dropped, consumption order is the salted-hash
+    order, and a source smaller than the budget survives whole."""
+    import hashlib
+
+    from pyspark_coding_challenge_spark.llm.profiling import (
+        TOKEN_BUDGET,
+        token_budget_sample,
+    )
+
+    rows = []
+    for doc_id in range(1, 9):  # big docs: 4 cross the budget quickly
+        rows.append((doc_id, " ".join(["t"] * 9000), "en", "big", 9000))
+    for doc_id in range(100, 103):  # tiny source: total 300 < budget
+        rows.append((doc_id, " ".join(["t"] * 100), "en", "small", 100))
+    spark.createDataFrame(
+        rows, schema="doc_id BIGINT, text STRING, lang STRING, "
+                     "source STRING, n_chars BIGINT"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+
+    def fold60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    model = {}
+    for src in ("big", "small"):
+        docs = sorted((d for d in rows if d[3] == src),
+                      key=lambda d: (fold60(f"tb:{d[0]}"), d[0]))
+        cum = 0
+        for doc_id, text, _l, _s, _n in docs:
+            n = len(text.split(" "))
+            if cum < TOKEN_BUDGET:
+                model[doc_id] = (src, n, cum + n)
+            cum += n
+
+    got = {r.doc_id: (r.source, r.n_tokens, r.cum_tokens)
+           for r in token_budget_sample(spark, str(tmp_path)).collect()}
+    assert got == model
+    # exactly ceil(budget/9000)=3 big docs kept, all small docs kept
+    assert sum(1 for s, _, _ in got.values() if s == "big") == 3
+    assert sum(1 for s, _, _ in got.values() if s == "small") == 3
