@@ -41,6 +41,7 @@ from pyspark_coding_challenge_spark.llm.dedup import (
     minhash_pair_ctes,
     verify_jaccard,
 )
+from pyspark_coding_challenge_spark.llm.text import sql_lexical_diversity
 from pyspark_coding_challenge_spark.sources.readers import read_table
 
 MIN_WORDS = 5     # quality gate: at least 5 whitespace tokens
@@ -354,8 +355,7 @@ def _source_quantile_oracle() -> str:
     return f"""
 WITH scored AS (
   SELECT doc_id, source,
-         CAST(len(list_distinct(string_split(lower(text), ' '))) AS DOUBLE)
-           / len(string_split(lower(text), ' ')) AS lex
+         {sql_lexical_diversity('text')} AS lex
   FROM documents
 ),
 ranked AS (

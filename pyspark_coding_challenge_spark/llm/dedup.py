@@ -703,7 +703,10 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     pairs = (
         verified_pairs_for_dir(spark, sf_dir)
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        # threshold on the UNROUNDED ratio, same as the sectioned twin and
+        # the recursive-CTE oracle — round(x,6) can differ between engines
+        # at a boundary and must never decide edge membership
+        .filter(F.col("_jac_raw") >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b")
     )
     cc = connected_components(pairs)
@@ -794,13 +797,14 @@ FROM cc
 
 
 def _quality_keepers_oracle() -> str:
-    return _CLUSTERS_RECURSIVE_CTES.format(pair_ctes=minhash_pair_ctes('documents')) + """,
+    from pyspark_coding_challenge_spark.llm.text import sql_lexical_diversity
+
+    return _CLUSTERS_RECURSIVE_CTES.format(pair_ctes=minhash_pair_ctes('documents')) + f""",
 scored AS (
   SELECT cc.doc_id, cc.cluster_id,
-         CAST(len(list_distinct(string_split(lower(d.text), ' '))) AS DOUBLE)
-           / len(string_split(lower(d.text), ' ')) AS lex
+         {sql_lexical_diversity('d.text')} AS lex
   FROM cc JOIN documents d ON d.doc_id = cc.doc_id
-),
+),""" + """
 ranked AS (
   SELECT cluster_id, doc_id, lex,
          row_number() OVER (PARTITION BY cluster_id ORDER BY lex DESC, doc_id) AS rn,
@@ -1013,17 +1017,22 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = verified_pairs_for_dir(spark, sf_dir)
     a_inc = F.col("doc_a") % INCREMENTAL_SHARD_MOD == 3
     b_inc = F.col("doc_b") % INCREMENTAL_SHARD_MOD == 3
+    # rank and threshold on the UNROUNDED ratio (_jac_raw) — the rounded
+    # 'jaccard' is display/output only; round(x,6) can differ between
+    # engines at a boundary and must never decide a rank or a flag
     crossing = pairs.filter(a_inc != b_inc).select(
         F.when(a_inc, F.col("doc_a")).otherwise(F.col("doc_b")).alias("new_id"),
         F.when(a_inc, F.col("doc_b")).otherwise(F.col("doc_a")).alias("old_id"),
         "jaccard",
+        "_jac_raw",
     )
-    w = Window.partitionBy("new_id").orderBy(F.col("jaccard").desc(), F.col("old_id").asc())
+    w = Window.partitionBy("new_id").orderBy(F.col("_jac_raw").desc(), F.col("old_id").asc())
     best = (
         crossing.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .select(F.col("new_id").alias("doc_id"), F.col("old_id").alias("best_match"),
-                F.col("jaccard").alias("best_jaccard"))
+                F.col("jaccard").alias("best_jaccard"),
+                F.col("_jac_raw").alias("_best_raw"))
     )
     return exact.join(best, on="doc_id", how="left").select(
         "doc_id",
@@ -1031,7 +1040,7 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         "best_match",
         "best_jaccard",
         F.coalesce(
-            (F.col("best_jaccard") >= JACCARD_THRESHOLD).cast("int"), F.lit(0)
+            (F.col("_best_raw") >= JACCARD_THRESHOLD).cast("int"), F.lit(0)
         ).alias("is_near_dup"),
     )
 
@@ -1048,20 +1057,24 @@ ex AS (
   FROM inc i LEFT JOIN cor c ON c.h = i.h
 ),
 crossing AS (
+  -- rank/threshold on the UNROUNDED jac, mirroring the engine; ROUND is
+  -- display-only on the output column
   SELECT CASE WHEN doc_a % {m} = {r} THEN doc_a ELSE doc_b END AS new_id,
          CASE WHEN doc_a % {m} = {r} THEN doc_b ELSE doc_a END AS old_id,
-         ROUND(jac, 6) AS jaccard
+         ROUND(jac, 6) AS jaccard,
+         jac AS jac_raw
   FROM verified
   WHERE (doc_a % {m} = {r}) <> (doc_b % {m} = {r})
 ),
 best AS (
-  SELECT new_id AS doc_id, old_id AS best_match, jaccard AS best_jaccard
+  SELECT new_id AS doc_id, old_id AS best_match, jaccard AS best_jaccard,
+         jac_raw AS best_raw
   FROM (SELECT *, row_number() OVER (PARTITION BY new_id
-                                     ORDER BY jaccard DESC, old_id ASC) AS rn
+                                     ORDER BY jac_raw DESC, old_id ASC) AS rn
         FROM crossing) WHERE rn = 1
 )
 SELECT ex.doc_id, ex.is_exact_dup, b.best_match, b.best_jaccard,
-       CAST(COALESCE(CAST(b.best_jaccard >= {JACCARD_THRESHOLD} AS INTEGER), 0)
+       CAST(COALESCE(CAST(b.best_raw >= {JACCARD_THRESHOLD} AS INTEGER), 0)
             AS INTEGER) AS is_near_dup
 FROM ex LEFT JOIN best b ON b.doc_id = ex.doc_id
 """

@@ -28,11 +28,12 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 STOPWORDS = ("the", "a", "of", "and", "is", "to", "in")
 
 
-def _marker_hits(lang: str) -> F.Column:
+def _marker_hits(lang: str, toks_expr: str = "split(lower(text), ' ')") -> F.Column:
+    """Per-language marker-token count. Pass ``toks_expr`` to count over an
+    already-materialized token array (the fused signals scan does — five
+    extra splits of the raw text per doc otherwise)."""
     quoted = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
-    return F.expr(
-        f"size(filter(split(lower(text), ' '), t -> t IN ({quoted})))"
-    ).cast("int")
+    return F.expr(f"size(filter({toks_expr}, t -> t IN ({quoted})))").cast("int")
 
 
 def lexical_diversity(text_col: str = "text") -> F.Column:
@@ -102,7 +103,7 @@ def shared_doc_signals_for_dir(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("size(array_distinct(_toks))").alias("n_uniq"),
         F.expr("size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))")
         .alias("bpe_tok"),
-        *[_marker_hits(lg).alias(f"h_{lg}") for lg in langs],
+        *[_marker_hits(lg, "_toks").alias(f"h_{lg}") for lg in langs],
         F.expr("size(_grams)").alias("n_gram"),
         F.expr("size(array_distinct(_grams))").alias("n_uniq_gram"),
     ).persist()
@@ -371,11 +372,15 @@ def text_corpus_dup_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
     FineWeb-style near-dup pressure signal: what fraction of a doc's
     distinct 3-word shingles also appear in at least one OTHER document.
     Shape at 100 TB: explode shingle hashes (distinct per doc by
-    construction), then corpus frequency per hash as a COUNT OVER the hash
-    partition — one shuffle on the 60-bit key, never on text, and no
-    self-join re-deriving the shingle pipeline — then the per-doc aggregate
-    (second shuffle). The narrow shingle+md5 kernel is rebalanced first so
-    a few-row-group input doesn't pin it to the scan's parallelism."""
+    construction), then corpus frequency per hash as a groupBy + join-back
+    on the 60-bit key — NOT a count-over-window: a window partition is one
+    task and cannot be skew-split, so a boilerplate shingle shared by
+    millions of docs would funnel every occurrence through one straggler,
+    while the groupBy partial-aggregates map-side and the hot-key join is
+    AQE-skew-splittable (the same reasoning as shared_span_starts_for_dir).
+    Never shuffles text; per-doc aggregate is the second shuffle. The
+    narrow shingle+md5 kernel is rebalanced first so a few-row-group input
+    doesn't pin it to the scan's parallelism."""
     from pyspark_coding_challenge_spark.llm.dedup import (
         _with_tokens,
         _word_shingles,
@@ -396,7 +401,8 @@ def text_corpus_dup_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
         # keeps the extra exchange thin.
         .distinct()
     )
-    with_freq = h.withColumn("n_docs", F.count("*").over(Window.partitionBy("h")))
+    freq = h.groupBy("h").agg(F.count("*").alias("n_docs"))
+    with_freq = h.join(freq, on="h")
     return (
         with_freq.groupBy("doc_id")
         .agg(
@@ -590,11 +596,12 @@ def text_span_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     or doc_id, never by text. The shared-span relation itself comes from
     the session cache (``shared_span_starts_for_dir``) — one gram chain
     serves both this signal and the ``text_span_scrub`` removal."""
-    from pyspark_coding_challenge_spark.llm.dedup import _with_tokens
-
     k = SPAN_K
-    d = read_table(spark, sf_dir, "documents")
-    t = _with_tokens(d).select("doc_id", "_toks", F.size("_toks").alias("_n"))
+    # The n_tokens spine comes from the fused signals relation — it is the
+    # same whitespace token count (lower() preserves spaces), already
+    # persisted for the sibling per-doc sections; re-running _with_tokens
+    # here would re-split every document's text for nothing but size().
+    sig = shared_doc_signals_for_dir(spark, sf_dir)
     shared = shared_span_starts_for_dir(spark, sf_dir)
     # One aggregation serves both outputs: after exploding each start's
     # covered range, countDistinct(i) recovers the start count (starts are
@@ -611,7 +618,7 @@ def text_span_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("p").alias("covered_tokens"),
         )
     )
-    base = t.select("doc_id", F.col("_n").cast("int").alias("n_tokens"))
+    base = sig.select("doc_id", F.col("n_tok").cast("int").alias("n_tokens"))
     out = base.join(agg, on="doc_id", how="left")
     return out.select(
         "doc_id",
@@ -796,18 +803,19 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(" or +1555"), F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
         F.lit(" from 10.0."), (F.col("doc_id") % 256).cast("string"), F.lit(".7"),
     )
-    scrubbed = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(aug, PII_EMAIL_RE, "<EMAIL>"),
-            PII_PHONE_RE, "<PHONE>",
-        ),
-        PII_IPV4_RE, "<IP>",
-    )
+    # Counts follow the SCRUB ORDER: each category is counted on the text
+    # with earlier categories already replaced, so a pattern consumed by an
+    # earlier replacement (an email whose local part embeds a phone-shaped
+    # digit run) is never double-counted — the counts describe exactly what
+    # the sequential scrub replaced.
+    s1 = F.regexp_replace(aug, PII_EMAIL_RE, "<EMAIL>")
+    s2 = F.regexp_replace(s1, PII_PHONE_RE, "<PHONE>")
+    scrubbed = F.regexp_replace(s2, PII_IPV4_RE, "<IP>")
     return d.select(
         "doc_id",
         F.regexp_count(aug, F.lit(PII_EMAIL_RE)).cast("int").alias("n_emails"),
-        F.regexp_count(aug, F.lit(PII_PHONE_RE)).cast("int").alias("n_phones"),
-        F.regexp_count(aug, F.lit(PII_IPV4_RE)).cast("int").alias("n_ips"),
+        F.regexp_count(s1, F.lit(PII_PHONE_RE)).cast("int").alias("n_phones"),
+        F.regexp_count(s2, F.lit(PII_IPV4_RE)).cast("int").alias("n_ips"),
         F.md5(scrubbed).alias("scrubbed_md5"),
     )
 
@@ -819,17 +827,19 @@ def _pii_scrub_oracle() -> str:
         " || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'"
     )
     return f"""
-WITH a AS (SELECT doc_id, {aug} AS aug FROM documents)
+WITH a AS (SELECT doc_id, {aug} AS aug FROM documents),
+s1 AS (SELECT doc_id, aug,
+              regexp_replace(aug, '{PII_EMAIL_RE}', '<EMAIL>', 'g') AS t1
+       FROM a),
+s2 AS (SELECT doc_id, aug, t1,
+              regexp_replace(t1, '{PII_PHONE_RE}', '<PHONE>', 'g') AS t2
+       FROM s1)
 SELECT doc_id,
        CAST(len(regexp_extract_all(aug, '{PII_EMAIL_RE}')) AS INTEGER) AS n_emails,
-       CAST(len(regexp_extract_all(aug, '{PII_PHONE_RE}')) AS INTEGER) AS n_phones,
-       CAST(len(regexp_extract_all(aug, '{PII_IPV4_RE}')) AS INTEGER) AS n_ips,
-       md5(regexp_replace(
-             regexp_replace(
-               regexp_replace(aug, '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
-               '{PII_PHONE_RE}', '<PHONE>', 'g'),
-             '{PII_IPV4_RE}', '<IP>', 'g')) AS scrubbed_md5
-FROM a
+       CAST(len(regexp_extract_all(t1, '{PII_PHONE_RE}')) AS INTEGER) AS n_phones,
+       CAST(len(regexp_extract_all(t2, '{PII_IPV4_RE}')) AS INTEGER) AS n_ips,
+       md5(regexp_replace(t2, '{PII_IPV4_RE}', '<IP>', 'g')) AS scrubbed_md5
+FROM s2
 """
 
 

@@ -77,6 +77,7 @@ def probe(spark, sf_dir: str) -> dict[str, float]:
     # clear it so every factor times the full chain (and earlier factors'
     # persisted relations don't pressure later, larger ones)
     T.clear_span_cache(spark)
+    T.clear_doc_signals_cache(spark)  # span_dup's n_tokens spine rides it
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     run("minhash_verify_chain",
         lambda: D.verify_jaccard(docs, D.lsh_candidate_pairs(docs)))
