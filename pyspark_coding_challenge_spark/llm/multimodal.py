@@ -146,7 +146,15 @@ def frame_sample_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.Data
 
 def _with_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents")
-    return d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    # NULL text -> EMPTY payload at the boundary: every pandas kernel below
+    # calls len(payload)/np.frombuffer(payload), which TypeError on None
+    # and would abort the whole job for one null row — the opposite of the
+    # quarantine contract. A null document is a zero-byte payload (n_bytes
+    # 0, first_byte -1, zero frames), identically on both engines.
+    return d.select(
+        "doc_id",
+        F.coalesce(F.encode("text", "UTF-8"), F.lit(b"")).alias("payload"),
+    )
 
 
 def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -160,10 +168,10 @@ def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the fake decoder exactly.
 MULTIMODAL_DECODE_META_ORACLE = """
 SELECT doc_id,
-       CAST(length(text) AS INTEGER) AS n_bytes,
-       CAST(CASE WHEN length(text) > 0 THEN ascii(substring(text, 1, 1)) ELSE -1 END AS INTEGER) AS first_byte,
-       CAST(length(text) % 640 + 1 AS INTEGER) AS fake_width,
-       CAST(length(text) * 31 % 480 + 1 AS INTEGER) AS fake_height,
+       CAST(length(COALESCE(text, '')) AS INTEGER) AS n_bytes,
+       CAST(CASE WHEN length(COALESCE(text, '')) > 0 THEN ascii(substring(text, 1, 1)) ELSE -1 END AS INTEGER) AS first_byte,
+       CAST(length(COALESCE(text, '')) % 640 + 1 AS INTEGER) AS fake_width,
+       CAST(length(COALESCE(text, '')) * 31 % 480 + 1 AS INTEGER) AS fake_height,
        CAST(3 AS INTEGER) AS channels
 FROM documents
 """
@@ -201,7 +209,7 @@ HIST_BINS = 8
 # tests/test_registry_oracles.py::test_every_query_output_is_driver_hashable).
 RESIZE_EXTRACT_SCHEMA = (
     "doc_id BIGINT, out_w INT, out_h INT, mean_byte INT, "
-    + ", ".join(f"feat_{k} BIGINT" for k in range(8))
+    + ", ".join(f"feat_{k} BIGINT" for k in range(HIST_BINS))
 )
 
 
@@ -260,9 +268,9 @@ def _hist_bin_sql(k: int) -> str:
 
 MULTIMODAL_RESIZE_EXTRACT_ORACLE = f"""
 WITH dims AS (
-  SELECT doc_id, text, length(text) AS n,
-         length(text) % 640 + 1 AS w,
-         length(text) * 31 % 480 + 1 AS h
+  SELECT doc_id, COALESCE(text, '') AS text, length(COALESCE(text, '')) AS n,
+         length(COALESCE(text, '')) % 640 + 1 AS w,
+         length(COALESCE(text, '')) * 31 % 480 + 1 AS h
   FROM documents
 ),
 rz AS (

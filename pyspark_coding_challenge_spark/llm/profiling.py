@@ -18,7 +18,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from pyspark_coding_challenge_spark.llm.dedup import md5_fold60, sql_md5_fold60
+from pyspark_coding_challenge_spark.llm.text import n_tokens_col, sql_n_tokens
 from pyspark_coding_challenge_spark.sources.readers import read_table
+
+_SQL_NTOK = sql_n_tokens("text")
 
 _PROFILE_COLS = ("doc_id", "text", "lang", "source", "n_chars")
 
@@ -88,7 +91,7 @@ def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents")
     h = md5_fold60(F.col("doc_id").cast("string"))
     uniform = (
-        d.filter(h < int(SAMPLE_DENOM * UNIFORM_PCT / 100))
+        d.filter(h < SAMPLE_DENOM * UNIFORM_PCT // 100)
         .select(
             F.lit("uniform").alias("sample_kind"),
             "doc_id",
@@ -113,7 +116,7 @@ def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
 SAMPLE_DETERMINISTIC_ORACLE = f"""
 SELECT 'uniform' AS sample_kind, doc_id, source, CAST(NULL AS INTEGER) AS stratum_rank
 FROM documents
-WHERE {sql_md5_fold60("CAST(doc_id AS VARCHAR)")} < {int(SAMPLE_DENOM * UNIFORM_PCT / 100)}
+WHERE {sql_md5_fold60("CAST(doc_id AS VARCHAR)")} < {SAMPLE_DENOM * UNIFORM_PCT // 100}
 UNION ALL BY NAME
 SELECT 'stratified' AS sample_kind, doc_id, source, CAST(rn AS INTEGER) AS stratum_rank
 FROM (
@@ -243,7 +246,7 @@ def token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = md5_fold60(F.concat(F.lit("tb:"), F.col("doc_id").cast("string")))
     base = d.select(
         "doc_id", "source",
-        F.size(F.split(F.col("text"), " ")).cast("int").alias("n_tokens"),
+        n_tokens_col().alias("n_tokens"),
         h.alias("_h"),
     )
     w = (
@@ -261,7 +264,7 @@ def token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 TOKEN_BUDGET_SAMPLE_ORACLE = f"""
 WITH t AS (
   SELECT doc_id, source,
-         CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+         {_SQL_NTOK} AS n_tokens,
          {sql_md5_fold60("'tb:' || CAST(doc_id AS VARCHAR)")} AS h
   FROM documents
 ), c AS (
@@ -297,7 +300,7 @@ def batch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     count scales with the corpus, so window partitions stay bounded and
     sorted in memory."""
     d = read_table(spark, sf_dir, "documents")
-    n = F.size(F.split(F.col("text"), " ")).cast("int")
+    n = n_tokens_col()
     bucket = (
         F.when(n <= LEN_BOUNDS[0], 0)
         .when(n <= LEN_BOUNDS[1], 1)
@@ -321,7 +324,7 @@ def batch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 BATCH_PLAN_ORACLE = f"""
 WITH t AS (
   SELECT doc_id, source,
-         CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens
+         {_SQL_NTOK} AS n_tokens
   FROM documents
 ), b AS (
   SELECT *, CAST(CASE WHEN n_tokens <= {LEN_BOUNDS[0]} THEN 0

@@ -274,9 +274,12 @@ def train_ivf_centroids(e: DataFrame, n_lists: int = N_LISTS,
     is unchanged. Empty lists drop out (both engines agree — same rule in
     the generated oracle)."""
     # The corpus is scanned 2x per iteration (assign + means join) plus the
-    # final inventory pass — persist it for the duration of training so the
-    # parquet scan + cast happens once, not 2*iters+1 times.
-    e = e.persist()
+    # caller's passes AFTER training (inventory assignment, query filter) —
+    # so the MATERIALIZATION IS THE CALLER'S JOB (localCheckpoint/persist
+    # before calling): a persist here would either be released before the
+    # caller's lazy final passes run (recomputing exactly the scans it
+    # claimed to save) or leak past the call. embedding_ann_ivf
+    # localCheckpoints e for this reason.
     seeds = (
         e.orderBy("vec_id").limit(n_lists)
         .select(
@@ -301,8 +304,14 @@ def train_ivf_centroids(e: DataFrame, n_lists: int = N_LISTS,
         new.count()
         cent.unpersist()
         cent = new
-    e.unpersist()
-    return cent
+    # Hand back an EAGER materialization with no live persist: the caller
+    # consumes cent lazily (assignment + probe), so an unreleased persist
+    # here would leak one cached DataFrame per invocation (bench warm-ups,
+    # oracle runs). localCheckpoint pins the tiny n_lists-row result and
+    # the ContextCleaner reclaims it when the result goes out of scope.
+    final = cent.localCheckpoint()
+    cent.unpersist()
+    return final
 
 
 def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -320,9 +329,13 @@ def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment, and probing are all relational (zero collects), so the
     whole pipeline is DuckDB-oracle-checkable: the oracle replays the
     identical deterministic training unrolled as CTEs (``_ivf_oracle``)."""
+    # localCheckpoint, not persist: training scans e 2x/iteration and the
+    # passes below scan it twice more — one eager materialization serves
+    # them all, and the ContextCleaner reclaims it when the result is
+    # dropped (a bare persist would leak across bench/oracle invocations).
     e = rebalance_for_compute(read_table(spark, sf_dir, "embeddings"), "vec_id").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
-    )
+    ).localCheckpoint()
     cent = train_ivf_centroids(e)
 
     inv = assign_nearest_list(e, cent).join(e, "vec_id")

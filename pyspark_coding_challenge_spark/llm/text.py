@@ -54,6 +54,19 @@ def sql_lexical_diversity(text_col: str = "text") -> str:
             f" / len(string_split(lower({text_col}), ' '))")
 
 
+def n_tokens_col(text_col: str = "text") -> F.Column:
+    """THE whitespace token count — the cross-engine tokenization contract
+    shared by packing, batching, budgeting, and the quality/fused-signal
+    sections. Centralized (with ``sql_n_tokens``) so a change to the
+    tokenization cannot drift one call site off the others."""
+    return F.size(F.split(F.col(text_col), " ")).cast("int")
+
+
+def sql_n_tokens(text_col: str = "text") -> str:
+    """DuckDB twin of ``n_tokens_col``."""
+    return f"CAST(len(string_split({text_col}, ' ')) AS INTEGER)"
+
+
 _DOC_SIGNALS_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 

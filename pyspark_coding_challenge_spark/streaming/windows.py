@@ -130,6 +130,19 @@ class _stream_shuffle_partitions:
         self.spark.conf.set("spark.sql.shuffle.partitions", self.saved)
 
 
+def _read_back(spark: SparkSession, sink: str, schema) -> DataFrame:
+    """Read an append sink back, guarding the zero-row case: a query that
+    emitted nothing leaves only _spark_metadata (or nothing at all), which
+    fails parquet schema inference — return an empty frame with the
+    stream's schema instead. Shared by both sink drivers."""
+    wrote_files = os.path.isdir(sink) and any(
+        f.endswith(".parquet") for f in os.listdir(sink)
+    )
+    if not wrote_files:
+        return spark.createDataFrame([], schema)
+    return spark.read.parquet(sink)
+
+
 def run_to_parquet(stream: DataFrame, spark: SparkSession, slug: str) -> DataFrame:
     """Drive a streaming DataFrame to completion (availableNow) into an
     append-mode parquet file sink; return the read-back result. A query
@@ -148,12 +161,7 @@ def run_to_parquet(stream: DataFrame, spark: SparkSession, slug: str) -> DataFra
             .start()
         )
         q.awaitTermination()
-    wrote_files = os.path.isdir(sink) and any(
-        f.endswith(".parquet") for f in os.listdir(sink)
-    )
-    if not wrote_files:  # zero emitted rows: nothing but _spark_metadata
-        return spark.createDataFrame([], stream.schema)
-    return spark.read.parquet(sink)
+    return _read_back(spark, sink, stream.schema)
 
 
 def run_update_to_parquet(stream: DataFrame, spark: SparkSession, slug: str) -> DataFrame:
@@ -182,12 +190,7 @@ def run_update_to_parquet(stream: DataFrame, spark: SparkSession, slug: str) -> 
             .start()
         )
         q.awaitTermination()
-    wrote_files = os.path.isdir(sink) and any(
-        f.endswith(".parquet") for f in os.listdir(sink)
-    )
-    if not wrote_files:  # zero-row source: no batch ever wrote
-        return spark.createDataFrame([], stream.schema)
-    return spark.read.parquet(sink)
+    return _read_back(spark, sink, stream.schema)
 
 
 def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -310,17 +313,21 @@ FROM agg, {_SQL_WM} WHERE session_end <= wm
 
 
 def streaming_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming dropDuplicates on (user_id, event_type): state holds one
-    entry per key, bounded by the watermark. The SET of surviving keys is
-    deterministic (which row arrives first per key is not, so only keys are
-    emitted). The read-back is re-distinct'd: if the source ever splits into
-    micro-batches spanning more than the watermark delay, an evicted key can
-    legitimately re-emit — distinct keeps the result batch-count
-    independent."""
+    """Streaming dedup on (user_id, event_type) via
+    ``dropDuplicatesWithinWatermark``: state holds one entry per key AND the
+    watermark actually evicts it once the delay passes — plain
+    ``dropDuplicates`` without the event-time column in the key subset
+    keeps its state FOREVER (the watermark does not apply), which at
+    100 TB/day is an unbounded state store; the WithinWatermark variant
+    exists precisely to bound it. The SET of surviving keys is
+    deterministic (which row arrives first per key is not, so only keys
+    are emitted). The read-back is re-distinct'd: a key whose state was
+    evicted legitimately re-emits when it reappears beyond the delay —
+    distinct keeps the result batch-count independent."""
     ev = read_events_stream(spark, sf_dir)
     dedup = (
         ev.withWatermark("ts", WATERMARK_DELAY)
-        .dropDuplicates(["user_id", "event_type"])
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
         .select("user_id", "event_type")
     )
     return run_to_parquet(dedup, spark, "stateful_dedup").distinct()
