@@ -26,6 +26,7 @@ def pad_truncate(col: Column, k: int, pad: Column | int = 0) -> Column:
 def sorted_parallel_arrays(
     structs_col: Column,
     fields: tuple[str, ...],
+    presorted: bool = False,
 ) -> list[Column]:
     """From an array of structs whose FIRST field is the sort rank, produce
     one array per requested field, in rank order.
@@ -33,8 +34,12 @@ def sorted_parallel_arrays(
     ``array_sort`` compares structs field-by-ordinal, so the rank must be the
     first struct field — same trick as the reference
     (``pyspark-coding-challenge/src/pipeline.py:175-186``).
-    """
-    ordered = F.array_sort(structs_col)
+
+    ``presorted=True`` skips the sort for inputs that are already in rank
+    order by construction (the rolling-history paths slice an array_sort'd
+    array — re-sorting K=1000 structs per output row would be a pure-waste
+    O(K log K) pass Catalyst does not eliminate)."""
+    ordered = structs_col if presorted else F.array_sort(structs_col)
 
     def _getter(name):
         # Unary lambda required: pyspark dispatches on lambda arity and would

@@ -64,9 +64,20 @@ def asof_join(
     columns when ``how='left'`` and are dropped when ``how='inner'``.
     """
     _check_orders(left_order, right_order)
+    if how not in ("left", "inner"):
+        # validate BEFORE the right_within delegation: the ranked form's
+        # outer joins would otherwise silently emit all-NULL-left rows
+        # ranked inside one NULL window partition
+        raise ValueError(f"asof_join supports how='left'|'inner', got {how!r}")
     if right_within is not None:
         return asof_join_ranked(left, right, on, left_order, right_order,
                                 how, right_within)
+
+    # Equi-join semantics for NULL keys: a window partitionBy GROUPS null
+    # keys (a NULL-keyed right row would match a NULL-keyed left row) while
+    # the ranked form's equi-join rejects them — drop NULL-keyed right rows
+    # so both forms give NULL-keyed left rows no match.
+    right = right.filter(F.col(on).isNotNull())
 
     rpay = [c for c in right.columns if c != on]
     ords = [f"_asof_o{i}" for i in range(len(left_order))]
@@ -96,10 +107,8 @@ def asof_join(
         u.withColumn("_asof_m", F.last("_asof_rpay", ignorenulls=True).over(w))
         .filter(F.col("_asof_tag") == 0)
     )
-    if how == "inner":
+    if how == "inner":  # how validated at entry
         carried = carried.filter(F.col("_asof_m").isNotNull())
-    elif how != "left":
-        raise ValueError(f"asof_join supports how='left'|'inner', got {how!r}")
     return carried.select(
         *left.columns,
         *[F.col("_asof_m").getField(c).alias(c) for c in rpay],

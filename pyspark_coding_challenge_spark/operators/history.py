@@ -201,7 +201,13 @@ def rolling_last_k_history(
     if lookback_days is not None and lookback_days <= 0:
         lookback_days = None  # explicit unbounded opt-in
 
-    act = actions.select(entity_col, time_col, *payload_cols)
+    # NULL-entity actions are dropped to match last_k_history's equi-join
+    # semantics: Window.partitionBy GROUPS null keys, so without this
+    # filter a NULL-entity cutoff would accumulate history from other
+    # NULL-entity actions — rows the join form never produces.
+    act = actions.filter(F.col(entity_col).isNotNull()).select(
+        entity_col, time_col, *payload_cols
+    )
 
     # Sort key: ascending struct sort == (time desc, payloads asc).
     neg_us = (-F.unix_micros(F.col(time_col))).alias("_neg_us")
@@ -291,7 +297,9 @@ def rolling_last_k_history(
             F.col(entity_col), F.col("_day"), structs.alias("_structs")
         )
 
-    per_field = sorted_parallel_arrays(F.col("_structs"), payload_cols)
+    # presorted: both branches build _structs as slice(array_sort(...), 1, k)
+    per_field = sorted_parallel_arrays(F.col("_structs"), payload_cols,
+                                       presorted=True)
     arrays = [pad_truncate(col, k, pad).alias(o) for col, o in zip(per_field, out_cols)]
     return per_day.where(F.size("_structs") > 0).select(
         F.col(entity_col),

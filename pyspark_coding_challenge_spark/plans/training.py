@@ -15,6 +15,13 @@ Reference parity: ``pyspark-coding-challenge/src/pipeline.py:118-220``
    rather than per impression row;
 5. ``dt`` handled via ``to_date``/timestamp cast, not string concat.
 
+One DELIBERATE divergence from the documented contract at the defaults:
+``max_history=1000`` auto-selects a 365-day history horizon (see the
+``lookback_days`` parameter doc — the exact unbounded last-K frame is
+O(K^2) per active day at that K). Callers needing the reference's
+unbounded last-K exactly pass ``lookback_days=-1`` and accept the cost;
+below ``ROLLING_AUTO_LOOKBACK_MIN_K`` the contract holds verbatim.
+
 Output schema (= ``schemas.TRAINING_EXAMPLE_DDL``)::
 
     dt STRING, ranking_id STRING, customer_id BIGINT, impression_pos INT,
@@ -58,9 +65,12 @@ def produce_training_examples(
     ``repartition_count`` is an optional knob mirroring the reference's
     hard-coded 200 (``src/pipeline.py:153-156``); default None lets AQE size
     the shuffles. ``persist_actions`` implements the reference's documented
-    reuse-persistence hint (``README.md:64``, SURVEY §2.9 persist_hint):
-    MEMORY_AND_DISK-persist the normalized action table when the same job
-    processes multiple impression days.
+    reuse-persistence hint (``README.md:64``, SURVEY §2.9 persist_hint) as
+    an eager ``localCheckpoint``: the normalized action table materializes
+    once and serves every consumer in the returned plan, and the
+    ContextCleaner reclaims it when the result is dropped — a bare
+    ``persist`` here would leak one cached copy per call (nothing in this
+    function can unpersist after the caller's lazy execution).
 
     ``lookback_days`` bounds how far history may reach (it CHANGES semantics:
     actions older than the bound are excluded even when the last
@@ -74,9 +84,7 @@ def produce_training_examples(
     if repartition_count:
         actions = actions.repartition(repartition_count, "customer_id")
     if persist_actions:
-        from pyspark import StorageLevel
-
-        actions = actions.persist(StorageLevel.MEMORY_AND_DISK)
+        actions = actions.localCheckpoint()
 
     ex = explode_impressions(impressions)
 

@@ -86,10 +86,19 @@ def rebalance_for_compute(df: DataFrame, *key_cols: str) -> DataFrame:
     normal case at scale, where many files/row groups parallelize the scan
     natively) — so this never adds a shuffle to a 100 TB input that is
     already wide.
+
+    The split-count probe (``df.rdd.getNumPartitions``) forces eager
+    physical planning and is unavailable on Spark Connect sessions — in
+    that case fall through to the unconditional repartition (AQE coalesces
+    an unnecessary one back down at runtime, so the fallback costs at most
+    one avoidable-but-cheap exchange, never a wrong plan).
     """
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
-        return df
+    try:
+        target = df.sparkSession.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() >= target:
+            return df
+    except Exception:  # Spark Connect: no sparkContext / DataFrame.rdd
+        target = 32
     return df.repartition(target, *key_cols) if key_cols else df.repartition(target)
 
 
