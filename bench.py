@@ -33,39 +33,55 @@ def main() -> None:
     # made per-query timings depend on REGISTRATION ORDER — early slugs paid
     # the JIT ramp, late slugs ran steady-state — which poisons
     # round-over-round comparisons whenever the registry is reordered.
-    for _, fn in headline:
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-
-    # Best-of-2 per query: single-shot timings at this scale carry several
-    # seconds of JIT/GC noise, which would read as phantom round-over-round
-    # regressions. The timer starts BEFORE fn(spark, sf_dir): several slugs
-    # do eager work at construction time (sink_parquet writes its parquet,
-    # streaming_* run the streaming query to completion, embedding_ann_ivf
-    # trains its quantizer), and that work is part of the operator's real
-    # cost (round-3 advisory; r2 timings excluded it, so those slugs jump
-    # in BENCH_r03 — see BASELINE.md).
+    #
+    # Per-slug try/except + finally: one failing slug must not lose every
+    # completed timing or the JSON result line — record the failure in the
+    # queries map (value -1.0, error listed) and keep going.
     timings: dict[str, float] = {}
-    for slug, fn in headline:
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[slug] = round(best, 3)
+    errors: dict[str, str] = {}
+    try:
+        for slug, fn in headline:
+            try:
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            except Exception as ex:  # noqa: BLE001 — recorded, not fatal
+                errors[slug] = str(ex)[:200]
 
-    total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_dir,
-            }
-        )
-    )
-    spark.stop()
+        # Best-of-2 per query: single-shot timings at this scale carry
+        # several seconds of JIT/GC noise, which would read as phantom
+        # round-over-round regressions. The timer starts BEFORE
+        # fn(spark, sf_dir): several slugs do eager work at construction
+        # time (sink_parquet writes its parquet, streaming_* run the
+        # streaming query to completion, embedding_ann_ivf trains its
+        # quantizer), and that work is part of the operator's real cost
+        # (round-3 advisory; r2 timings excluded it, so those slugs jump
+        # in BENCH_r03 — see BASELINE.md).
+        for slug, fn in headline:
+            if slug in errors:
+                timings[slug] = -1.0
+                continue
+            best = float("inf")
+            try:
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                    best = min(best, time.perf_counter() - t0)
+                timings[slug] = round(best, 3)
+            except Exception as ex:  # noqa: BLE001
+                errors[slug] = str(ex)[:200]
+                timings[slug] = -1.0
+    finally:
+        total = round(sum(t for t in timings.values() if t >= 0), 3)
+        out = {
+            "metric": "headline_queries_wall",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf_dir,
+        }
+        if errors:
+            out["errors"] = errors
+        print(json.dumps(out))
+        spark.stop()
 
 
 if __name__ == "__main__":

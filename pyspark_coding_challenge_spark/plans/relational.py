@@ -36,9 +36,7 @@ from pyspark_coding_challenge_spark.sources.readers import read_table
 from pyspark_coding_challenge_spark.sources.writers import write_partitioned_parquet
 
 
-def _cents(col: str):
-    """Exact integer cents of a 2-decimal money double (see module doc)."""
-    return F.round(F.col(col) * 100).cast("bigint")
+from pyspark_coding_challenge_spark.functions.money import cents as _cents  # noqa: E402
 
 
 # ---------------------------------------------------------------------------
@@ -69,9 +67,14 @@ WHERE l_shipdate >= TIMESTAMP '1998-01-01' AND l_quantity < 10
 def sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-trip through the engine's documented sink (snappy parquet
     partitioned by a day/partition column — README.md:38,65): write the
-    filtered orders, read them back. The target is a FIXED per-process path
-    (overwrite mode), so repeated invocations — bench warm-up + best-of-2 +
-    oracle runs — replace the data instead of accumulating mkdtemp copies."""
+    filtered orders, read them back. The target is a FIXED per-(process,
+    sf_dir) path (overwrite mode), so repeated invocations — bench warm-up
+    + best-of-2 + oracle runs — replace the data instead of accumulating
+    mkdtemp copies; keying by sf_dir keeps two scale factors constructed
+    in the same process from clobbering each other, and the eager
+    ``localCheckpoint`` pins the returned rows so a LATER construction's
+    overwrite of the same path cannot corrupt an earlier, not-yet-executed
+    result (the write is eager but a bare read-back would be lazy)."""
     orders = read_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
     out = orders.select(
         "o_orderkey",
@@ -79,9 +82,14 @@ def sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderstatus",
         _cents("o_totalprice").alias("price_cents"),
     )
-    path = os.path.join(tempfile.gettempdir(), f"spark_graft_sink_parquet_{os.getpid()}")
+    import hashlib
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_sink_parquet_{os.getpid()}_{tag}"
+    )
     write_partitioned_parquet(out, path, partition_cols=("o_orderstatus",))
-    back = spark.read.parquet(path)
+    back = spark.read.parquet(path).localCheckpoint()
     return back.select(
         "o_orderkey",
         "o_custkey",
@@ -362,7 +370,10 @@ def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     of = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
     oo = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
     op = o.filter(F.col("o_orderstatus") == "P").select("o_custkey")
-    return of.intersect(oo).exceptAll(op.distinct()).select(F.col("o_custkey").alias("custkey"))
+    # subtract == EXCEPT-with-distinct-semantics, matching the oracle
+    # directly (exceptAll over the incidentally-distinct intersect output
+    # only matched by accident and would diverge under intersectAll)
+    return of.intersect(oo).subtract(op).select(F.col("o_custkey").alias("custkey"))
 
 
 SET_OPS_ORACLE = """
@@ -382,8 +393,12 @@ def posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Positional explode of tokenized documents (the reference's impression
     explode, src/pipeline.py:81-96, on the documents table)."""
     d = read_table(spark, sf_dir, "documents")
+    # NULL-text filter mirrored in the oracle: posexplode_outer emits one
+    # (doc_id, NULL, NULL) row for a NULL array while DuckDB's unnest emits
+    # none — a NULL-text document (a state integrity_audit explicitly
+    # anticipates) would otherwise hash-diverge the slug.
     return (
-        d.filter(F.col("doc_id") % 10 == 0)
+        d.filter((F.col("doc_id") % 10 == 0) & F.col("text").isNotNull())
         .select("doc_id", F.posexplode_outer(F.split(F.col("text"), " ")).alias("pos", "token"))
         .select("doc_id", F.col("pos").cast("int").alias("pos"), "token")
     )
@@ -391,7 +406,8 @@ def posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 POSEXPLODE_ORACLE = """
 SELECT doc_id, CAST(generate_subscripts(toks, 1) - 1 AS INTEGER) AS pos, unnest(toks) AS token
-FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE doc_id % 10 = 0)
+FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      WHERE doc_id % 10 = 0 AND text IS NOT NULL)
 """
 
 
@@ -1125,7 +1141,7 @@ def window_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_id",
         us.alias("_us"),
-        F.round(F.col("value") * 100).cast("bigint").alias("_cents"),
+        _cents("value").alias("_cents"),
     ).select(
         "*",
         F.when(

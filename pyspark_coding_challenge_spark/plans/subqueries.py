@@ -40,9 +40,7 @@ from pyspark.sql import functions as F
 from pyspark_coding_challenge_spark.sources.readers import read_table
 
 
-def _cents(col: str):
-    """Exact integer cents of a 2-decimal money double."""
-    return F.round(F.col(col) * 100).cast("bigint")
+from pyspark_coding_challenge_spark.functions.money import cents as _cents  # noqa: E402
 
 
 def _view(spark: SparkSession, sf_dir: str, table: str) -> str:

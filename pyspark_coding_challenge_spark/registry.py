@@ -28,6 +28,12 @@ _ORACLES: dict[str, str] = {}
 
 
 def register(slug: str, fn: QueryFn, oracle: str | None = None) -> None:
+    # Fail LOUDLY on duplicate slugs: nine modules register into one flat
+    # dict under a load-bearing 50-slot cap — a silent overwrite would
+    # shrink the registry and drop a query family from the correctness
+    # gate with no visible symptom.
+    if slug in _QUERIES:
+        raise ValueError(f"duplicate registry slug: {slug!r}")
     _QUERIES[slug] = fn
     if oracle is not None:
         _ORACLES[slug] = oracle

@@ -14,7 +14,14 @@ import os
 
 from pyspark.sql import SparkSession
 
-DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+def _cpus_as_partitions() -> int:
+    """SPARK_GRAFT_CPUS as a shuffle-partition count — read at CALL time
+    (not import: the env var may be set after import) and tolerant of
+    non-numeric local[] specs like '*' (fall back to 32 rather than
+    crashing the import chain on a documented env-var shape)."""
+    raw = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    return int(raw) if raw.isdigit() else 32
 
 
 def get_spark(
@@ -31,7 +38,7 @@ def get_spark(
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     builder = (
         SparkSession.builder.appName(app_name)
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS))
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or _cpus_as_partitions()))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -58,4 +65,15 @@ def get_spark(
         builder = builder.master(master)
     elif "SPARK_MASTER" not in os.environ:
         builder = builder.master(f"local[{cpus}]")
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    # getOrCreate IGNORES builder configs when a session already exists in
+    # the process — re-assert the runtime-settable correctness-critical
+    # confs on whatever session came back (static confs like master and
+    # driver memory are unfixable post-hoc; these two decide oracle parity
+    # of every date/timestamp slug and must hold regardless).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(shuffle_partitions or _cpus_as_partitions()),
+    )
+    return spark
