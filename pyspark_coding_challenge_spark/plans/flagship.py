@@ -63,9 +63,13 @@ def user_history_features(
         F.to_date("ts").alias("d"),
     )
 
+    # No .distinct() here: rolling_last_k_history re-derives the date and
+    # applies its own distinct on the day-granular keys — a caller-side
+    # distinct would add a second back-to-back exchange+aggregate over the
+    # same (user, day) set that Catalyst cannot collapse through the cast.
     cutoffs = ev.select(
         "user_id", F.col("d").cast("timestamp").alias("cutoff_ts")
-    ).distinct()
+    )
 
     # Rolling per-day pre-aggregation (each action shuffled once) — the
     # cutoffs are day-granular midnights, exactly the rolling contract.

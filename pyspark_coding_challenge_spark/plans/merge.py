@@ -30,6 +30,10 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 def merged_query(parts: list[tuple[str, QueryFn]]) -> QueryFn:
     """One query fn that unions the parts by name with a section tag."""
+    if not parts:
+        # fail at registration, not as an opaque NoneType error when the
+        # driver later calls the slug
+        raise ValueError("merged_query requires at least one part")
 
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = None

@@ -3,6 +3,12 @@
 Runs a Spark DataFrame and a DuckDB SQL string over the same testdata parquet
 and asserts order-insensitive value equality with columns sorted by name —
 the same contract the driver's CORRECTNESS gate applies.
+
+KNOWN BACKEND ASYMMETRY (why the parity rules mandate casting dates to
+string): a raw DATE column arrives as ``datetime.date`` from Spark but as a
+midnight ``pandas.Timestamp`` from DuckDB's ``.df()`` — indistinguishable
+from a midnight TIMESTAMP, so this harness cannot paper over it. Registered
+queries therefore always ``.cast('string')`` date outputs on both sides.
 """
 
 from __future__ import annotations
@@ -12,11 +18,9 @@ import math
 
 import duckdb
 import numpy as np
+import pandas as pd
 
-TABLES = (
-    "region", "nation", "customer", "supplier", "part",
-    "orders", "lineitem", "events", "documents", "embeddings",
-)
+from pyspark_coding_challenge_spark.schemas import TESTDATA_TABLES as TABLES
 
 
 def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
@@ -35,9 +39,14 @@ def _norm(v):
         return int(v)
     if isinstance(v, (np.floating, float)):
         f = float(v)
-        return None if math.isnan(f) else round(f, 6)
+        if math.isnan(f):
+            return None
+        f = round(f, 6)
+        return 0.0 if f == 0.0 else f  # canonicalize -0.0: repr-sort pairing
     if isinstance(v, np.bool_):
         return bool(v)
+    if v is pd.NaT:  # DuckDB NULL date/timestamp; Spark side yields None
+        return None
     if isinstance(v, (datetime.datetime, datetime.date)):
         return str(v)
     return v
@@ -53,7 +62,10 @@ def norm_rows(pdf) -> list[tuple]:
 
 def assert_matches_oracle(spark_df, sql: str, sf_dir: str) -> None:
     con = duck_con(sf_dir)
-    oracle_pdf = con.sql(sql).df()
+    try:
+        oracle_pdf = con.sql(sql).df()
+    finally:
+        con.close()
     spark_pdf = spark_df.toPandas()
     assert sorted(spark_pdf.columns) == sorted(oracle_pdf.columns), (
         f"column mismatch: spark={sorted(spark_pdf.columns)} "
