@@ -125,3 +125,84 @@ def compact_parquet(
         .parquet(dst_path)
     )
     return n_files
+
+
+def morton_code(x_col, y_col, bits: int = 16):
+    """Morton (Z-order) interleave of two non-negative integer columns —
+    pure Catalyst bit arithmetic (shift/and/or folded over ``bits`` bit
+    positions, one codegen expression; no UDF).
+
+    Used by ``write_zordered_parquet``: sorting on the interleaved code
+    clusters rows so that every contiguous range of the sort order covers a
+    SMALL RECTANGLE in (x, y) space — the property that makes parquet
+    row-group min/max statistics prune on BOTH columns at once, where a
+    plain sort on x leaves y's per-file ranges as wide as the table."""
+    from pyspark.sql import functions as F
+
+    x = F.col(x_col).cast("bigint") if isinstance(x_col, str) else x_col.cast("bigint")
+    y = F.col(y_col).cast("bigint") if isinstance(y_col, str) else y_col.cast("bigint")
+    code = F.lit(0).cast("bigint")
+    for i in range(bits):
+        xbit = F.shiftright(x, i).bitwiseAND(F.lit(1))
+        ybit = F.shiftright(y, i).bitwiseAND(F.lit(1))
+        code = code.bitwiseOR(F.shiftleft(xbit, 2 * i)).bitwiseOR(
+            F.shiftleft(ybit, 2 * i + 1)
+        )
+    return code
+
+
+def write_zordered_parquet(
+    df: DataFrame,
+    path: str,
+    cols: tuple[str, str],
+    n_files: int = 8,
+    bits: int = 8,
+    compression: str = "snappy",
+) -> None:
+    """Z-order-clustered parquet layout — the multi-dimensional data-skipping
+    write (Delta OPTIMIZE ZORDER / Iceberg sort-order analog, expressed
+    with stock Spark): min-max-scale both clustering columns to the same
+    ``bits``-wide integer domain, range-partition on their Morton
+    interleave, sort within partitions, write one file per range.
+
+    The scaling step is LOAD-BEARING: raw interleaving of columns with
+    unequal magnitudes puts only the wide column's bits in the high Morton
+    positions, so range splits degenerate to a single-column sort (measured
+    — this is also why Delta's ZORDER ranks each column before
+    interleaving). The min/max pass is one 1-row aggregate broadcast back
+    over the rows.
+
+    Why it matters at 100 TB: a predicate selective in EITHER column prunes
+    row groups via footer min/max stats; under a single-column sort the
+    second column's per-group range spans the whole domain (zero pruning),
+    while Z-ordered row groups are bounded on both axes — verified by
+    ``tests/test_sinks_and_edges.py`` counting qualifying row groups from
+    the real footer statistics. One extra scan for the stats + one
+    range-exchange + local sort; no UDF."""
+    from pyspark.sql import functions as F
+
+    x, y = cols
+    top = (1 << bits) - 1
+    stats = df.agg(
+        F.min(x).alias("_minx"), F.max(x).alias("_maxx"),
+        F.min(y).alias("_miny"), F.max(y).alias("_maxy"),
+    )
+    scaled_x = (
+        (F.col(x).cast("bigint") - F.col("_minx")) * top
+        / F.greatest(F.lit(1), (F.col("_maxx") - F.col("_minx")).cast("bigint"))
+    ).cast("bigint")
+    scaled_y = (
+        (F.col(y).cast("bigint") - F.col("_miny")) * top
+        / F.greatest(F.lit(1), (F.col("_maxy") - F.col("_miny")).cast("bigint"))
+    ).cast("bigint")
+    z = morton_code(scaled_x, scaled_y, bits=bits)
+    (
+        df.crossJoin(F.broadcast(stats))
+        .withColumn("_zorder", z)
+        .repartitionByRange(n_files, "_zorder")
+        .sortWithinPartitions("_zorder")
+        .drop("_zorder", "_minx", "_maxx", "_miny", "_maxy")
+        .write.mode("overwrite")
+        .option("compression", compression)
+        .parquet(path)
+    )
