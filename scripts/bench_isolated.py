@@ -84,8 +84,21 @@ print("ISO_RESULT " + json.dumps({"slug": slug, "cold": cold,
 
 
 def main() -> None:
+    # validate the round argument BEFORE the multi-minute bench runs: a
+    # typo like 'r5' must not crash after the work and lose the artifact
+    rnd = None
+    if len(sys.argv) > 1:
+        try:
+            rnd = int(sys.argv[1])
+        except ValueError:
+            print(f"round argument must be an integer, got {sys.argv[1]!r}",
+                  file=sys.stderr)
+            raise SystemExit(2)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # r4 anchors were measured at sf0.1/local[32]; a different protocol
+    # makes the ratio meaningless — omit it rather than publish a bogus one
+    anchor_protocol = sf_dir.rstrip("/").endswith("sf0.1") and cpus == "32"
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
     slugs: dict[str, dict] = {}
@@ -107,7 +120,7 @@ def main() -> None:
             continue
         rec = json.loads(line[len("ISO_RESULT "):])
         entry: dict = {"cold": rec["cold"], "runs": rec["runs"], "best": rec["best"]}
-        if slug in R4_PROSE_ANCHORS:
+        if slug in R4_PROSE_ANCHORS and anchor_protocol:
             entry["r4_best"] = R4_PROSE_ANCHORS[slug]
             entry["vs_r4"] = round(rec["best"] / R4_PROSE_ANCHORS[slug], 3)
         slugs[slug] = entry
@@ -123,8 +136,8 @@ def main() -> None:
     }
     line = json.dumps(out)
     print(line)
-    if len(sys.argv) > 1:
-        path = os.path.join(repo_root, f"BENCH_isolated_r{int(sys.argv[1])}.json")
+    if rnd is not None:
+        path = os.path.join(repo_root, f"BENCH_isolated_r{rnd}.json")
         with open(path, "w") as f:
             f.write(line + "\n")
         print(f"wrote {path}", file=sys.stderr)

@@ -12,17 +12,16 @@ Usage: python scripts/oracle_check.py [slug ...]
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
-import duckdb
 import pandas as pd
 
+# runnable from any cwd: the package is not pip-installed
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 SF_DIR = "/root/testdata/sf0.01"
-TABLES = (
-    "region", "nation", "customer", "supplier", "part",
-    "orders", "lineitem", "events", "documents", "embeddings",
-)
 
 
 def _canon(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -50,16 +49,20 @@ def main() -> int:
 
     from pyspark_coding_challenge_spark import registry
     from pyspark_coding_challenge_spark.session import get_spark
+    from tests.oracle import duck_con  # single source for the view set
 
     spark = get_spark(app_name="oracle-check", master="local[8]", shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
 
-    con = duckdb.connect()
-    for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    con = duck_con(SF_DIR)
 
     qs, oracles = registry.queries(), registry.oracle_sql()
     failures = []
+    # a typo'd slug must be a FAILURE, not a silent 0-comparison green
+    unknown = only - set(qs)
+    for slug in sorted(unknown):
+        failures.append(slug)
+        print(f"FAIL  {slug}: not a registered slug")
     for slug, fn in qs.items():
         if only and slug not in only:
             continue
@@ -94,9 +97,13 @@ def main() -> int:
             failures.append(slug)
             print(f"FAIL  {slug}: rows spark={len(s)} oracle={len(o)}")
             continue
-        if not s.equals(o):
-            neq = (s != o) & ~(s.isna() & o.isna())
-            bad = neq.any(axis=1)
+        # VALUE-level comparison (like the driver's hash), not dtype-strict
+        # DataFrame.equals: DuckDB HUGEINT sums land as float64 where Spark
+        # has int64 — equal values must pass, so compare elementwise after
+        # the canonicalization above.
+        neq = (s != o) & ~(s.isna() & o.isna())
+        bad = neq.any(axis=1)
+        if bad.any():
             failures.append(slug)
             print(f"FAIL  {slug}: {int(bad.sum())} mismatched rows; first:")
             idx = bad[bad].index[:3]

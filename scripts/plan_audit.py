@@ -82,7 +82,10 @@ def main() -> None:
     line = json.dumps(result)
     print(line)
     if rnd:
-        path = f"PLAN_AUDIT_r{rnd}.json"
+        path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            f"PLAN_AUDIT_r{rnd}.json",
+        )
         with open(path, "w") as f:
             f.write(line + "\n")
         print(f"wrote {path}", file=sys.stderr)

@@ -35,8 +35,11 @@ def build_corpus(spark, factor: int) -> str:
     from pyspark.sql import functions as F
 
     out = f"{WORK}/sf0.1x{factor}"
-    if os.path.exists(out):
+    # completion marker, not bare existence: an interrupted prior build
+    # leaves a partial dir that would silently corrupt the ratios
+    if os.path.exists(f"{out}/.complete"):
         return out
+    shutil.rmtree(out, ignore_errors=True)
     base = spark.read.parquet(f"{BASE_SF}/documents.parquet")
     n = base.count()
     parts = []
@@ -53,6 +56,7 @@ def build_corpus(spark, factor: int) -> str:
     for p in parts[1:]:
         df = df.unionByName(p)
     df.write.mode("overwrite").parquet(f"{out}/documents.parquet")
+    open(f"{out}/.complete", "w").close()
     print(f"built x{factor}: {n * factor} rows", file=sys.stderr)
     return out
 
@@ -100,8 +104,9 @@ def build_tpch(spark, factor: int) -> str:
     from pyspark.sql import functions as F
 
     out = f"{WORK}/tpch_x{factor}"
-    if os.path.exists(out):
+    if os.path.exists(f"{out}/.complete"):
         return out
+    shutil.rmtree(out, ignore_errors=True)
     for dim in ("customer", "part", "supplier", "nation", "region"):
         spark.read.parquet(f"{BASE_SF}/{dim}.parquet") \
             .write.mode("overwrite").parquet(f"{out}/{dim}.parquet")
@@ -115,6 +120,7 @@ def build_tpch(spark, factor: int) -> str:
         for p in parts[1:]:
             df = df.unionByName(p)
         df.write.mode("overwrite").parquet(f"{out}/{fact}.parquet")
+    open(f"{out}/.complete", "w").close()
     return out
 
 
@@ -171,7 +177,11 @@ def main() -> None:
     out = json.dumps(result)
     print(out)
     if rnd:
-        name = f"SCALE_PROBE_TPCH_r{rnd}.json" if tpch else f"SCALE_PROBE_r{rnd}.json"
+        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        name = os.path.join(
+            repo_root,
+            f"SCALE_PROBE_TPCH_r{rnd}.json" if tpch else f"SCALE_PROBE_r{rnd}.json",
+        )
         with open(name, "w") as fh:
             fh.write(out + "\n")
         print(f"wrote {name}", file=sys.stderr)
