@@ -92,6 +92,14 @@ def probe(spark, sf_dir: str) -> dict[str, float]:
     run("span_dup", lambda: T.text_span_dup(spark, sf_dir))
     run("rare_tokens", lambda: T.text_rare_tokens(spark, sf_dir))
     run("chunk", lambda: T.text_chunk(spark, sf_dir))
+    # per-source window kernels: replicas keep their source values, so the
+    # window partitions grow LINEARLY with the factor — this measures the
+    # sorted-window-partition growth those operators' docstrings reason
+    # about (parallel across sources, per-source cost linear in rows)
+    from pyspark_coding_challenge_spark.llm import profiling as P
+
+    run("batch_plan", lambda: P.batch_plan(spark, sf_dir))
+    run("token_budget", lambda: P.token_budget_sample(spark, sf_dir))
     return timings
 
 
