@@ -1724,4 +1724,8 @@ def register_all(register) -> None:
          sq.NATION_BALANCE_SHARE_ORACLE),
         ("top_supplier_scalar", sq.top_revenue_supplier,
          sq.TOP_REVENUE_SUPPLIER_ORACLE),
+        ("nation_pair_volume", sq.nation_pair_volume,
+         sq.NATION_PAIR_VOLUME_ORACLE),
+        ("market_share", sq.market_share,
+         sq.MARKET_SHARE_ORACLE),
     ])

@@ -541,3 +541,143 @@ JOIN dim ON li.l_returnflag = dim.l_returnflag
         AND li.l_linestatus = dim.l_linestatus
 GROUP BY li.l_returnflag, li.l_linestatus
 """
+
+
+# ---------------------------------------------------------------------------
+# Q7 shape: nation-pair trade volume (disjunctive pair predicate)
+# ---------------------------------------------------------------------------
+
+def nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping volume between two specific nations, BOTH directions, per
+    year — the Q7 shape: two nation dimensions joined to the two fact-side
+    keys with the disjunctive pair condition
+    ``(supp=A and cust=B) or (supp=B and cust=A)``.
+
+    Both nation lookups broadcast (25 rows); the pair condition is a
+    residual on the already-equi-keyed joins — the fact tables shuffle on
+    their own keys exactly once, and the pair filter prunes before the
+    aggregate. At 100 TB this is two broadcast joins + the existing
+    orderkey shuffle, nothing more."""
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    s = read_table(spark, sf_dir, "supplier")
+    n1 = read_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("_sk"), F.col("n_name").alias("supp_nation"))
+    n2 = read_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("_ck"), F.col("n_name").alias("cust_nation"))
+    pair = (
+        ((F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7"))
+        | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
+    )
+    vol_e4 = F.sum(
+        _cents("l_extendedprice")
+        * (100 - F.round(F.col("l_discount") * 100).cast("bigint"))
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), s.s_nationkey == F.col("_sk"))
+        .join(F.broadcast(n2), c.c_nationkey == F.col("_ck"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation",
+                 F.year("l_shipdate").cast("int").alias("l_year"))
+        .agg(vol_e4.alias("volume_e4"))
+        .select("supp_nation", "cust_nation", "l_year", "volume_e4")
+    )
+
+
+NATION_PAIR_VOLUME_ORACLE = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INTEGER) AS l_year,
+       CAST(sum(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS BIGINT)
+         AS volume_e4
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+   OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')
+GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q8 shape: market share — ratio of conditional sums
+# ---------------------------------------------------------------------------
+
+def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One nation's share of a region's order volume per year — the Q8
+    shape: the numerator is a CONDITIONAL sum (volume where the supplier
+    is the target nation) over the same rows as the denominator, so the
+    share is one aggregate pass with a CASE inside, never two scans.
+
+    Exact-integer numerator/denominator (e4 units); only the final ratio
+    divides as double, rounded for the hash. Region filter rides the
+    broadcast nation join; facts shuffle once."""
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    s = read_table(spark, sf_dir, "supplier")
+    n_c = (
+        read_table(spark, sf_dir, "nation")
+        .filter(F.col("n_regionkey") == 2)  # customers in ASIA
+        .select(F.col("n_nationkey").alias("_ck"))
+    )
+    n_s = read_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("_sk"), F.col("n_name").alias("supp_nation"))
+    vol = (
+        _cents("l_extendedprice")
+        * (100 - F.round(F.col("l_discount") * 100).cast("bigint"))
+    )
+    target = (F.col("supp_nation") == "NATION_2").cast("bigint")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n_c), c.c_nationkey == F.col("_ck"))
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n_s), s.s_nationkey == F.col("_sk"))
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            F.sum(vol * target).alias("nation_vol_e4"),
+            F.sum(vol).alias("total_vol_e4"),
+        )
+        .select(
+            "o_year",
+            "nation_vol_e4",
+            "total_vol_e4",
+            F.round(
+                F.col("nation_vol_e4").cast("double") / F.col("total_vol_e4"), 6
+            ).alias("mkt_share"),
+        )
+    )
+
+
+MARKET_SHARE_ORACLE = """
+SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       CAST(sum(CASE WHEN n2.n_name = 'NATION_2'
+                     THEN CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                          * (100 - CAST(ROUND(l_discount*100) AS BIGINT))
+                     ELSE 0 END) AS BIGINT) AS nation_vol_e4,
+       CAST(sum(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS BIGINT)
+         AS total_vol_e4,
+       ROUND(CAST(sum(CASE WHEN n2.n_name = 'NATION_2'
+                           THEN CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                                * (100 - CAST(ROUND(l_discount*100) AS BIGINT))
+                           ELSE 0 END) AS DOUBLE)
+             / sum(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                   * (100 - CAST(ROUND(l_discount*100) AS BIGINT))), 6)
+         AS mkt_share
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey AND n1.n_regionkey = 2
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+GROUP BY year(o_orderdate)
+"""
