@@ -531,7 +531,56 @@ WHERE rank <= {TOP_K}
 
 
 def register_all(register) -> None:
-    register("embedding_topk", embedding_topk, EMBEDDING_TOPK_ORACLE)
+    from pyspark_coding_challenge_spark.plans.merge import register_merged
+
+    # exact top-k + the RAG-style enrichment ride one slug (50-slot cap)
+    register_merged(register, "embedding_topk", [
+        ("topk", embedding_topk, EMBEDDING_TOPK_ORACLE),
+        ("retrieval_enriched", retrieval_enriched, RETRIEVAL_ENRICHED_ORACLE),
+    ])
     register("embedding_ann_lsh", embedding_ann_lsh, _lsh_oracle())
     register("embedding_ann_ivf", embedding_ann_ivf, _ivf_oracle())
     register("dedup_embedding_cosine", dedup_embedding_cosine, DEDUP_EMBEDDING_COSINE_ORACLE)
+
+
+def retrieval_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval -> metadata join -> quality floor: the step every RAG /
+    retrieval pipeline runs after ANN — attach the hit documents' metadata
+    and quality signal, and drop hits below a lexical-diversity floor
+    (retrieved boilerplate is worse than no hit).
+
+    Scale shape: the top-k result is tiny (queries x k rows) and is the
+    BROADCAST side into the corpus-sized documents table — the corpus
+    streams through one broadcast hash join, never shuffles. The quality
+    floor thresholds the UNROUNDED ratio (the repo invariant: round(x,6)
+    never decides membership); the rounded value is display-only."""
+    from pyspark_coding_challenge_spark.llm.text import lexical_diversity
+
+    hits = embedding_topk(spark, sf_dir)
+    d = read_table(spark, sf_dir, "documents")
+    lex = lexical_diversity("text")
+    return (
+        d.join(F.broadcast(hits), d.doc_id == hits.neighbor_id)
+        .filter(lex >= 0.5)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            "sim",
+            "source",
+            "lang",
+            F.round(lex, 6).alias("lex_div"),
+        )
+    )
+
+
+RETRIEVAL_ENRICHED_ORACLE = f"""
+WITH res AS ({EMBEDDING_TOPK_ORACLE})
+SELECT res.query_id, res.neighbor_id, res.rank, res.sim,
+       d.source, d.lang,
+       ROUND(CAST(len(list_distinct(string_split(lower(d.text), ' '))) AS DOUBLE)
+             / len(string_split(lower(d.text), ' ')), 6) AS lex_div
+FROM res JOIN documents d ON d.doc_id = res.neighbor_id
+WHERE CAST(len(list_distinct(string_split(lower(d.text), ' '))) AS DOUBLE)
+      / len(string_split(lower(d.text), ' ')) >= 0.5
+"""
