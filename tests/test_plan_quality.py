@@ -337,3 +337,15 @@ def test_token_budget_sample_single_exchange_no_global_sort(spark):
     plan = _plan_fn(spark, P.token_budget_sample)
     assert plan.count("Exchange hashpartitioning") == 1
     assert "rangepartitioning" not in plan.lower()
+
+
+def test_retrieval_enriched_broadcasts_hits_into_corpus(spark):
+    """The RAG enrichment join must broadcast the tiny hit set into the
+    corpus-sized documents table (BuildRight: hits are the right side) —
+    shuffling the corpus for a queries x k row join would be backwards."""
+    from pyspark_coding_challenge_spark.llm import similarity as S
+
+    plan = _plan_fn(spark, S.retrieval_enriched)
+    join_line = plan[plan.index("BroadcastHashJoin"):].splitlines()[0]
+    assert "BuildRight" in join_line, join_line
+    assert "CartesianProduct" not in plan
