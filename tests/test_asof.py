@@ -97,3 +97,59 @@ def test_mismatched_order_tuples_raise_instead_of_truncating(spark):
         asof_join_ranked(l, r, "k", ("t", "tb"), ("t",))
     with pytest.raises(ValueError):
         asof_join(l, r, "k", (), ())
+
+
+def test_null_keys_match_nothing_in_both_forms(spark):
+    """Equi-join semantics for NULL keys (round-5 review fix): a NULL-keyed
+    right row must never match, and a NULL-keyed left row gets a NULL
+    payload — identically in the merge and ranked forms (the merge form's
+    window partitionBy would otherwise GROUP the nulls together)."""
+    left = spark.createDataFrame(
+        [(None, 10, 1), (1, 10, 2)], L_SCHEMA)
+    right = spark.createDataFrame(
+        [(None, 5, 1, "null-key"), (1, 5, 2, "real")], R_SCHEMA)
+    for fn in (asof_join, asof_join_ranked):
+        got = {r.lid: r.payload for r in fn(
+            left, right, on="k",
+            left_order=("lt", "lid"), right_order=("rt", "rid")).collect()}
+        assert got == {1: None, 2: "real"}, (fn.__name__, got)
+
+
+def test_unsupported_how_raises_before_ranked_delegation(spark):
+    """how='outer' must raise up front even when right_within routes to the
+    ranked form (which would otherwise emit bogus all-NULL-left rows)."""
+    import pytest
+
+    left, right = _random_frames(spark, 1)
+    with pytest.raises(ValueError, match="how"):
+        asof_join(left, right, on="k",
+                  left_order=("lt", "lid"), right_order=("rt", "rid"),
+                  how="outer", right_within=(F.col("lt") - F.col("rt") < 10))
+
+
+def test_rolling_history_ignores_null_entities(spark):
+    """round-5 review fix: NULL-entity actions must not accumulate history
+    for NULL-entity cutoffs (the join form's equi-join never matches them)."""
+    from datetime import datetime
+
+    from pyspark_coding_challenge_spark.operators.history import (
+        rolling_last_k_history,
+    )
+
+    actions = spark.createDataFrame(
+        [(None, datetime(2024, 1, 1, 10), 100, 1),
+         (7, datetime(2024, 1, 1, 10), 200, 1)],
+        "customer_id BIGINT, action_time TIMESTAMP, item_id BIGINT, action_type INT")
+    cutoffs = spark.createDataFrame(
+        [(None, datetime(2024, 1, 2)), (7, datetime(2024, 1, 2))],
+        "customer_id BIGINT, cutoff_ts TIMESTAMP")
+    rows = rolling_last_k_history(
+        actions, cutoffs, k=3, entity_col="customer_id",
+        time_col="action_time", cutoff_col="cutoff_ts",
+        payload_cols=("item_id", "action_type"),
+        out_cols=("items", "types"), pad=0,
+    ).collect()
+    # entity 7 gets its one action; the NULL entity emits NO history row
+    # (empty histories are dropped; the downstream left join pads them)
+    assert {r.customer_id for r in rows} == {7}
+    assert rows[0].items == [200, 0, 0]
