@@ -336,3 +336,22 @@ def test_span_dup_overlapping_windows_cover_union_not_sum(spark, tmp_path):
         assert got[d].shared_starts == 6          # (k+5) - k + 1 starts
         assert got[d].covered_tokens == k + 5     # full union coverage
         assert got[d].span_dup_frac == 1.0
+
+
+def test_pii_counts_follow_scrub_order(spark, tmp_path):
+    """round-5 review fix: a phone-shaped digit run INSIDE an email's local
+    part is consumed by the email scrub and must NOT also count as a phone
+    (counts describe exactly what the sequential scrub replaced)."""
+    from pyspark_coding_challenge_spark.llm.text import text_pii_scrub
+
+    spark.createDataFrame(
+        [(1, "reach me at +4915112345678@sms.example.com thanks", "en", "s", 48)],
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+
+    row = text_pii_scrub(spark, str(tmp_path)).collect()[0]
+    # the embedded address + the deterministic augmentation email
+    assert row.n_emails == 2
+    # ONLY the augmentation phone: the +49... run was consumed by <EMAIL>
+    assert row.n_phones == 1
+    assert row.n_ips == 1
