@@ -237,25 +237,32 @@ def token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept too (budgets are approximate by one document, the standard
     convention — truncating it would need doc splitting).
 
-    Scale shape: one narrow projection + one shuffle on ``source`` for
-    the running-sum window (parallel across sources, like batch_plan);
-    at 100 TB the per-source ordering key keeps each window partition a
-    single source's docs and the budget cut discards the tail without
-    ever materializing it downstream."""
+    Scale shape (r6): ~20 distinct sources means a plain per-source window
+    would serialize each source's running sum through one task. The cumsum
+    is the two-level prefix sum from ``operators.prefix``, sharded by the
+    top 8 bits of the 60-bit ordering hash (``shiftright(_h, 52)`` — free,
+    no stats pass, and monotone in ``_h`` so global (_h, doc_id) order is
+    preserved exactly): local sums within (source, shard), tiny offset
+    table broadcast back. Values are bit-identical to the single-level
+    window the DuckDB oracle runs; the budget cut then discards the tail
+    without materializing it downstream."""
+    from pyspark_coding_challenge_spark.operators.prefix import sharded_cumsum
+
     d = read_table(spark, sf_dir, "documents")
     h = md5_fold60(F.concat(F.lit("tb:"), F.col("doc_id").cast("string")))
     base = d.select(
         "doc_id", "source",
         n_tokens_col().alias("n_tokens"),
         h.alias("_h"),
-    )
-    w = (
-        Window.partitionBy("source")
-        .orderBy(F.col("_h").asc(), F.col("doc_id").asc())
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
+    ).withColumn("_shard", F.expr("CAST(shiftright(_h, 52) AS INT)"))
     return (
-        base.withColumn("cum_tokens", F.sum("n_tokens").over(w).cast("bigint"))
+        sharded_cumsum(
+            base,
+            ["source"],
+            [F.col("_h").asc(), F.col("doc_id").asc()],
+            "n_tokens",
+            "cum_tokens",
+        )
         .filter(F.col("cum_tokens") - F.col("n_tokens") < TOKEN_BUDGET)
         .select("doc_id", "source", "n_tokens", "cum_tokens")
     )
@@ -290,15 +297,21 @@ def batch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Fairseq/HF ``--group_by_length``). Buckets are FIXED boundaries (a
     CASE over the token count, one codegen pass — no global quantile pass,
     no driver collect); batch numbering is a per-(source, bucket)
-    ``row_number`` over the stable doc_id order, so batching is
-    embarrassingly parallel across shards exactly like ``text_pack_sequences``
-    — a global batch order would serialize the corpus and is deliberately
-    avoided. Deterministic: re-runs produce identical batch assignments.
+    ``row_number`` over the stable doc_id order. Deterministic: re-runs
+    produce identical batch assignments.
 
-    Scale shape: one narrow projection + one shuffle on
-    (source, len_bucket) for the window; bucket count is fixed, source
-    count scales with the corpus, so window partitions stay bounded and
-    sorted in memory."""
+    Scale shape (r6): (source, len_bucket) has only ~20 x 5 distinct values,
+    so a plain row_number window would serialize each group through one
+    task. Numbering is the two-level prefix sum from ``operators.prefix``
+    (row_number == cumsum of 1 under the unique doc_id order): range shard
+    on doc_id (monotone — order preserved exactly), local numbering within
+    (source, bucket, shard), broadcast offset add. Values are bit-identical
+    to the single-level window the DuckDB oracle runs."""
+    from pyspark_coding_challenge_spark.operators.prefix import (
+        sharded_row_number,
+        with_range_shard,
+    )
+
     d = read_table(spark, sf_dir, "documents")
     n = n_tokens_col()
     bucket = (
@@ -309,10 +322,14 @@ def batch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(4)
         .cast("int")
     )
-    w = Window.partitionBy("source", "len_bucket").orderBy("doc_id")
+    base = with_range_shard(
+        d.select(
+            "doc_id", "source", n.alias("n_tokens"), bucket.alias("len_bucket")
+        ),
+        "doc_id",
+    )
     return (
-        d.select("doc_id", "source", n.alias("n_tokens"), bucket.alias("len_bucket"))
-        .withColumn("_rn", F.row_number().over(w))
+        sharded_row_number(base, ["source", "len_bucket"], ["doc_id"], "_rn")
         .select(
             "doc_id", "source", "n_tokens", "len_bucket",
             F.expr(f"CAST((_rn - 1) div {BATCH_SIZE} AS BIGINT)").alias("batch_seq"),

@@ -458,32 +458,39 @@ SEQ_LEN = 512  # packed-sequence token budget
 
 def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concatenate-and-chunk sequence packing — the GPT-style pretraining
-    batcher: per shard (here the ``source`` column; at 100 TB the file/shard
-    key), documents are concatenated in doc_id order and the token stream is
-    cut into fixed ``SEQ_LEN`` windows. Each doc maps to the half-open token
-    interval [tok_start, tok_end) via one window cumsum, and the chunk ids
-    it spans are pure integer division — no sequential state, no UDF.
+    batcher: per ``source``, documents are concatenated in doc_id order and
+    the token stream is cut into fixed ``SEQ_LEN`` windows. Each doc maps to
+    the half-open token interval [tok_start, tok_end) via one running sum,
+    and the chunk ids it spans are pure integer division — no sequential
+    state, no UDF.
 
-    Parallelism = number of shards (each shard's cumsum is one window
-    partition); packing is embarrassingly parallel ACROSS shards, which is
-    the property that matters at scale — a global pack order would serialize
-    the corpus through one partition and is deliberately avoided.
+    Scale shape (r6): the corpus has only ~20 distinct sources, so a plain
+    per-source window cumsum would serialize each source through ONE task
+    (~5 TB/task at 100 TB). The running sum is therefore the two-level
+    prefix sum from ``operators.prefix``: a range shard on doc_id (monotone,
+    so global order is preserved exactly), local cumsum within
+    (source, shard) — parallelism = live shard count, not source count —
+    then a broadcast of the tiny per-shard offset table. Output values are
+    bit-identical to the single-level window, which is what the DuckDB
+    oracle still runs.
     """
-    d = read_table(spark, sf_dir, "documents")
-    w = (
-        Window.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, 0)
+    from pyspark_coding_challenge_spark.operators.prefix import (
+        sharded_cumsum,
+        with_range_shard,
     )
-    df = (
+
+    d = read_table(spark, sf_dir, "documents")
+    base = with_range_shard(
         d.select(
             "doc_id",
             "source",
             F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
-        )
-        .withColumn("tok_end", F.sum("n_tokens").over(w))
-        .withColumn("tok_start", F.col("tok_end") - F.col("n_tokens"))
+        ),
+        "doc_id",
     )
+    df = sharded_cumsum(
+        base, ["source"], ["doc_id"], "n_tokens", "tok_end"
+    ).withColumn("tok_start", F.col("tok_end") - F.col("n_tokens"))
     return df.select(
         "doc_id",
         "source",

@@ -1,0 +1,129 @@
+"""Shard-parallel (two-level) prefix sums.
+
+A running sum over ``Window.partitionBy(part).orderBy(key)`` funnels each
+partition's ENTIRE row set through one task: with 20 distinct ``source``
+values (measured on the test corpus) a per-source cumsum tops out at 20-way
+parallelism no matter how many executors exist — at 100 TB that is ~5 TB
+sorted through a single task. The classic fix is the two-level prefix sum
+(the same decomposition GPU scan kernels and MPI exclusive-scan use):
+
+1. split each partition into SHARDS by a key that is monotone
+   non-decreasing in the ordering key, so global order == (shard, key);
+2. run the cheap local window within (part, shard) — parallelism is now
+   the shard count, not the partition count;
+3. aggregate one total per (part, shard) — a relation of at most
+   ``parts x n_shards`` rows;
+4. turn totals into running per-shard offsets with a window over that tiny
+   relation, broadcast it back, and add.
+
+The result is bit-identical to the single-level window (same values, same
+types), so the DuckDB oracles — which keep the simple single-window SQL —
+still hash-match. Consumers: ``llm.text.text_pack_sequences``,
+``llm.profiling.batch_plan``, ``llm.profiling.token_budget_sample``.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# Max shards per range-sharded key. Offsets relation is bounded by
+# parts x N_PREFIX_SHARDS rows (three small columns), so the broadcast in
+# step 4 is provably tiny at ANY corpus size; raise for >256-way clusters.
+N_PREFIX_SHARDS = 256
+
+
+def with_range_shard(
+    df: DataFrame,
+    key_col: str,
+    shard_col: str = "_shard",
+    n_shards: int = N_PREFIX_SHARDS,
+) -> DataFrame:
+    """Add ``shard_col``: an integer in [0, n_shards) MONOTONE
+    NON-DECREASING in ``key_col`` (equal keys -> equal shard), computed by
+    equi-width range split of the observed [min, max] key span. The min/max
+    pass is a column-pruned scan folded to one row and broadcast (the
+    repo's 1-row stat-broadcast idiom, cf. ``plans.relational.persist_hint``)
+    — no collect, no driver round-trip. Works for any integral key."""
+    stats = df.agg(
+        F.min(key_col).alias("_kmin"), F.max(key_col).alias("_kmax")
+    )
+    shard = F.expr(
+        f"CAST((({key_col} - _kmin) div "
+        f"greatest(1L, (_kmax - _kmin + {n_shards}) div {n_shards})) AS INT)"
+    )
+    return (
+        df.crossJoin(F.broadcast(stats))
+        .withColumn(shard_col, shard)
+        .drop("_kmin", "_kmax")
+    )
+
+
+def sharded_cumsum(
+    df: DataFrame,
+    part_cols: Sequence[str],
+    order_cols: Sequence[str | Column],
+    val: str | Column,
+    out_col: str,
+    shard_col: str = "_shard",
+    drop_shard: bool = True,
+) -> DataFrame:
+    """Exact equivalent of
+    ``sum(val) OVER (PARTITION BY part_cols ORDER BY order_cols
+    ROWS UNBOUNDED PRECEDING)`` cast to bigint, computed shard-parallel.
+
+    REQUIRES: ``df[shard_col]`` is monotone non-decreasing in
+    ``order_cols`` within every ``part_cols`` group (use
+    ``with_range_shard`` on the leading order key, or a shiftright of a
+    bounded hash). Plan shape: one window over (part, shard) — the wide
+    side, parallelism = live shard count — plus one small aggregate +
+    window over at most ``parts x n_shards`` rows, broadcast back."""
+    val_c = F.col(val) if isinstance(val, str) else val
+    w_local = (
+        Window.partitionBy(*part_cols, shard_col)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = df.withColumn(out_col, F.sum(val_c).over(w_local).cast("bigint"))
+    totals = df.groupBy(*part_cols, shard_col).agg(
+        F.sum(val_c).cast("bigint").alias("_shard_total")
+    )
+    w_off = (
+        Window.partitionBy(*part_cols)
+        .orderBy(shard_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        *part_cols,
+        shard_col,
+        F.coalesce(F.sum("_shard_total").over(w_off), F.lit(0))
+        .cast("bigint")
+        .alias("_shard_off"),
+    )
+    out = (
+        local.join(F.broadcast(offsets), on=[*part_cols, shard_col])
+        .withColumn(out_col, F.col(out_col) + F.col("_shard_off"))
+        .drop("_shard_off")
+    )
+    return out.drop(shard_col) if drop_shard else out
+
+
+def sharded_row_number(
+    df: DataFrame,
+    part_cols: Sequence[str],
+    order_cols: Sequence[str | Column],
+    out_col: str,
+    shard_col: str = "_shard",
+    drop_shard: bool = True,
+) -> DataFrame:
+    """``row_number() OVER (PARTITION BY part_cols ORDER BY order_cols)``
+    as a bigint, shard-parallel. Valid whenever ``order_cols`` is a total
+    order within each partition (it is, everywhere this repo numbers rows:
+    the trailing key is the unique ``doc_id``), in which case row_number
+    == cumsum of 1 — so it shares ``sharded_cumsum``'s machinery."""
+    return sharded_cumsum(
+        df, part_cols, order_cols, F.lit(1), out_col, shard_col, drop_shard
+    )

@@ -272,15 +272,17 @@ def test_salted_skew_join_spreads_keys_without_broadcast(spark):
 
 
 def test_batch_plan_windows_without_global_sort(spark):
-    """Length-bucketed batching must be per-(source,bucket) parallel: a
-    window exchange on the composite key, never a global Sort/Exchange
-    rangepartitioning (which would serialize the corpus)."""
+    """Length-bucketed batching must be shard-parallel (r6): the wide
+    window exchange hashes on (source, len_bucket, _shard) — never a
+    global Sort/rangepartitioning, never the ~100-value composite key
+    alone (see tests/test_prefix.py for the full three-kernel gate)."""
     from pyspark_coding_challenge_spark.llm import profiling as P
 
     plan = _plan_fn(spark, P.batch_plan)
     assert "rangepartitioning" not in plan.lower(), plan
     assert "hashpartitioning" in plan.lower()
     assert "Window" in plan
+    assert "_shard#" in plan
     assert "CartesianProduct" not in plan
 
 

@@ -1,0 +1,152 @@
+"""Two-level prefix sum (operators/prefix.py): equivalence + parallelism.
+
+The DuckDB oracle proves values on the real tables; these tests pin the two
+properties the oracle cannot see: (a) the sharded cumsum/row_number is
+bit-identical to the single-level window on ADVERSARIAL inputs (skewed
+sources, duplicate order-key ties, single-row partitions), and (b) the wide
+window actually fans out past the partition-column cardinality — the whole
+point of the rewrite (VERDICT r5 "What's wrong #1")."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from pyspark_coding_challenge_spark.operators.prefix import (
+    sharded_cumsum,
+    sharded_row_number,
+    with_range_shard,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _skewed_docs(spark, n=2000, n_sources=3):
+    """90%-one-source skew: the pathological distribution for per-source
+    windows. doc_ids deliberately non-contiguous (x7) to exercise the
+    range shard on a gappy key."""
+    return spark.range(n).select(
+        (F.col("id") * 7).alias("doc_id"),
+        F.when(F.col("id") % 10 < 9, F.lit("big"))
+        .otherwise(F.concat(F.lit("s"), (F.col("id") % n_sources).cast("string")))
+        .alias("source"),
+        ((F.col("id") * 2654435761) % 97 + 1).cast("bigint").alias("n_tokens"),
+    )
+
+
+def _rows(df, cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def test_sharded_cumsum_equals_single_window_under_skew(spark):
+    d = _skewed_docs(spark)
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    expected = d.withColumn("cum", F.sum("n_tokens").over(w).cast("bigint"))
+    got = sharded_cumsum(
+        with_range_shard(d, "doc_id"), ["source"], ["doc_id"], "n_tokens", "cum"
+    )
+    cols = ["doc_id", "source", "n_tokens", "cum"]
+    assert _rows(got, cols) == _rows(expected, cols)
+
+
+def test_sharded_row_number_equals_single_window_under_skew(spark):
+    d = _skewed_docs(spark)
+    w = Window.partitionBy("source").orderBy("doc_id")
+    expected = d.withColumn("rn", F.row_number().over(w).cast("bigint"))
+    got = sharded_row_number(
+        with_range_shard(d, "doc_id"), ["source"], ["doc_id"], "rn"
+    )
+    cols = ["doc_id", "source", "rn"]
+    assert _rows(got, cols) == _rows(expected, cols)
+
+
+def test_hash_shard_cumsum_with_composite_order(spark):
+    """token_budget's shape: order by (hash, doc_id), shard = top bits of
+    the hash — equal hashes land in one shard so the tie-break stays local."""
+    d = _skewed_docs(spark).withColumn(
+        "_h", F.expr("conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10)").cast("bigint")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("_h").asc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    expected = d.withColumn("cum", F.sum("n_tokens").over(w).cast("bigint"))
+    got = sharded_cumsum(
+        d.withColumn("_shard", F.expr("CAST(shiftright(_h, 52) AS INT)")),
+        ["source"],
+        [F.col("_h").asc(), F.col("doc_id").asc()],
+        "n_tokens",
+        "cum",
+    )
+    cols = ["doc_id", "source", "cum"]
+    assert _rows(got, cols) == _rows(expected, cols)
+
+
+def test_shard_fanout_exceeds_source_cardinality(spark):
+    """The parallelism claim, measured: live (source, shard) groups must
+    exceed the source count — otherwise the rewrite bought nothing."""
+    d = with_range_shard(_skewed_docs(spark), "doc_id")
+    n_sources = d.select("source").distinct().count()
+    n_groups = d.select("source", "_shard").distinct().count()
+    assert n_sources == 4
+    assert n_groups > 8 * n_sources, (n_sources, n_groups)
+
+
+def test_range_shard_is_monotone_in_key(spark):
+    d = with_range_shard(_skewed_docs(spark), "doc_id")
+    rows = sorted((r.doc_id, r._shard) for r in d.collect())
+    shards = [s for _, s in rows]
+    assert shards == sorted(shards)
+    assert 0 <= min(shards) and max(shards) < 256
+
+
+def test_single_row_and_empty_partitions(spark):
+    d = spark.createDataFrame(
+        [(1, "a", 5)], "doc_id bigint, source string, n_tokens bigint"
+    )
+    got = sharded_cumsum(
+        with_range_shard(d, "doc_id"), ["source"], ["doc_id"], "n_tokens", "cum"
+    ).collect()
+    assert [(r.doc_id, r.cum) for r in got] == [(1, 5)]
+    empty = d.filter("doc_id < 0")
+    assert (
+        sharded_cumsum(
+            with_range_shard(empty, "doc_id"), ["source"], ["doc_id"], "n_tokens", "cum"
+        ).count()
+        == 0
+    )
+
+
+def _wide_window_partition_lists(plan: str) -> list[str]:
+    """Partition-column lists of Window nodes over per-row data (the
+    corpus-sized windows). The per-shard offset window aggregates
+    _shard_total and is exempt — it runs over <= parts x 256 rows."""
+    out = []
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line and "_shard_total" not in line:
+            m = re.search(r"\], \[([^\]]*)\], \[", line)
+            if m:
+                out.append(m.group(1))
+    return out
+
+
+def test_kernels_have_no_per_source_wide_window(spark):
+    """VERDICT r5 #1 regression gate: in pack_sequences / batch_plan /
+    token_budget, every corpus-sized Window must partition by _shard too —
+    never by the ~20-value source (x5 bucket) key alone."""
+    from pyspark_coding_challenge_spark.llm import profiling as P
+    from pyspark_coding_challenge_spark.llm import text as T
+
+    for fn in (T.text_pack_sequences, P.batch_plan, P.token_budget_sample):
+        plan = fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+        parts = _wide_window_partition_lists(plan)
+        assert parts, plan
+        for p in parts:
+            assert "_shard#" in p, (fn.__name__, p)
