@@ -43,22 +43,31 @@ def with_range_shard(
     n_shards: int = N_PREFIX_SHARDS,
 ) -> DataFrame:
     """Add ``shard_col``: an integer in [0, n_shards) MONOTONE
-    NON-DECREASING in ``key_col`` (equal keys -> equal shard), computed by
-    equi-width range split of the observed [min, max] key span. The min/max
-    pass is a column-pruned scan folded to one row and broadcast (the
-    repo's 1-row stat-broadcast idiom, cf. ``plans.relational.persist_hint``)
-    — no collect, no driver round-trip. Works for any integral key."""
-    stats = df.agg(
-        F.min(key_col).alias("_kmin"), F.max(key_col).alias("_kmax")
-    )
+    NON-DECREASING in ``key_col`` (equal keys -> equal shard), computed
+    from the key's APPROXIMATE QUANTILES: one partial-aggregated
+    ``percentile_approx`` pass folds the break array to a single row,
+    which is broadcast (the repo's 1-row stat-broadcast idiom, cf.
+    ``plans.relational.persist_hint``) and searched per row with
+    ``size(filter(breaks, b -> b <= key))`` — no collect, no driver
+    round-trip, works for any orderable numeric key.
+
+    Quantile breaks, NOT equi-width [min,max] splitting, on purpose: the
+    r6 skew probe showed equi-width degenerating on gappy id spaces
+    (snowflake ids, per-shard id blocks — a corpus whose ids cluster in
+    two blocks landed whole blocks in single shards). Quantile breaks are
+    balanced under ANY key distribution to ~1/accuracy; heavily duplicated
+    keys still collapse to one shard, which monotonicity requires —
+    duplicate ORDER keys are the caller's tie-break problem, not this
+    function's."""
+    qs = [i / n_shards for i in range(1, n_shards)]
+    stats = df.agg(F.percentile_approx(key_col, qs).alias("_breaks"))
     shard = F.expr(
-        f"CAST((({key_col} - _kmin) div "
-        f"greatest(1L, (_kmax - _kmin + {n_shards}) div {n_shards})) AS INT)"
+        f"CAST(size(filter(_breaks, b -> b <= {key_col})) AS INT)"
     )
     return (
         df.crossJoin(F.broadcast(stats))
         .withColumn(shard_col, shard)
-        .drop("_kmin", "_kmax")
+        .drop("_breaks")
     )
 
 

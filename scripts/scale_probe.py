@@ -152,9 +152,93 @@ def probe_tpch(spark, sf_dir: str) -> dict[str, float]:
     return timings
 
 
+def build_skew_corpus(spark, factor: int) -> str:
+    """Rows grow with ``factor`` while the SOURCE cardinality stays fixed
+    and pathological: 90% of all docs are reassigned to one mega-source,
+    the rest keep their original ~20 values. This is the distribution the
+    r5 verdict's serialization finding (#1) describes — per-source window
+    parallelism cannot exceed the source count, and one source holds 90%
+    of the corpus."""
+    from pyspark.sql import functions as F
+
+    out = f"{WORK}/skew_x{factor}"
+    if os.path.exists(f"{out}/.complete"):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    base = spark.read.parquet(f"{BASE_SF}/documents.parquet")
+    parts = [
+        base.select(
+            (F.col("doc_id") + i * 10_000_000).alias("doc_id"),
+            "text", "lang",
+            F.when(F.col("doc_id") % 10 < 9, F.lit("src_mega"))
+            .otherwise(F.col("source")).alias("source"),
+            "n_chars",
+        )
+        for i in range(factor)
+    ]
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    df.write.mode("overwrite").parquet(f"{out}/documents.parquet")
+    open(f"{out}/.complete", "w").close()
+    return out
+
+
+def probe_skew(spark, sf_dir: str) -> dict:
+    """The r6 regression gate for the two-level prefix-sum rewrite: time
+    the sharded kernels AND their single-level per-source-window
+    equivalents on the same skewed corpus, and record each plan's maximum
+    window-partition row count — the hard parallelism bound. The sharded
+    form's max stays ~flat as rows grow (more live shards); the
+    single-level form's max IS the mega-source and grows linearly — the
+    serialized task the rewrite removes."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from pyspark_coding_challenge_spark.llm import profiling as P
+    from pyspark_coding_challenge_spark.llm import text as T
+    from pyspark_coding_challenge_spark.operators.prefix import with_range_shard
+
+    timings: dict = {}
+
+    def run(name, build):
+        t0 = time.perf_counter()
+        build().write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def single_level_pack():
+        w = (Window.partitionBy("source").orderBy("doc_id")
+             .rowsBetween(Window.unboundedPreceding, 0))
+        return (
+            docs.select(
+                "doc_id", "source",
+                F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"))
+            .withColumn("tok_end", F.sum("n_tokens").over(w))
+        )
+
+    run("pack_sequences_sharded", lambda: T.text_pack_sequences(spark, sf_dir))
+    run("pack_sequences_single_window", single_level_pack)
+    run("batch_plan_sharded", lambda: P.batch_plan(spark, sf_dir))
+    run("token_budget_sharded", lambda: P.token_budget_sample(spark, sf_dir))
+
+    base = docs.select("doc_id", "source")
+    per_source = base.groupBy("source").count()
+    sharded = with_range_shard(base, "doc_id").groupBy("source", "_shard").count()
+    mx = per_source.agg(F.max("count")).collect()[0][0]
+    mxs = sharded.agg(F.max("count")).collect()[0][0]
+    groups = sharded.count()
+    timings["max_window_partition_rows_single"] = int(mx)
+    timings["max_window_partition_rows_sharded"] = int(mxs)
+    timings["live_window_partitions_sharded"] = int(groups)
+    return timings
+
+
 def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("-")]
     tpch = "--tpch" in sys.argv
+    skew = "--skew" in sys.argv
     rnd = args[0] if args else None
     os.makedirs(WORK, exist_ok=True)
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -163,13 +247,21 @@ def main() -> None:
     spark = get_spark(app_name="scale_probe", master="local[32]")
     spark.sparkContext.setLogLevel("ERROR")
 
-    build = build_tpch if tpch else build_corpus
-    run = probe_tpch if tpch else probe
-    proto = ("replicated sf0.1 orders+lineitem on disjoint orderkeys, dims "
-             "unchanged; one timed run per kernel per factor after a 1x "
-             "warm-up" if tpch else
-             "replicated sf0.1 documents, disjoint ids, retagged tokens; "
-             "one timed run per kernel per factor after a 1x warm-up")
+    if skew:
+        build, run = build_skew_corpus, probe_skew
+        proto = ("replicated sf0.1 documents with 90% of rows reassigned to "
+                 "ONE source, source cardinality held fixed as rows grow; "
+                 "sharded kernels vs single-level per-source windows, plus "
+                 "max window-partition row counts (the parallelism bound)")
+    elif tpch:
+        build, run = build_tpch, probe_tpch
+        proto = ("replicated sf0.1 orders+lineitem on disjoint orderkeys, dims "
+                 "unchanged; one timed run per kernel per factor after a 1x "
+                 "warm-up")
+    else:
+        build, run = build_corpus, probe
+        proto = ("replicated sf0.1 documents, disjoint ids, retagged tokens; "
+                 "one timed run per kernel per factor after a 1x warm-up")
     result: dict = {"protocol": proto, "factors": {}}
     # warm-up at 1x so JIT/codegen ramp doesn't land in the 1x numbers
     run(spark, build(spark, 1))
@@ -186,9 +278,10 @@ def main() -> None:
     print(out)
     if rnd:
         repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        suffix = ("SKEW" if skew else "TPCH" if tpch else None)
         name = os.path.join(
             repo_root,
-            f"SCALE_PROBE_TPCH_r{rnd}.json" if tpch else f"SCALE_PROBE_r{rnd}.json",
+            f"SCALE_PROBE_{suffix}_r{rnd}.json" if suffix else f"SCALE_PROBE_r{rnd}.json",
         )
         with open(name, "w") as fh:
             fh.write(out + "\n")

@@ -150,3 +150,20 @@ def test_kernels_have_no_per_source_wide_window(spark):
         assert parts, plan
         for p in parts:
             assert "_shard#" in p, (fn.__name__, p)
+
+
+def test_quantile_shard_balances_gappy_id_blocks(spark):
+    """The r6 skew-probe finding: ids clustered in two far-apart blocks
+    (replica/snowflake id spaces) must still spread across many shards —
+    equi-width [min,max] splitting put whole blocks through one task."""
+    d = spark.range(4000).select(
+        F.when(F.col("id") % 2 == 0, F.col("id"))
+        .otherwise(F.col("id") + 10_000_000).alias("doc_id"),
+        F.lit("one_source").alias("source"),
+        F.lit(1).cast("bigint").alias("n_tokens"),
+    )
+    sharded = with_range_shard(d, "doc_id")
+    counts = [r["cnt"] for r in
+              sharded.groupBy("_shard").agg(F.count("*").alias("cnt")).collect()]
+    assert len(counts) >= 64, len(counts)
+    assert max(counts) <= 4000 // 32, max(counts)
