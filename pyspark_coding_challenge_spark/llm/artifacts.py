@@ -1,0 +1,194 @@
+"""Cross-session persisted artifacts for the expensive relations.
+
+The three materialize-once relations — the verified near-dup pair graph
+(``dedup.verified_pairs_for_dir``), the shared-span relation
+(``text.shared_span_starts_for_dir``), and the trained IVF quantizer
+(``similarity.ivf_centroids_for_dir``) — were session-scoped ``persist``
+caches through round 5: correct within a job, but every NEW session repaid
+the full build chain (10-16 s cold vs 0.14 s warm at sf0.1 per
+BENCH_isolated_r5.json; hours at 100 TB). This module is the production
+shape their docstrings promised: ``materialize_*`` lands the relation as a
+parquet table under an artifact directory, ``load_*`` reads it back in ANY
+later session and seeds the same in-session cache the compute path uses —
+so every consumer (``dedup_clusters``, ``llm_corpus_curation``, the span
+kernels, IVF search) transparently runs from the artifact with ZERO
+build-chain jobs.
+
+Provenance: each artifact carries a ``_artifact_meta.json`` sidecar (the
+leading underscore makes Spark's parquet reader ignore it) recording the
+absolute source ``sf_dir`` and the builder parameters that shape the
+relation's semantics. ``load_*`` refuses an artifact built from a different
+corpus directory or with different parameters — silently joining last
+month's pair graph against this month's corpus is the classic stale-index
+bug, and it must fail loudly.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+PAIRS_NAME = "verified_pairs"
+SPANS_NAME = "shared_spans"
+CENTROIDS_NAME = "ivf_centroids"
+
+_META_FILE = "_artifact_meta.json"
+
+
+def _write_meta(path: str, sf_dir: str, params: dict) -> None:
+    with open(os.path.join(path, _META_FILE), "w") as f:
+        json.dump({"sf_dir": os.path.abspath(sf_dir), "params": params}, f)
+
+
+def _check_meta(path: str, sf_dir: str, params: dict) -> None:
+    meta_path = os.path.join(path, _META_FILE)
+    if not os.path.exists(meta_path):
+        raise ValueError(f"no artifact metadata at {meta_path}")
+    with open(meta_path) as f:
+        meta = json.load(f)
+    if meta.get("sf_dir") != os.path.abspath(sf_dir):
+        raise ValueError(
+            f"artifact at {path} was built from {meta.get('sf_dir')}, "
+            f"not {os.path.abspath(sf_dir)} — rebuild or point at the right corpus"
+        )
+    if meta.get("params") != params:
+        raise ValueError(
+            f"artifact at {path} was built with params {meta.get('params')}, "
+            f"current code expects {params} — rebuild"
+        )
+
+
+def _pairs_params() -> dict:
+    from pyspark_coding_challenge_spark.llm import dedup as D
+
+    return {
+        "n_perm": D.N_PERM,
+        "n_bands": D.N_BANDS,
+        "shingle_words": D.SHINGLE_WORDS,
+        "lsh_max_bucket": D.LSH_MAX_BUCKET,
+    }
+
+
+def _spans_params() -> dict:
+    from pyspark_coding_challenge_spark.llm import text as T
+
+    return {"span_k": T.SPAN_K}
+
+
+def _centroid_params() -> dict:
+    from pyspark_coding_challenge_spark.llm import similarity as S
+
+    return {"n_lists": S.N_LISTS, "kmeans_iters": S.KMEANS_ITERS}
+
+
+# ---------------------------------------------------------------------------
+# verified near-dup pair graph
+# ---------------------------------------------------------------------------
+
+def materialize_pairs(spark: SparkSession, sf_dir: str, artifact_dir: str) -> str:
+    """Build (or reuse the session cache of) the verified pair graph and
+    land it as parquet. Pairs-only (two ids + two doubles), so the artifact
+    is orders of magnitude smaller than the corpus. Returns the path."""
+    from pyspark_coding_challenge_spark.llm.dedup import verified_pairs_for_dir
+
+    path = os.path.join(artifact_dir, PAIRS_NAME)
+    verified_pairs_for_dir(spark, sf_dir).write.mode("overwrite").parquet(path)
+    _write_meta(path, sf_dir, _pairs_params())
+    return path
+
+
+def load_pairs(spark: SparkSession, sf_dir: str, artifact_dir: str,
+               install: bool = True) -> DataFrame:
+    """Read a pair-graph artifact and (by default) seed
+    ``dedup._VERIFIED_PAIRS_CACHE`` so every pair-graph consumer in this
+    session reads the artifact instead of re-running the minhash chain."""
+    from pyspark_coding_challenge_spark.llm import dedup as D
+
+    path = os.path.join(artifact_dir, PAIRS_NAME)
+    _check_meta(path, sf_dir, _pairs_params())
+    df = spark.read.parquet(path)
+    if install:
+        key = (spark.sparkContext.applicationId, sf_dir)
+        old = D._VERIFIED_PAIRS_CACHE.get(key)
+        if old is not None:
+            old.unpersist()
+        df = df.persist()
+        D._VERIFIED_PAIRS_CACHE[key] = df
+    return df
+
+
+# ---------------------------------------------------------------------------
+# shared-span relation
+# ---------------------------------------------------------------------------
+
+def materialize_spans(spark: SparkSession, sf_dir: str, artifact_dir: str) -> str:
+    from pyspark_coding_challenge_spark.llm.text import shared_span_starts_for_dir
+
+    path = os.path.join(artifact_dir, SPANS_NAME)
+    shared_span_starts_for_dir(spark, sf_dir).write.mode("overwrite").parquet(path)
+    _write_meta(path, sf_dir, _spans_params())
+    return path
+
+
+def load_spans(spark: SparkSession, sf_dir: str, artifact_dir: str,
+               install: bool = True) -> DataFrame:
+    from pyspark_coding_challenge_spark.llm import text as T
+
+    path = os.path.join(artifact_dir, SPANS_NAME)
+    _check_meta(path, sf_dir, _spans_params())
+    df = spark.read.parquet(path)
+    if install:
+        key = (spark.sparkContext.applicationId, sf_dir)
+        old = T._SHARED_SPANS_CACHE.get(key)
+        if old is not None:
+            old.unpersist()
+        df = df.persist()
+        T._SHARED_SPANS_CACHE[key] = df
+    return df
+
+
+# ---------------------------------------------------------------------------
+# IVF quantizer
+# ---------------------------------------------------------------------------
+
+def materialize_ivf_centroids(spark: SparkSession, sf_dir: str,
+                              artifact_dir: str) -> str:
+    from pyspark_coding_challenge_spark.llm.similarity import ivf_centroids_for_dir
+
+    path = os.path.join(artifact_dir, CENTROIDS_NAME)
+    ivf_centroids_for_dir(spark, sf_dir).write.mode("overwrite").parquet(path)
+    _write_meta(path, sf_dir, _centroid_params())
+    return path
+
+
+def load_ivf_centroids(spark: SparkSession, sf_dir: str, artifact_dir: str,
+                       install: bool = True) -> DataFrame:
+    from pyspark_coding_challenge_spark.llm import similarity as S
+
+    path = os.path.join(artifact_dir, CENTROIDS_NAME)
+    _check_meta(path, sf_dir, _centroid_params())
+    df = spark.read.parquet(path)
+    if install:
+        key = (spark.sparkContext.applicationId, sf_dir)
+        S._IVF_CENTROID_CACHE[key] = df
+    return df
+
+
+def materialize_all(spark: SparkSession, sf_dir: str, artifact_dir: str) -> dict:
+    """One-call production entry: land all three artifacts. Returns
+    name -> path."""
+    return {
+        PAIRS_NAME: materialize_pairs(spark, sf_dir, artifact_dir),
+        SPANS_NAME: materialize_spans(spark, sf_dir, artifact_dir),
+        CENTROIDS_NAME: materialize_ivf_centroids(spark, sf_dir, artifact_dir),
+    }
+
+
+def load_all(spark: SparkSession, sf_dir: str, artifact_dir: str) -> dict:
+    return {
+        PAIRS_NAME: load_pairs(spark, sf_dir, artifact_dir),
+        SPANS_NAME: load_spans(spark, sf_dir, artifact_dir),
+        CENTROIDS_NAME: load_ivf_centroids(spark, sf_dir, artifact_dir),
+    }

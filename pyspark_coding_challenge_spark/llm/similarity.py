@@ -314,30 +314,52 @@ def train_ivf_centroids(e: DataFrame, n_lists: int = N_LISTS,
     return final
 
 
-def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN top-k: deterministic k-means coarse quantizer; every vector
-    is assigned to one inverted list via the broadcast argmin join; each
-    query probes its ``N_PROBE`` nearest lists and exact-cosine re-ranks
-    only those lists' members. Complements ``embedding_ann_lsh``: IVF
-    adapts its buckets to the data distribution (clustered corpora get
-    balanced lists where fixed hyperplanes degenerate), at the cost of a
-    training pass.
+_IVF_CENTROID_CACHE: dict[tuple[str, str], DataFrame] = {}
 
-    Scale shape: candidates form via an equi-join on ``lid`` — shuffle
-    keyed by list id, AQE-skew-splittable, never all-pairs; probing
-    N_PROBE/N_LISTS of the corpus bounds work per query. Training,
-    assignment, and probing are all relational (zero collects), so the
-    whole pipeline is DuckDB-oracle-checkable: the oracle replays the
-    identical deterministic training unrolled as CTEs (``_ivf_oracle``)."""
-    # localCheckpoint, not persist: training scans e 2x/iteration and the
-    # passes below scan it twice more — one eager materialization serves
-    # them all, and the ContextCleaner reclaims it when the result is
-    # dropped (a bare persist would leak across bench/oracle invocations).
-    e = rebalance_for_compute(read_table(spark, sf_dir, "embeddings"), "vec_id").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
-    ).localCheckpoint()
-    cent = train_ivf_centroids(e)
 
+def ivf_centroids_for_dir(spark: SparkSession, sf_dir: str,
+                          e: DataFrame | None = None) -> DataFrame:
+    """Session-cached trained IVF quantizer for ``sf_dir`` — the same
+    materialize-once idiom as ``dedup.verified_pairs_for_dir``: training is
+    the expensive pass (2 corpus scans per Lloyd iteration), the result is
+    n_lists rows. ``llm.artifacts.load_ivf_centroids`` seeds this cache
+    from a parquet artifact so a NEW session can search without retraining.
+    Staleness contract matches the pair cache (key = applicationId +
+    sf_dir; ``clear_centroid_cache`` is the release valve)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _IVF_CENTROID_CACHE.get(key)
+    if cached is None:
+        if e is None:
+            e = rebalance_for_compute(
+                read_table(spark, sf_dir, "embeddings"), "vec_id"
+            ).select(
+                "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+            ).localCheckpoint()
+        cached = train_ivf_centroids(e)
+        _IVF_CENTROID_CACHE[key] = cached
+    return cached
+
+
+def clear_centroid_cache(spark: SparkSession | None = None) -> int:
+    """Drop cached IVF quantizers (all, or one session's) — mirrors
+    ``dedup.clear_pair_cache``. localCheckpoint blocks are reclaimed by the
+    ContextCleaner once the reference is dropped."""
+    released = 0
+    app = spark.sparkContext.applicationId if spark is not None else None
+    for key in list(_IVF_CENTROID_CACHE):
+        if app is None or key[0] == app:
+            del _IVF_CENTROID_CACHE[key]
+            released += 1
+    return released
+
+
+def ivf_search(e: DataFrame, cent: DataFrame) -> DataFrame:
+    """IVF probe + exact re-rank given a trained quantizer ``cent``
+    (lid, cvec): assign every corpus vector to its inverted list, pick each
+    query's N_PROBE nearest lists via the broadcast centroid join, then
+    exact-cosine re-rank only those lists' members. Split out of
+    ``embedding_ann_ivf`` so a quantizer loaded from a parquet artifact
+    (``llm.artifacts``) can serve searches with zero training scans."""
     inv = assign_nearest_list(e, cent).join(e, "vec_id")
     q = e.filter(F.col("vec_id") < N_QUERIES)
     qscored = q.crossJoin(F.broadcast(cent)).select(
@@ -372,6 +394,32 @@ def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("sim", 6).alias("sim"),
         )
     )
+
+
+def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-k: deterministic k-means coarse quantizer; every vector
+    is assigned to one inverted list via the broadcast argmin join; each
+    query probes its ``N_PROBE`` nearest lists and exact-cosine re-ranks
+    only those lists' members. Complements ``embedding_ann_lsh``: IVF
+    adapts its buckets to the data distribution (clustered corpora get
+    balanced lists where fixed hyperplanes degenerate), at the cost of a
+    training pass.
+
+    Scale shape: candidates form via an equi-join on ``lid`` — shuffle
+    keyed by list id, AQE-skew-splittable, never all-pairs; probing
+    N_PROBE/N_LISTS of the corpus bounds work per query. Training,
+    assignment, and probing are all relational (zero collects), so the
+    whole pipeline is DuckDB-oracle-checkable: the oracle replays the
+    identical deterministic training unrolled as CTEs (``_ivf_oracle``)."""
+    # localCheckpoint, not persist: training scans e 2x/iteration and the
+    # passes below scan it twice more — one eager materialization serves
+    # them all, and the ContextCleaner reclaims it when the result is
+    # dropped (a bare persist would leak across bench/oracle invocations).
+    e = rebalance_for_compute(read_table(spark, sf_dir, "embeddings"), "vec_id").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    ).localCheckpoint()
+    cent = ivf_centroids_for_dir(spark, sf_dir, e)
+    return ivf_search(e, cent)
 
 
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -530,12 +578,43 @@ WHERE rank <= {TOP_K}
 """
 
 
+_TOPK_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def topk_for_dir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached exact top-k result — the materialize-once idiom
+    (cf. ``dedup.verified_pairs_for_dir``): the merged slug's ``topk``
+    section and ``retrieval_enriched`` both consume it, so the brute-force
+    scoring pipeline runs ONCE per (session, sf_dir) instead of once per
+    section (r5 advisory). localCheckpoint, not persist: the result is
+    queries x k rows, and the ContextCleaner reclaims the blocks when the
+    cache entry is dropped."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _TOPK_CACHE.get(key)
+    if cached is None:
+        cached = embedding_topk(spark, sf_dir).localCheckpoint()
+        _TOPK_CACHE[key] = cached
+    return cached
+
+
+def clear_topk_cache(spark: SparkSession | None = None) -> int:
+    """Drop cached top-k results — mirrors ``dedup.clear_pair_cache``."""
+    released = 0
+    app = spark.sparkContext.applicationId if spark is not None else None
+    for key in list(_TOPK_CACHE):
+        if app is None or key[0] == app:
+            del _TOPK_CACHE[key]
+            released += 1
+    return released
+
+
 def register_all(register) -> None:
     from pyspark_coding_challenge_spark.plans.merge import register_merged
 
-    # exact top-k + the RAG-style enrichment ride one slug (50-slot cap)
+    # exact top-k + the RAG-style enrichment ride one slug (50-slot cap);
+    # both sections read the shared materialized top-k
     register_merged(register, "embedding_topk", [
-        ("topk", embedding_topk, EMBEDDING_TOPK_ORACLE),
+        ("topk", topk_for_dir, EMBEDDING_TOPK_ORACLE),
         ("retrieval_enriched", retrieval_enriched, RETRIEVAL_ENRICHED_ORACLE),
     ])
     register("embedding_ann_lsh", embedding_ann_lsh, _lsh_oracle())
@@ -556,7 +635,7 @@ def retrieval_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
     never decides membership); the rounded value is display-only."""
     from pyspark_coding_challenge_spark.llm.text import lexical_diversity
 
-    hits = embedding_topk(spark, sf_dir)
+    hits = topk_for_dir(spark, sf_dir)
     d = read_table(spark, sf_dir, "documents")
     lex = lexical_diversity("text")
     return (

