@@ -175,12 +175,29 @@ EVAL_MOD = 10            # synthetic eval split: doc_id % 10 == 0
 # (eval_id, shingle-hash) rows — one per token, roughly — so the guard
 # bounds eval-side TOKENS, not doc count (a 100k-doc x 1k-token suite is
 # ~10^8 broadcast rows; a doc-count bound would wave it through). Above the
-# bound the hint is dropped and the equi-join plans normally (AQE still
-# broadcasts at runtime if the built side turns out small; at extreme scale
-# the upgrade is a bloom filter pre-pass, same join afterwards).
+# bound the join goes through the BLOOM pre-pass below (r6): the train side
+# is map-side filtered against the eval shingle bitmap BEFORE the exact
+# shuffle join ever moves a row.
 BROADCAST_EVAL_MAX_TOKENS = int(
     os.environ.get("SPARK_GRAFT_BROADCAST_EVAL_MAX_TOKENS", "2000000")
 )
+
+# Bloom bitmap width (bits) for the non-broadcast decontamination path.
+# The broadcast side of the pre-pass is the set of OCCUPIED bit positions
+# — capped at BLOOM_BITS rows of one int no matter how large the eval
+# suite grows, which is the whole point of a bloom filter. 2^20 bits
+# handles ~10^5 eval shingles at ~10% false-positive (survivors still go
+# through the exact join, so FPR costs shuffle bytes, never correctness);
+# size ~10 bits/shingle at prod (10^9 shingles -> 2^33 bits = 1 GiB spread
+# across 2 broadcast semi-join builds — still executor-resident).
+DECON_BLOOM_BITS = int(os.environ.get("SPARK_GRAFT_DECON_BLOOM_BITS", str(1 << 20)))
+
+# Broadcast-vs-bloom decision probe: average English chars per
+# whitespace-token (word + the space) — used to ESTIMATE eval-side tokens
+# from the pre-materialized n_chars column instead of tokenizing the eval
+# split (r5 advisory: the old probe split every eval text — a full 10%
+# corpus pass — purely to pick a join strategy).
+CHARS_PER_TOKEN_EST = 6
 
 
 def decontaminate(spark: SparkSession, sf_dir: str,
@@ -194,10 +211,23 @@ def decontaminate(spark: SparkSession, sf_dir: str,
     Shape: shingle both sides, hash each shingle to the portable 60-bit
     fold, equi-join train-side shingle hashes against the eval side. The
     eval side gets an explicit broadcast hint only when it is genuinely
-    suite-sized: ``broadcast_eval=None`` (default) sums the eval side's
-    token counts (one column-pruned scan of the eval split — proportional
-    to what would actually be broadcast) and hints iff the total is at most
+    suite-sized: ``broadcast_eval=None`` (default) ESTIMATES the eval
+    side's token count from the pre-materialized ``n_chars`` column (one
+    skinny-column scan — never re-tokenizes the split just to pick a
+    strategy) and hints iff the estimate is at most
     ``BROADCAST_EVAL_MAX_TOKENS``; pass True/False to skip the probe.
+
+    Above the cap (``broadcast_eval=False``), the exact join is preceded
+    by a BLOOM pre-pass: eval shingle hashes are folded onto a
+    ``DECON_BLOOM_BITS``-bit bitmap via two derived positions, the
+    occupied-position set (<= DECON_BLOOM_BITS rows of one int, REGARDLESS
+    of eval size) is broadcast, and the train side is semi-joined against
+    it on both positions map-side. Only bloom survivors reach the shuffled
+    exact join, so a 10^9-shingle eval suite costs a bounded broadcast +
+    map-side filter instead of a full fact-side shuffle. False positives
+    are discarded by the exact join — output is identical on every path
+    (pinned by tests/test_llm_curation.py).
+
     Output: one row per contaminated training doc with how many eval docs
     it collides with and on how many distinct shingles.
     """
@@ -221,15 +251,32 @@ def decontaminate(spark: SparkSession, sf_dir: str,
 
     eval_docs = d.filter(F.col("doc_id") % EVAL_MOD == 0)
     if broadcast_eval is None:
-        eval_tokens = eval_docs.select(
-            F.sum(F.size(F.split(F.col("text"), " ")))
-        ).collect()[0][0]
-        broadcast_eval = (eval_tokens or 0) <= BROADCAST_EVAL_MAX_TOKENS
+        est_chars = eval_docs.select(F.sum("n_chars")).collect()[0][0] or 0
+        broadcast_eval = (
+            est_chars // CHARS_PER_TOKEN_EST <= BROADCAST_EVAL_MAX_TOKENS
+        )
 
     train = _shingle_hashes(d.filter(F.col("doc_id") % EVAL_MOD != 0))
     ev = _shingle_hashes(eval_docs).select(F.col("doc_id").alias("eval_id"), "h")
     if broadcast_eval:
         ev = F.broadcast(ev)
+    else:
+        # Bloom pre-pass: two bit positions per hash (low bits + high bits
+        # of the 60-bit fold — disjoint source bits, so effectively two
+        # hash functions). The broadcast side is the OCCUPIED-position set,
+        # bounded by the bitmap width, never by eval size.
+        m = DECON_BLOOM_BITS
+        p1 = lambda c: F.pmod(F.col(c), F.lit(m))  # noqa: E731
+        p2 = lambda c: F.pmod(F.shiftright(F.col(c), 30), F.lit(m))  # noqa: E731
+        occupied = (
+            ev.select(p1("h").alias("p"))
+            .union(ev.select(p2("h").alias("p")))
+            .distinct()
+        )
+        train = (
+            train.join(F.broadcast(occupied), p1("h") == F.col("p"), "left_semi")
+            .join(F.broadcast(occupied), p2("h") == F.col("p"), "left_semi")
+        )
     return (
         train.join(ev, on="h")
         .groupBy("doc_id")
