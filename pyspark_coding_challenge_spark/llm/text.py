@@ -414,6 +414,9 @@ def text_corpus_dup_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
         # keeps the extra exchange thin.
         .distinct()
     )
+    # count(*) here IS countDistinct(doc_id): the input is (doc_id, h)
+    # rows deduped above, so each doc contributes at most one row per hash
+    # — no within-doc collision assumption remains (r5 advisory).
     freq = h.groupBy("h").agg(F.count("*").alias("n_docs"))
     with_freq = h.join(freq, on="h")
     return (

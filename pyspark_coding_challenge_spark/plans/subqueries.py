@@ -44,10 +44,16 @@ from pyspark_coding_challenge_spark.functions.money import cents as _cents  # no
 
 
 def _view(spark: SparkSession, sf_dir: str, table: str) -> str:
-    """Register ``read_table``'s canonicalized DataFrame as a temp view with
-    a module-prefixed name (no collision with other slugs' state) and return
-    the view name for SQL text."""
-    name = f"sq_{table}"
+    """Register ``read_table``'s canonicalized DataFrame as a temp view and
+    return the view name for SQL text. The name carries an ``sf_dir``
+    digest (same idiom as ``relational.sink_parquet``'s path tag): a name
+    keyed only on the table would let concurrent construction of the same
+    slug against two sf_dirs race createOrReplaceTempView vs spark.sql and
+    bind the wrong directory's data (r5 advisory)."""
+    import hashlib
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    name = f"sq_{table}_{tag}"
     read_table(spark, sf_dir, table).createOrReplaceTempView(name)
     return name
 

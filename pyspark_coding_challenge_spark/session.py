@@ -68,12 +68,14 @@ def get_spark(
     spark = builder.getOrCreate()
     # getOrCreate IGNORES builder configs when a session already exists in
     # the process — re-assert the runtime-settable correctness-critical
-    # confs on whatever session came back (static confs like master and
-    # driver memory are unfixable post-hoc; these two decide oracle parity
-    # of every date/timestamp slug and must hold regardless).
+    # conf on whatever session came back (static confs like master and
+    # driver memory are unfixable post-hoc; the timezone decides oracle
+    # parity of every date/timestamp slug and must hold regardless).
+    # shuffle.partitions, by contrast, is legitimate runtime tuning: force
+    # it only when the caller EXPLICITLY asked for a value — silently
+    # resetting it on a shared pre-existing session would clobber other
+    # code's deliberate spark.conf.set (r5 advisory).
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set(
-        "spark.sql.shuffle.partitions",
-        str(shuffle_partitions or _cpus_as_partitions()),
-    )
+    if shuffle_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
     return spark

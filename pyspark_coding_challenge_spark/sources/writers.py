@@ -9,6 +9,8 @@ incremental.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 
 
@@ -109,7 +111,18 @@ def compact_parquet(
     parallel in the number of output files. For partitioned layouts run
     per-partition (the src/dst paths address one partition directory), so
     compaction parallelizes across partitions and never rewrites cold ones.
+
+    ``dst_path`` must differ from ``src_path``: overwrite mode DELETES the
+    destination before the lazy read of the source completes, so in-place
+    compaction would destroy the data it is compacting (r5 advisory) —
+    compact to a sibling dir and rename.
     """
+    if os.path.abspath(dst_path) == os.path.abspath(src_path):
+        raise ValueError(
+            "compact_parquet: dst_path must differ from src_path — "
+            "mode('overwrite') deletes the destination before the source "
+            "is fully read; compact to a temp dir and rename instead"
+        )
     jvm = spark.sparkContext._jvm
     jsc = spark.sparkContext._jsc
     conf = jsc.hadoopConfiguration()
