@@ -52,9 +52,17 @@ def merged_oracle(parts: list[tuple[str, str]]) -> str:
     )
 
 
+# slug -> section names, populated at registration. Introspection source
+# for scripts/bench_isolated.py's per-slug section counts (r5 verdict #7:
+# scope growth must be machine-checkable in the artifact, not narrated) —
+# a slug absent here is unmerged, i.e. one section.
+SECTION_REGISTRY: dict[str, list[str]] = {}
+
+
 def register_merged(register, slug: str,
                     parts: list[tuple[str, QueryFn, str]]) -> None:
     """Register one merged slug from (section, query_fn, oracle_sql) parts."""
+    SECTION_REGISTRY[slug] = [name for name, _, _ in parts]
     register(
         slug,
         merged_query([(name, fn) for name, fn, _ in parts]),

@@ -126,12 +126,27 @@ def main() -> None:
         slugs[slug] = entry
         print(f"{slug}: cold={rec['cold']} best={rec['best']}", file=sys.stderr)
 
+    # Per-slug registered section counts straight from the registry (r5
+    # verdict #7): scope growth between rounds is then a diff of artifacts,
+    # not prose. Unmerged slugs are one section by construction.
+    from pyspark_coding_challenge_spark import registry
+    from pyspark_coding_challenge_spark.plans.merge import SECTION_REGISTRY
+
+    section_counts = {
+        slug: len(SECTION_REGISTRY.get(slug, [slug]))
+        for slug in registry.queries()
+    }
+    for slug, entry in slugs.items():
+        if "error" not in entry:
+            entry["sections"] = section_counts.get(slug, 1)
+
     out = {
         "metric": "isolated_best_of_3",
         "protocol": "fresh process per slug; 1 cold run then best-of-3",
         "sf": sf_dir,
         "cpus": cpus,
         "slugs": slugs,
+        "section_counts": section_counts,
         "r4_anchor_source": "BASELINE.md end-of-r4 prose note (best-of-3, no cold recorded)",
     }
     line = json.dumps(out)

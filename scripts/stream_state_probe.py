@@ -1,0 +1,206 @@
+#!/usr/bin/env python
+"""Streaming state-store probe (r5 verdict next-round #8): replay a 10x
+events table through the two heaviest stateful operators in MANY
+micro-batches and record the state store's own metrics per batch —
+``numRowsTotal`` / ``memoryUsedBytes`` from StreamingQueryProgress.
+
+Why: the DuckDB oracle proves emitted VALUES; it cannot see whether
+watermark eviction actually bounds state across batches — the 100 TB
+streaming failure mode is a state store that only ever grows. This probe
+makes eviction observable: the input is written as time-ordered files
+(repartitionByRange on ts), consumed one file per trigger, so the
+watermark advances batch over batch and closed windows / expired dedup
+keys must leave the store.
+
+What bounded means here: with a 1-hour watermark over a 30-day event
+span, peak live state is O(keys active within one watermark horizon), not
+O(all keys seen) — so ``numRowsTotal`` must PLATEAU (or oscillate) well
+below the cumulative distinct-key count, and the final batch's state must
+be far below the peak-cumulative line a no-eviction operator would show.
+The artifact records the full per-batch series; the emitted verdict field
+compares peak state vs total distinct keys.
+
+Usage: ``python scripts/stream_state_probe.py [round_number]`` — writes
+``STREAM_STATE_PROBE_r{N}.json`` at the repo root when a round is given.
+Synthetic data lives under /tmp, never /root/testdata.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+
+FACTOR = 10
+N_FILES = 16  # => N_FILES micro-batches (maxFilesPerTrigger=1)
+BASE_SF = "/root/testdata/sf0.1"
+WORK = "/tmp/spark_graft_stream_probe"
+
+
+def build_events(spark) -> str:
+    """10x events: replicate with disjoint user_ids (10x key cardinality),
+    timestamps kept — eviction pressure scales with keys-per-horizon, which
+    is the quantity being probed. Written time-ordered in N_FILES files so
+    the file source's batches advance the watermark monotonically."""
+    from pyspark.sql import functions as F
+
+    import time
+
+    out = f"{WORK}/events_x{FACTOR}"
+    if os.path.exists(f"{out}/.complete"):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    base = spark.read.parquet(f"{BASE_SF}/events.parquet")
+    parts = [
+        base.select(
+            (F.col("event_id") + i * 100_000_000).alias("event_id"),
+            "ts",
+            (F.col("user_id") + i * 10_000_000).alias("user_id"),
+            "event_type", "value", "props",
+        )
+        for i in range(FACTOR)
+    ]
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    # Time buckets written SEQUENTIALLY: FileStreamSource orders batches by
+    # file modification time, so ascending mod-times give chronological
+    # replay — the watermark then advances batch over batch instead of
+    # jumping to max on an arbitrarily-ordered file and late-dropping the
+    # rest (which would make 'bounded state' trivially true for the wrong
+    # reason).
+    # TIMESTAMP_NTZ cannot cast to long directly; go through TIMESTAMP
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    lo, hi = df.agg(F.min(epoch), F.max(epoch)).collect()[0]
+    span = max(1, hi - lo + 1)
+    bucketed = df.withColumn(
+        "_b", ((epoch - F.lit(lo)) * N_FILES / F.lit(span)).cast("int")
+    ).persist()
+    bucketed.count()
+    for i in range(N_FILES):
+        bucketed.filter(F.col("_b") == i).drop("_b").coalesce(1) \
+            .write.mode("append").parquet(out)
+        time.sleep(0.3)
+    bucketed.unpersist()
+    open(f"{out}/.complete", "w").close()
+    return out
+
+
+def _drive(spark, stream, slug: str) -> list[dict]:
+    """availableNow to an append parquet sink; return per-batch state-op
+    metrics from the query's progress events."""
+    sink = f"{WORK}/{slug}/sink"
+    ck = f"{WORK}/{slug}/ck"
+    shutil.rmtree(f"{WORK}/{slug}", ignore_errors=True)
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    series = []
+    for p in q.recentProgress:
+        ops = p.get("stateOperators") or []
+        if not ops:
+            continue
+        series.append({
+            "batch": p.get("batchId"),
+            "input_rows": p.get("numInputRows"),
+            "state_rows_total": sum(o.get("numRowsTotal", 0) for o in ops),
+            "state_rows_removed": sum(o.get("numRowsRemoved", 0) for o in ops),
+            "state_memory_bytes": sum(o.get("memoryUsedBytes", 0) for o in ops),
+        })
+    return series
+
+
+def main() -> None:
+    rnd = sys.argv[1] if len(sys.argv) > 1 else None
+    os.makedirs(WORK, exist_ok=True)
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from pyspark.sql import functions as F
+
+    from pyspark_coding_challenge_spark.session import get_spark
+    from pyspark_coding_challenge_spark.sources.readers import (
+        canonicalize_ts,
+        ensure_event_ts_confs,
+    )
+    from pyspark_coding_challenge_spark.streaming.windows import WATERMARK_DELAY
+
+    spark = get_spark(app_name="stream_state_probe", master="local[32]")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "8"),
+    )
+
+    ev_dir = build_events(spark)
+    schema = spark.read.parquet(ev_dir).schema
+    total_dedup_keys = (
+        spark.read.parquet(ev_dir).select("user_id", "event_type").distinct().count()
+    )
+
+    ensure_event_ts_confs(spark)
+
+    def src():
+        # same ts canonicalization as streaming.windows.read_events_stream:
+        # the replicated parquet stores TIMESTAMP_NTZ, watermarks need TIMESTAMP
+        raw = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(ev_dir)
+        )
+        return canonicalize_ts(raw, "ts")
+
+    result: dict = {
+        "protocol": (
+            f"sf0.1 events x{FACTOR} (disjoint user_ids, original timestamps), "
+            f"{N_FILES} time-ordered files consumed 1/trigger; per-batch "
+            "stateOperators metrics from StreamingQueryProgress"
+        ),
+        "watermark": WATERMARK_DELAY,
+        "total_distinct_dedup_keys": total_dedup_keys,
+        "operators": {},
+    }
+
+    dedup = (
+        src().withWatermark("ts", WATERMARK_DELAY)
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    result["operators"]["stateful_dedup"] = _drive(spark, dedup, "dedup")
+
+    sessions = (
+        src().withWatermark("ts", WATERMARK_DELAY)
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("cnt"))
+    )
+    result["operators"]["session_windows"] = _drive(spark, sessions, "sessions")
+
+    for name, series in result["operators"].items():
+        peaks = [s["state_rows_total"] for s in series] or [0]
+        result["operators_summary_" + name] = {
+            "batches": len(series),
+            "peak_state_rows": max(peaks),
+            "final_state_rows": peaks[-1],
+            "total_removed": sum(s["state_rows_removed"] for s in series),
+            "bounded": max(peaks) < total_dedup_keys,
+        }
+
+    out = json.dumps(result)
+    print(out)
+    if rnd:
+        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        path = os.path.join(repo_root, f"STREAM_STATE_PROBE_r{rnd}.json")
+        with open(path, "w") as fh:
+            fh.write(out + "\n")
+        print(f"wrote {path}", file=sys.stderr)
+    spark.stop()
+    shutil.rmtree(WORK, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
