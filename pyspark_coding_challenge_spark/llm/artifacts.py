@@ -36,6 +36,25 @@ CENTROIDS_NAME = "ivf_centroids"
 
 _META_FILE = "_artifact_meta.json"
 
+# (applicationId, sf_dir, artifact_name) -> absolute artifact path the
+# session cache was seeded from. materialize_* consults this to avoid the
+# read-your-own-writes trap (review finding r6): after load_*, the cached
+# relation READS the artifact path, and writing mode("overwrite") to a path
+# being read raises (or worse, rewrites from stale state). A materialize
+# targeting the very path the cache was loaded from is a no-op — the bytes
+# are already there and meta-verified.
+_LOADED_FROM: dict[tuple[str, str, str], str] = {}
+
+
+def _loaded_from(spark: SparkSession, sf_dir: str, name: str) -> str | None:
+    return _LOADED_FROM.get((spark.sparkContext.applicationId, sf_dir, name))
+
+
+def _mark_loaded(spark: SparkSession, sf_dir: str, name: str, path: str) -> None:
+    _LOADED_FROM[(spark.sparkContext.applicationId, sf_dir, name)] = (
+        os.path.abspath(path)
+    )
+
 
 def _write_meta(path: str, sf_dir: str, params: dict) -> None:
     with open(os.path.join(path, _META_FILE), "w") as f:
@@ -94,6 +113,8 @@ def materialize_pairs(spark: SparkSession, sf_dir: str, artifact_dir: str) -> st
     from pyspark_coding_challenge_spark.llm.dedup import verified_pairs_for_dir
 
     path = os.path.join(artifact_dir, PAIRS_NAME)
+    if _loaded_from(spark, sf_dir, PAIRS_NAME) == os.path.abspath(path):
+        return path  # cache was seeded FROM this path — bytes already there
     verified_pairs_for_dir(spark, sf_dir).write.mode("overwrite").parquet(path)
     _write_meta(path, sf_dir, _pairs_params())
     return path
@@ -116,6 +137,7 @@ def load_pairs(spark: SparkSession, sf_dir: str, artifact_dir: str,
             old.unpersist()
         df = df.persist()
         D._VERIFIED_PAIRS_CACHE[key] = df
+        _mark_loaded(spark, sf_dir, PAIRS_NAME, path)
     return df
 
 
@@ -127,6 +149,8 @@ def materialize_spans(spark: SparkSession, sf_dir: str, artifact_dir: str) -> st
     from pyspark_coding_challenge_spark.llm.text import shared_span_starts_for_dir
 
     path = os.path.join(artifact_dir, SPANS_NAME)
+    if _loaded_from(spark, sf_dir, SPANS_NAME) == os.path.abspath(path):
+        return path
     shared_span_starts_for_dir(spark, sf_dir).write.mode("overwrite").parquet(path)
     _write_meta(path, sf_dir, _spans_params())
     return path
@@ -146,6 +170,7 @@ def load_spans(spark: SparkSession, sf_dir: str, artifact_dir: str,
             old.unpersist()
         df = df.persist()
         T._SHARED_SPANS_CACHE[key] = df
+        _mark_loaded(spark, sf_dir, SPANS_NAME, path)
     return df
 
 
@@ -158,6 +183,8 @@ def materialize_ivf_centroids(spark: SparkSession, sf_dir: str,
     from pyspark_coding_challenge_spark.llm.similarity import ivf_centroids_for_dir
 
     path = os.path.join(artifact_dir, CENTROIDS_NAME)
+    if _loaded_from(spark, sf_dir, CENTROIDS_NAME) == os.path.abspath(path):
+        return path
     ivf_centroids_for_dir(spark, sf_dir).write.mode("overwrite").parquet(path)
     _write_meta(path, sf_dir, _centroid_params())
     return path
@@ -173,6 +200,7 @@ def load_ivf_centroids(spark: SparkSession, sf_dir: str, artifact_dir: str,
     if install:
         key = (spark.sparkContext.applicationId, sf_dir)
         S._IVF_CENTROID_CACHE[key] = df
+        _mark_loaded(spark, sf_dir, CENTROIDS_NAME, path)
     return df
 
 

@@ -268,9 +268,12 @@ def decontaminate(spark: SparkSession, sf_dir: str,
         m = DECON_BLOOM_BITS
         p1 = lambda c: F.pmod(F.col(c), F.lit(m))  # noqa: E731
         p2 = lambda c: F.pmod(F.shiftright(F.col(c), 30), F.lit(m))  # noqa: E731
+        # ONE eval-side pass builds the bitmap (explode both positions from
+        # the same rows) — a union of two selects would re-run the eval
+        # shingle+md5 kernel per branch (review finding r6); the exact join
+        # below is then the second and last eval pass.
         occupied = (
-            ev.select(p1("h").alias("p"))
-            .union(ev.select(p2("h").alias("p")))
+            ev.select(F.explode(F.array(p1("h"), p2("h"))).alias("p"))
             .distinct()
         )
         train = (

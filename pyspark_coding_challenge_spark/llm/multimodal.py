@@ -86,8 +86,14 @@ def decode_meta_real_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.
     import pandas as pd
 
     for pdf in batches:
+        # NULL payload -> empty bytes, mirroring _with_payload's coalesce:
+        # unlike the registered fake path, this kernel is advertised for
+        # arbitrary (doc_id, payload) relations, so the null guard must
+        # live in the kernel itself — len(None)/Image.open(None) would
+        # abort the whole task for one null row (review finding r6).
+        payloads = pdf["payload"].map(lambda b: b if b is not None else b"")
         dims = []
-        for b in pdf["payload"]:
+        for b in payloads:
             try:
                 dims.append(decode_image_real(b))
             except NotImplementedError:
@@ -97,8 +103,8 @@ def decode_meta_real_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
-                "n_bytes": pdf["payload"].map(len).astype("int32"),
-                "first_byte": pdf["payload"].map(lambda b: b[0] if len(b) else -1).astype("int32"),
+                "n_bytes": payloads.map(len).astype("int32"),
+                "first_byte": payloads.map(lambda b: b[0] if len(b) else -1).astype("int32"),
                 "fake_width": pd.Series([d[0] for d in dims], index=pdf.index, dtype="int32"),
                 "fake_height": pd.Series([d[1] for d in dims], index=pdf.index, dtype="int32"),
                 "channels": pd.Series([d[2] for d in dims], index=pdf.index, dtype="int32"),

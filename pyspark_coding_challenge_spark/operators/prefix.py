@@ -60,7 +60,13 @@ def with_range_shard(
     duplicate ORDER keys are the caller's tie-break problem, not this
     function's."""
     qs = [i / n_shards for i in range(1, n_shards)]
-    stats = df.agg(F.percentile_approx(key_col, qs).alias("_breaks"))
+    # localCheckpoint pins ONE evaluation of the quantile pass:
+    # sharded_cumsum references the sharded df in two plan branches, and
+    # approx-quantile merge order is not deterministic across shuffle
+    # fetches — two independent evaluations could disagree at a break
+    # boundary and assign the same row different shards per branch
+    # (review finding r6). The checkpointed relation is 1 row.
+    stats = df.agg(F.percentile_approx(key_col, qs).alias("_breaks")).localCheckpoint()
     shard = F.expr(
         f"CAST(size(filter(_breaks, b -> b <= {key_col})) AS INT)"
     )
@@ -105,17 +111,26 @@ def sharded_cumsum(
         .orderBy(shard_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    # NULL-SAFE join back (review finding r6): Window.partitionBy keeps a
+    # NULL partition key as its own group, but join(on=[names]) is
+    # null-unsafe and would silently DROP those rows — diverging from the
+    # single-level window this function claims to exactly replace. The
+    # offsets side is renamed and joined with eqNullSafe on every key.
+    keys = [*part_cols, shard_col]
     offsets = totals.select(
-        *part_cols,
-        shard_col,
+        *[F.col(c).alias(f"_ok_{c}") for c in keys],
         F.coalesce(F.sum("_shard_total").over(w_off), F.lit(0))
         .cast("bigint")
         .alias("_shard_off"),
     )
+    cond = None
+    for c in keys:
+        eq = local[c].eqNullSafe(offsets[f"_ok_{c}"])
+        cond = eq if cond is None else cond & eq
     out = (
-        local.join(F.broadcast(offsets), on=[*part_cols, shard_col])
+        local.join(F.broadcast(offsets), on=cond)
         .withColumn(out_col, F.col(out_col) + F.col("_shard_off"))
-        .drop("_shard_off")
+        .drop("_shard_off", *[f"_ok_{c}" for c in keys])
     )
     return out.drop(shard_col) if drop_shard else out
 

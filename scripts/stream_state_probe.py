@@ -87,9 +87,11 @@ def build_events(spark) -> str:
     return out
 
 
-def _drive(spark, stream, slug: str) -> list[dict]:
-    """availableNow to an append parquet sink; return per-batch state-op
-    metrics from the query's progress events."""
+def _drive(spark, stream, slug: str) -> tuple[list[dict], int]:
+    """availableNow to an append parquet sink; return (per-batch state-op
+    metrics from the query's progress events, total emitted rows). The
+    emitted total is each operator's own no-eviction baseline — a store
+    that never evicted would hold ~every emitted key/window at the end."""
     sink = f"{WORK}/{slug}/sink"
     ck = f"{WORK}/{slug}/ck"
     shutil.rmtree(f"{WORK}/{slug}", ignore_errors=True)
@@ -114,7 +116,8 @@ def _drive(spark, stream, slug: str) -> list[dict]:
             "state_rows_removed": sum(o.get("numRowsRemoved", 0) for o in ops),
             "state_memory_bytes": sum(o.get("memoryUsedBytes", 0) for o in ops),
         })
-    return series
+    emitted = spark.read.parquet(sink).count()
+    return series, emitted
 
 
 def main() -> None:
@@ -171,15 +174,25 @@ def main() -> None:
         .dropDuplicatesWithinWatermark(["user_id", "event_type"])
         .select("user_id", "event_type")
     )
-    result["operators"]["stateful_dedup"] = _drive(spark, dedup, "dedup")
+    dedup_series, dedup_emitted = _drive(spark, dedup, "dedup")
+    result["operators"]["stateful_dedup"] = dedup_series
 
     sessions = (
         src().withWatermark("ts", WATERMARK_DELAY)
         .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
         .agg(F.count("*").alias("cnt"))
     )
-    result["operators"]["session_windows"] = _drive(spark, sessions, "sessions")
+    sess_series, sess_emitted = _drive(spark, sessions, "sessions")
+    result["operators"]["session_windows"] = sess_series
 
+    # Per-operator no-eviction baseline (review finding r6): the dedup
+    # store's is the distinct key count; the session store's is its OWN
+    # emitted session count — comparing session state against dedup keys
+    # would make the verdict depend on an unrelated denominator.
+    baselines = {
+        "stateful_dedup": max(total_dedup_keys, dedup_emitted),
+        "session_windows": sess_emitted,
+    }
     for name, series in result["operators"].items():
         peaks = [s["state_rows_total"] for s in series] or [0]
         result["operators_summary_" + name] = {
@@ -187,7 +200,8 @@ def main() -> None:
             "peak_state_rows": max(peaks),
             "final_state_rows": peaks[-1],
             "total_removed": sum(s["state_rows_removed"] for s in series),
-            "bounded": max(peaks) < total_dedup_keys,
+            "no_eviction_baseline_rows": baselines[name],
+            "bounded": max(peaks) < baselines[name],
         }
 
     out = json.dumps(result)

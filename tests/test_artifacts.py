@@ -135,3 +135,22 @@ def test_pairs_artifact_survives_fresh_session(spark, tmp_path):
     line = [l for l in proc.stdout.splitlines() if l.startswith("ROWS_JSON:")][0]
     got = json.loads(line[len("ROWS_JSON:"):])
     assert got == [list(r) for r in expected]
+
+
+def test_materialize_after_load_same_path_is_noop(spark, tmp_path):
+    """Review finding r6: after load_pairs seeds the cache FROM an artifact
+    path, re-materializing to that same path must not overwrite a parquet
+    dir the cached relation is reading (Spark refuses, or worse) — it is a
+    no-op, the bytes are already there."""
+    from pyspark_coding_challenge_spark.llm.dedup import (
+        clear_pair_cache,
+        dedup_minhash_lsh,
+    )
+
+    A.materialize_pairs(spark, SF_DIR, str(tmp_path))
+    clear_pair_cache(spark)
+    A.load_pairs(spark, SF_DIR, str(tmp_path))
+    path = A.materialize_pairs(spark, SF_DIR, str(tmp_path))
+    assert path.endswith(A.PAIRS_NAME)
+    assert dedup_minhash_lsh(spark, SF_DIR).count() >= 0
+    clear_pair_cache(spark)

@@ -53,3 +53,15 @@ def test_real_decode_plan_is_arrow_batched(spark):
     )
     assert "MapInPandas" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_real_decode_null_payload_is_quarantined(spark):
+    """NULL payload rows must quarantine like corrupt ones, not abort the
+    task (review finding r6) — the kernel null-guards its own input since
+    it accepts arbitrary relations."""
+    df = spark.createDataFrame(
+        [(1, None), (2, _png_bytes(5, 5))], "doc_id BIGINT, payload BINARY"
+    )
+    got = {r.doc_id: r for r in multimodal_decode_meta_real(df).collect()}
+    assert (got[1].n_bytes, got[1].first_byte, got[1].channels) == (0, -1, 0)
+    assert (got[2].fake_width, got[2].fake_height) == (5, 5)

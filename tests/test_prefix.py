@@ -167,3 +167,25 @@ def test_quantile_shard_balances_gappy_id_blocks(spark):
               sharded.groupBy("_shard").agg(F.count("*").alias("cnt")).collect()]
     assert len(counts) >= 64, len(counts)
     assert max(counts) <= 4000 // 32, max(counts)
+
+
+def test_null_partition_key_rows_survive(spark):
+    """Review finding r6: Window.partitionBy keeps a NULL partition key as
+    its own group; the offset join-back must be null-safe or those rows
+    silently vanish from pack_sequences/batch_plan/token_budget output."""
+    d = spark.createDataFrame(
+        [(1, None, 5), (2, None, 7), (3, "a", 11)],
+        "doc_id bigint, source string, n_tokens bigint",
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    expected = d.withColumn("cum", F.sum("n_tokens").over(w).cast("bigint"))
+    got = sharded_cumsum(
+        with_range_shard(d, "doc_id"), ["source"], ["doc_id"], "n_tokens", "cum"
+    )
+    cols = ["doc_id", "source", "cum"]
+    assert _rows(got, cols) == _rows(expected, cols)
+    assert got.count() == 3
