@@ -129,6 +129,7 @@ def main() -> None:
     # Per-slug registered section counts straight from the registry (r5
     # verdict #7): scope growth between rounds is then a diff of artifacts,
     # not prose. Unmerged slugs are one section by construction.
+    sys.path.insert(0, repo_root)  # the script runs from scripts/
     from pyspark_coding_challenge_spark import registry
     from pyspark_coding_challenge_spark.plans.merge import SECTION_REGISTRY
 
