@@ -368,35 +368,49 @@ def source_quantile_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents from any singleton source, silently eliminating exactly the
     small/new sources the stratification exists to protect.
 
-    Scale shape: ONE shuffle on source; rank and count ride the same
-    window partition. Caveat at 100 TB: a single source's exact rank is
-    one sort partition — production swaps the exact rank for a per-source
-    approx-quantile threshold (computed map-side, broadcast back), keeping
-    this operator as the small-stratum / audit path."""
+    Scale shape (r6): the output contract includes each doc's EXACT
+    per-source rank, so a per-source total order is unavoidable — but the
+    sort need not serialize: the rank is the two-level row_number from
+    ``operators.prefix``, sharded on the negated score (monotone in the
+    DESC rank order), so parallelism is the live shard count rather than
+    the ~20 sources. The scored relation is localCheckpoint-ed first — the
+    tokenize pass runs ONCE and the quantile/window/totals/count branches
+    all read the skinny (doc_id, source, score) materialization instead of
+    re-tokenizing the corpus per branch."""
     from pyspark_coding_challenge_spark.llm.text import lexical_diversity
+    from pyspark_coding_challenge_spark.operators.prefix import (
+        sharded_row_number,
+        with_range_shard,
+    )
 
     d = read_table(spark, sf_dir, "documents")
     # rank on the UNROUNDED ratio (IEEE-identical across engines); the
     # rounded value is display-only — see lexical_diversity's docstring.
-    w = Window.partitionBy("source")
-    scored = d.select("doc_id", "source", lexical_diversity().alias("_lex"))
-    ranked = scored.select(
+    scored = (
+        d.select("doc_id", "source", lexical_diversity().alias("_lex"))
+        .withColumn("_neg_lex", -F.col("_lex"))
+        .localCheckpoint()
+    )
+    ranked = sharded_row_number(
+        with_range_shard(scored, "_neg_lex"),
+        ["source"],
+        [F.col("_lex").desc(), F.col("doc_id").asc()],
+        "src_rank",
+    )
+    counts = scored.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_source")
+    ).select(F.col("source").alias("_cs"), "n_source")
+    out = ranked.join(
+        F.broadcast(counts), ranked["source"].eqNullSafe(counts["_cs"])
+    ).drop("_cs")
+    return out.select(
         "doc_id",
         "source",
         F.round(F.col("_lex"), 6).alias("lex_div"),
-        F.row_number().over(
-            w.orderBy(F.col("_lex").desc(), F.col("doc_id").asc())
-        ).alias("src_rank"),
-        F.count("*").over(w).cast("bigint").alias("n_source"),
-    )
-    return ranked.select(
-        "doc_id",
-        "source",
-        "lex_div",
-        "src_rank",
+        F.col("src_rank").cast("int").alias("src_rank"),
         "n_source",
         # bigint math: int32 rank * 10000 overflows past ~214k rows/source
-        ((F.col("src_rank").cast("bigint") - 1) * 10000 < F.lit(KEEP_BP) * F.col("n_source"))
+        ((F.col("src_rank") - 1) * 10000 < F.lit(KEEP_BP) * F.col("n_source"))
         .cast("int").alias("keep"),
     )
 

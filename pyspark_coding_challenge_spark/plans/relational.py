@@ -1423,7 +1423,17 @@ def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution window functions (ntile / percent_rank / cume_dist /
     first / last) per market segment. The ordering key (acctbal cents,
     custkey) is collision-free, so ranks are cross-engine deterministic;
-    percent_rank and cume_dist are exact rationals rounded at 6 dp."""
+    percent_rank and cume_dist are exact rationals rounded at 6 dp.
+
+    Scale note: c_mktsegment has 5 values, so each window partition is one
+    sort task — this slug deliberately exercises Spark's BUILT-IN
+    distribution functions (the parity surface), not the scale path. At
+    100 TB the same outputs decompose onto the two-level machinery in
+    ``operators/prefix.py``: rank = sharded_row_number on the unique
+    (cents, custkey) order, n = a broadcast count join, then
+    percent_rank = (rank-1)/(n-1), cume_dist = rank/n (unique keys), and
+    ntile from (rank, n) arithmetic — cf. ``curation.source_quantile_cut``
+    which ships that decomposition."""
     c = read_table(spark, sf_dir, "customer")
     w = Window.partitionBy("c_mktsegment").orderBy(
         _cents("c_acctbal"), F.col("c_custkey")

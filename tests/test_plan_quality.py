@@ -162,13 +162,19 @@ def test_chunking_is_pure_narrow_codegen(spark):
     assert plan.count("FileScan parquet") == 1
 
 
-def test_source_quantile_cut_single_exchange(spark):
-    """Rank and count share one window partition on source — one shuffle,
-    one scan; a second exchange or scan would double the corpus pass."""
+def test_source_quantile_cut_sharded_rank_single_tokenize(spark):
+    """r6 two-level rewrite: the exact per-source rank must fan out past
+    the ~20 sources (wide window partitions by _shard too), and the
+    corpus tokenize pass runs ONCE — every branch reads the checkpointed
+    scored relation, so the final plan holds NO parquet scan and the wide
+    exchanges key on (source, _shard)."""
     from pyspark_coding_challenge_spark.llm import curation as C
     plan = _plan_fn(spark, C.source_quantile_cut)
-    assert plan.count("Exchange hashpartitioning") == 1
-    assert plan.count("FileScan parquet") == 1
+    assert plan.count("FileScan parquet") == 0, plan
+    assert "_shard#" in plan
+    wide = [ln for ln in plan.splitlines()
+            if "windowspecdefinition" in ln and "_shard_total" not in ln]
+    assert wide and all("_shard#" in ln for ln in wide), plan
 
 
 def test_decontaminate_broadcasts_eval_side(spark):
