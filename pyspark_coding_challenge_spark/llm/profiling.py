@@ -246,13 +246,17 @@ def token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     table broadcast back. Values are bit-identical to the single-level
     window the DuckDB oracle runs; the budget cut then discards the tail
     without materializing it downstream."""
+    from pyspark_coding_challenge_spark.llm.text import shared_doc_signals_for_dir
     from pyspark_coding_challenge_spark.operators.prefix import sharded_cumsum
 
-    d = read_table(spark, sf_dir, "documents")
+    # token counts come from the fused signals relation (ws_tok ==
+    # n_tokens_col): the prefix branches read the persisted skinny rows
+    # instead of re-tokenizing the corpus per branch (r6)
+    sig = shared_doc_signals_for_dir(spark, sf_dir)
     h = md5_fold60(F.concat(F.lit("tb:"), F.col("doc_id").cast("string")))
-    base = d.select(
+    base = sig.select(
         "doc_id", "source",
-        n_tokens_col().alias("n_tokens"),
+        F.col("ws_tok").cast("int").alias("n_tokens"),
         h.alias("_h"),
     ).withColumn("_shard", F.expr("CAST(shiftright(_h, 52) AS INT)"))
     return (
@@ -307,13 +311,14 @@ def batch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     on doc_id (monotone — order preserved exactly), local numbering within
     (source, bucket, shard), broadcast offset add. Values are bit-identical
     to the single-level window the DuckDB oracle runs."""
+    from pyspark_coding_challenge_spark.llm.text import shared_doc_signals_for_dir
     from pyspark_coding_challenge_spark.operators.prefix import (
         sharded_row_number,
         with_range_shard,
     )
 
-    d = read_table(spark, sf_dir, "documents")
-    n = n_tokens_col()
+    sig = shared_doc_signals_for_dir(spark, sf_dir)
+    n = F.col("ws_tok").cast("int")
     bucket = (
         F.when(n <= LEN_BOUNDS[0], 0)
         .when(n <= LEN_BOUNDS[1], 1)
@@ -323,7 +328,7 @@ def batch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
     )
     base = with_range_shard(
-        d.select(
+        sig.select(
             "doc_id", "source", n.alias("n_tokens"), bucket.alias("len_bucket")
         ),
         "doc_id",

@@ -107,6 +107,10 @@ def shared_doc_signals_for_dir(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = t.select(
         "doc_id",
         "lang",
+        # source rides along (one short string per doc) so the sharded
+        # packing/batching/budgeting kernels can consume this relation
+        # instead of re-tokenizing the corpus per plan branch (r6).
+        "source",
         F.length("text").alias("n_chars_len"),
         # lower() preserves spaces, so the whitespace token count IS the
         # lowered token count — no second split of the raw text.
@@ -482,12 +486,16 @@ def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_range_shard,
     )
 
-    d = read_table(spark, sf_dir, "documents")
+    # the fused signals relation already holds the whitespace token count
+    # (ws_tok == size(split(text)) — lower() preserves spaces): the two
+    # prefix branches then read the persisted skinny relation instead of
+    # tokenizing the corpus once per branch
+    sig = shared_doc_signals_for_dir(spark, sf_dir)
     base = with_range_shard(
-        d.select(
+        sig.select(
             "doc_id",
             "source",
-            F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
+            F.col("ws_tok").cast("bigint").alias("n_tokens"),
         ),
         "doc_id",
     )
