@@ -373,21 +373,27 @@ def source_quantile_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort need not serialize: the rank is the two-level row_number from
     ``operators.prefix``, sharded on the negated score (monotone in the
     DESC rank order), so parallelism is the live shard count rather than
-    the ~20 sources. The scored relation is localCheckpoint-ed first — the
-    tokenize pass runs ONCE and the quantile/window/totals/count branches
-    all read the skinny (doc_id, source, score) materialization instead of
-    re-tokenizing the corpus per branch."""
-    from pyspark_coding_challenge_spark.llm.text import lexical_diversity
+    the ~20 sources. Scores come from the fused signals relation (the
+    session-shared tokenize pass) and the skinny (doc_id, source, score)
+    projection is localCheckpoint-ed so the quantile/window/totals/count
+    branches never recompute anything corpus-sized."""
+    from pyspark_coding_challenge_spark.llm.text import shared_doc_signals_for_dir
     from pyspark_coding_challenge_spark.operators.prefix import (
         sharded_row_number,
         with_range_shard,
     )
 
-    d = read_table(spark, sf_dir, "documents")
     # rank on the UNROUNDED ratio (IEEE-identical across engines); the
     # rounded value is display-only — see lexical_diversity's docstring.
+    # n_uniq/n_tok from the fused signals relation IS lexical_diversity
+    # (same ints, same IEEE division), so the corpus tokenize pass is the
+    # shared one — this operator re-tokenizes nothing (r6 review finding).
+    sig = shared_doc_signals_for_dir(spark, sf_dir)
     scored = (
-        d.select("doc_id", "source", lexical_diversity().alias("_lex"))
+        sig.select(
+            "doc_id", "source",
+            (F.col("n_uniq").cast("double") / F.col("n_tok")).alias("_lex"),
+        )
         .withColumn("_neg_lex", -F.col("_lex"))
         .localCheckpoint()
     )

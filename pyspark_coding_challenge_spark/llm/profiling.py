@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from pyspark_coding_challenge_spark.llm.dedup import md5_fold60, sql_md5_fold60
-from pyspark_coding_challenge_spark.llm.text import n_tokens_col, sql_n_tokens
+from pyspark_coding_challenge_spark.llm.text import sql_n_tokens
 from pyspark_coding_challenge_spark.sources.readers import read_table
 
 _SQL_NTOK = sql_n_tokens("text")
@@ -246,18 +246,16 @@ def token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     table broadcast back. Values are bit-identical to the single-level
     window the DuckDB oracle runs; the budget cut then discards the tail
     without materializing it downstream."""
-    from pyspark_coding_challenge_spark.llm.text import shared_doc_signals_for_dir
+    from pyspark_coding_challenge_spark.llm.text import shared_token_spine_for_dir
     from pyspark_coding_challenge_spark.operators.prefix import sharded_cumsum
 
-    # token counts come from the fused signals relation (ws_tok ==
-    # n_tokens_col): the prefix branches read the persisted skinny rows
-    # instead of re-tokenizing the corpus per branch (r6)
-    sig = shared_doc_signals_for_dir(spark, sf_dir)
+    # token counts come from the cached 3-column token spine: the prefix
+    # branches read persisted skinny rows instead of re-tokenizing the
+    # corpus per branch (r6)
+    spine = shared_token_spine_for_dir(spark, sf_dir)
     h = md5_fold60(F.concat(F.lit("tb:"), F.col("doc_id").cast("string")))
-    base = sig.select(
-        "doc_id", "source",
-        F.col("ws_tok").cast("int").alias("n_tokens"),
-        h.alias("_h"),
+    base = spine.select(
+        "doc_id", "source", "n_tokens", h.alias("_h"),
     ).withColumn("_shard", F.expr("CAST(shiftright(_h, 52) AS INT)"))
     return (
         sharded_cumsum(
@@ -311,14 +309,14 @@ def batch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     on doc_id (monotone — order preserved exactly), local numbering within
     (source, bucket, shard), broadcast offset add. Values are bit-identical
     to the single-level window the DuckDB oracle runs."""
-    from pyspark_coding_challenge_spark.llm.text import shared_doc_signals_for_dir
+    from pyspark_coding_challenge_spark.llm.text import shared_token_spine_for_dir
     from pyspark_coding_challenge_spark.operators.prefix import (
         sharded_row_number,
         with_range_shard,
     )
 
-    sig = shared_doc_signals_for_dir(spark, sf_dir)
-    n = F.col("ws_tok").cast("int")
+    spine = shared_token_spine_for_dir(spark, sf_dir)
+    n = F.col("n_tokens")
     bucket = (
         F.when(n <= LEN_BOUNDS[0], 0)
         .when(n <= LEN_BOUNDS[1], 1)
@@ -328,8 +326,8 @@ def batch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
     )
     base = with_range_shard(
-        sig.select(
-            "doc_id", "source", n.alias("n_tokens"), bucket.alias("len_bucket")
+        spine.select(
+            "doc_id", "source", "n_tokens", bucket.alias("len_bucket")
         ),
         "doc_id",
     )

@@ -128,6 +128,44 @@ def shared_doc_signals_for_dir(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sig
 
 
+_TOKEN_SPINE_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def shared_token_spine_for_dir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached TOKEN SPINE: (doc_id, source, n_tokens) — the
+    3-column relation the packing/batching/budgeting kernels consume.
+    Deliberately separate from ``shared_doc_signals_for_dir``: persist()
+    materializes ALL columns on first use, so a session that only packs
+    would otherwise pay the BPE regex and 2-gram array work of the full
+    signals relation for nothing (r6 review finding — the skew probe
+    regressed 23-38% when the kernels briefly rode the full relation).
+    ``n_tokens`` comes from ``n_tokens_col`` — THE tokenization contract —
+    so the centralized pairing with ``sql_n_tokens`` stays live."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _TOKEN_SPINE_CACHE.get(key)
+    if cached is not None:
+        return cached
+    d = read_table(spark, sf_dir, "documents")
+    spine = d.select("doc_id", "source", n_tokens_col().alias("n_tokens")).persist()
+    _TOKEN_SPINE_CACHE[key] = spine
+    return spine
+
+
+def clear_token_spine_cache(spark: SparkSession | None = None) -> int:
+    """Release cached token spines — mirrors ``clear_doc_signals_cache``."""
+    released = 0
+    app = spark.sparkContext.applicationId if spark is not None else None
+    for key in list(_TOKEN_SPINE_CACHE):
+        if app is None or key[0] == app:
+            try:
+                _TOKEN_SPINE_CACHE[key].unpersist()
+            except Exception:
+                pass  # session already stopped; the entry is dead either way
+            del _TOKEN_SPINE_CACHE[key]
+            released += 1
+    return released
+
+
 def clear_doc_signals_cache(spark: SparkSession | None = None) -> int:
     """Release cached doc-signal relations (all, or one session's) —
     mirrors ``clear_span_cache`` / ``dedup.clear_pair_cache``."""
@@ -486,16 +524,15 @@ def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_range_shard,
     )
 
-    # the fused signals relation already holds the whitespace token count
-    # (ws_tok == size(split(text)) — lower() preserves spaces): the two
-    # prefix branches then read the persisted skinny relation instead of
-    # tokenizing the corpus once per branch
-    sig = shared_doc_signals_for_dir(spark, sf_dir)
+    # the cached token spine tokenizes ONCE; the two prefix branches then
+    # read the persisted 3-column relation instead of re-splitting the
+    # corpus per branch
+    spine = shared_token_spine_for_dir(spark, sf_dir)
     base = with_range_shard(
-        sig.select(
+        spine.select(
             "doc_id",
             "source",
-            F.col("ws_tok").cast("bigint").alias("n_tokens"),
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
         ),
         "doc_id",
     )

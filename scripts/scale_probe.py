@@ -82,6 +82,7 @@ def probe(spark, sf_dir: str) -> dict[str, float]:
     # persisted relations don't pressure later, larger ones)
     T.clear_span_cache(spark)
     T.clear_doc_signals_cache(spark)  # span_dup's n_tokens spine rides it
+    T.clear_token_spine_cache(spark)  # pack/batch/budget kernels ride it
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     run("minhash_verify_chain",
         lambda: D.verify_jaccard(docs, D.lsh_candidate_pairs(docs)))
@@ -206,6 +207,8 @@ def probe_skew(spark, sf_dir: str) -> dict:
         build().write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    # every factor times the full chain: drop prior factors' cached spines
+    T.clear_token_spine_cache(spark)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
 
     def single_level_pack():
