@@ -64,11 +64,6 @@ def asof_join(
     columns when ``how='left'`` and are dropped when ``how='inner'``.
     """
     _check_orders(left_order, right_order)
-    if how not in ("left", "inner"):
-        # validate BEFORE the right_within delegation: the ranked form's
-        # outer joins would otherwise silently emit all-NULL-left rows
-        # ranked inside one NULL window partition
-        raise ValueError(f"asof_join supports how='left'|'inner', got {how!r}")
     if right_within is not None:
         return asof_join_ranked(left, right, on, left_order, right_order,
                                 how, right_within)
@@ -130,6 +125,15 @@ def asof_join_ranked(
     with L left and R right rows the intermediate is O(L*R) before the rank
     filter — use the merge form unless ``right_within`` is needed."""
     _check_orders(left_order, right_order)
+    if how not in ("left", "inner"):
+        # the guard lives HERE (not only in the asof_join wrapper, r6
+        # review finding) so direct callers hit it too: an outer join
+        # would emit unmatched right rows with all-NULL left columns,
+        # which collapse into one NULL window partition and surface as a
+        # single nondeterministic phantom row
+        raise ValueError(
+            f"asof_join_ranked supports how='left'|'inner', got {how!r}"
+        )
     lt = left.alias("l")
     rt = right.alias("r")
 

@@ -54,9 +54,14 @@ from pyspark_coding_challenge_spark.functions.arrays import pad_truncate, sorted
 # semantics. Callers that truly need unbounded large-K history pass an
 # explicit huge lookback_days.
 ROLLING_AUTO_LOOKBACK_MIN_K = 64
-ROLLING_AUTO_LOOKBACK_DAYS = int(
-    os.environ.get("SPARK_GRAFT_ROLLING_LOOKBACK_DAYS", "365")
-)
+
+
+def _auto_lookback_days() -> int:
+    """SPARK_GRAFT_ROLLING_LOOKBACK_DAYS, read at CALL time — same
+    rationale as ``session._cpus_as_partitions`` (the env var may be set
+    after import; an import-time read would silently ignore it and keep
+    dropping history past the default horizon, r6 review finding)."""
+    return int(os.environ.get("SPARK_GRAFT_ROLLING_LOOKBACK_DAYS", "365"))
 
 
 def last_k_history(
@@ -183,7 +188,7 @@ def rolling_last_k_history(
     Large-K guard (r4 verdict #4): when ``k`` exceeds
     ``ROLLING_AUTO_LOOKBACK_MIN_K`` and ``lookback_days`` is None, the
     bounded path is selected automatically with
-    ``ROLLING_AUTO_LOOKBACK_DAYS`` — see the constant's comment for why the
+    ``_auto_lookback_days()`` — see its comment for why the
     unbounded frame is quadratic in K and the horizon is lossless in
     practice. This CHANGES semantics for large-K entities whose last K
     actions stretch past the horizon (older actions drop out). Pass any
@@ -193,10 +198,10 @@ def rolling_last_k_history(
     testdata.
     """
     if lookback_days is None and k > ROLLING_AUTO_LOOKBACK_MIN_K:
-        lookback_days = ROLLING_AUTO_LOOKBACK_DAYS
+        lookback_days = _auto_lookback_days()
     # Normalize AFTER the auto-default too: a nonpositive value — from the
     # caller OR from the SPARK_GRAFT_ROLLING_LOOKBACK_DAYS env var feeding
-    # ROLLING_AUTO_LOOKBACK_DAYS — means "exact unbounded path"; letting it
+    # the auto lookback — means "exact unbounded path"; letting it
     # through would build an inverted rangeBetween frame and fail analysis.
     if lookback_days is not None and lookback_days <= 0:
         lookback_days = None  # explicit unbounded opt-in

@@ -95,16 +95,29 @@ def sharded_cumsum(
     ``with_range_shard`` on the leading order key, or a shiftright of a
     bounded hash). Plan shape: one window over (part, shard) — the wide
     side, parallelism = live shard count — plus one small aggregate +
-    window over at most ``parts x n_shards`` rows, broadcast back."""
+    window over at most ``parts x n_shards`` rows, broadcast back.
+
+    NOTE the totals aggregate is a SECOND evaluation of ``df``: pass a
+    persisted/checkpointed relation (every in-repo caller reads the cached
+    token spine / signals projection) or the wide input is scanned twice."""
     val_c = F.col(val) if isinstance(val, str) else val
     w_local = (
         Window.partitionBy(*part_cols, shard_col)
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    local = df.withColumn(out_col, F.sum(val_c).over(w_local).cast("bigint"))
+    # _nn tracks how many NON-NULL values the prefix has seen: sum() is
+    # NULL only while its whole frame is NULL, and that property must hold
+    # across shards too — a shard whose local prefix is all-NULL takes the
+    # prior shards' running sum if THEY had values, and stays NULL only
+    # when nothing before it had one (r6 review finding,
+    # execution-confirmed divergence).
+    local = df.withColumn(
+        out_col, F.sum(val_c).over(w_local).cast("bigint")
+    ).withColumn("_nn", F.count(val_c).over(w_local))
     totals = df.groupBy(*part_cols, shard_col).agg(
-        F.sum(val_c).cast("bigint").alias("_shard_total")
+        F.sum(val_c).cast("bigint").alias("_shard_total"),
+        F.count(val_c).alias("_shard_nn"),
     )
     w_off = (
         Window.partitionBy(*part_cols)
@@ -122,6 +135,7 @@ def sharded_cumsum(
         F.coalesce(F.sum("_shard_total").over(w_off), F.lit(0))
         .cast("bigint")
         .alias("_shard_off"),
+        F.coalesce(F.sum("_shard_nn").over(w_off), F.lit(0)).alias("_off_nn"),
     )
     cond = None
     for c in keys:
@@ -129,8 +143,14 @@ def sharded_cumsum(
         cond = eq if cond is None else cond & eq
     out = (
         local.join(F.broadcast(offsets), on=cond)
-        .withColumn(out_col, F.col(out_col) + F.col("_shard_off"))
-        .drop("_shard_off", *[f"_ok_{c}" for c in keys])
+        .withColumn(
+            out_col,
+            F.when(
+                F.col("_nn") + F.col("_off_nn") > 0,
+                F.coalesce(F.col(out_col), F.lit(0)) + F.col("_shard_off"),
+            ),
+        )
+        .drop("_shard_off", "_nn", "_off_nn", *[f"_ok_{c}" for c in keys])
     )
     return out.drop(shard_col) if drop_shard else out
 

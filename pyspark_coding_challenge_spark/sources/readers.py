@@ -26,10 +26,13 @@ def canonicalize_ts(df: DataFrame, *cols: str) -> DataFrame:
     """Normalize a timestamp column to TIMESTAMP (LTZ) regardless of how the
     parquet physical type resolved:
 
-    - BIGINT nanos (legacy TIMESTAMP(NANOS) + nanosAsLong conf): floor to
-      micros with integer `div`, NOT float division — ns epoch values
-      (~1.7e18) exceed double's 53-bit mantissa. DuckDB's CAST floors
-      identically, so oracle comparisons stay exact.
+    - BIGINT nanos (legacy TIMESTAMP(NANOS) + nanosAsLong conf): FLOOR to
+      micros in pure integer arithmetic — not float division (ns epoch
+      values ~1.7e18 exceed double's 53-bit mantissa), and not bare `div`
+      (which truncates toward zero, so pre-1970 values like -1999 ns would
+      give -1 us where flooring — and DuckDB's CAST — gives -2 us; r6
+      review finding). ``(ns - pmod(ns, 1000)) div 1000`` is exact floor
+      for any sign.
     - TIMESTAMP_NTZ (micros, tz-naive): cast to TIMESTAMP; with the UTC
       session timezone this is a pure re-tag of the same micros value, and
       matches DuckDB's naive civil-time interpretation.
@@ -38,7 +41,9 @@ def canonicalize_ts(df: DataFrame, *cols: str) -> DataFrame:
     for c in cols:
         dt = types.get(c)
         if dt == "bigint":
-            df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
+            df = df.withColumn(
+                c, F.expr(f"timestamp_micros(({c} - pmod({c}, 1000)) div 1000)")
+            )
         elif dt == "timestamp_ntz":
             df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df

@@ -200,14 +200,25 @@ def write_zordered_parquet(
         F.min(x).alias("_minx"), F.max(x).alias("_maxx"),
         F.min(y).alias("_miny"), F.max(y).alias("_maxy"),
     )
-    scaled_x = (
-        (F.col(x).cast("bigint") - F.col("_minx")) * top
-        / F.greatest(F.lit(1), (F.col("_maxx") - F.col("_minx")).cast("bigint"))
-    ).cast("bigint")
-    scaled_y = (
-        (F.col(y).cast("bigint") - F.col("_miny")) * top
-        / F.greatest(F.lit(1), (F.col("_maxy") - F.col("_miny")).cast("bigint"))
-    ).cast("bigint")
+
+    # Scale to [0, top] in DOUBLE, dividing by the range BEFORE multiplying
+    # by top: the old bigint (x - min) * top overflowed int64 whenever the
+    # key range exceeded ~Long.MAX/top — a snowflake-id column (range
+    # ~1e18) ABORTED the write under Spark 4's default ANSI mode (r6
+    # review finding, execution-confirmed). Double rounding only blurs
+    # which of two adjacent cells a boundary row lands in — irrelevant to
+    # clustering quality; least(top, ...) pins the max row exactly.
+    def _scaled(col: str, lo: str, hi: str):
+        frac = (
+            (F.col(col).cast("double") - F.col(lo).cast("double"))
+            / F.greatest(
+                F.lit(1.0), (F.col(hi).cast("double") - F.col(lo).cast("double"))
+            )
+        )
+        return F.least(F.lit(top).cast("bigint"), (frac * top).cast("bigint"))
+
+    scaled_x = _scaled(x, "_minx", "_maxx")
+    scaled_y = _scaled(y, "_miny", "_maxy")
     z = morton_code(scaled_x, scaled_y, bits=bits)
     (
         df.crossJoin(F.broadcast(stats))

@@ -59,6 +59,8 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         ensure_event_ts_confs,
     )
 
+    import os as _os
+
     ensure_event_ts_confs(spark)
     key = (spark.sparkContext.applicationId, sf_dir)
     file_schema = _EVENT_SCHEMA_CACHE.get(key)
@@ -67,11 +69,22 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         # up to twice per run and the bench repeats runs
         file_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
         _EVENT_SCHEMA_CACHE[key] = file_schema
-    raw = (
-        spark.readStream.schema(file_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    events_path = f"{sf_dir}/events.parquet"
+    if _os.path.isdir(events_path):
+        # directory-shaped dataset (df.write.parquet output): stream the
+        # directory itself. The glob-filter form below would match LEAF
+        # file names against 'events.parquet' — part-*.parquet never match
+        # — and every slug would silently run over ZERO rows while the
+        # batch reader sees data (r6 review finding, execution-confirmed).
+        raw = spark.readStream.schema(file_schema).parquet(events_path)
+    else:
+        # single-file dataset (the driver's testdata shape): the glob keeps
+        # the stream from also ingesting the sibling tables in sf_dir
+        raw = (
+            spark.readStream.schema(file_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
     return canonicalize_ts(raw, "ts")
 
 

@@ -189,3 +189,25 @@ def test_null_partition_key_rows_survive(spark):
     cols = ["doc_id", "source", "cum"]
     assert _rows(got, cols) == _rows(expected, cols)
     assert got.count() == 3
+
+
+def test_null_values_follow_single_window_semantics(spark):
+    """r6 review finding: sum() over a window is NULL only while the WHOLE
+    prefix is NULL — a shard whose local prefix is all-NULL must inherit
+    prior shards' running sum, and stay NULL only at the true head."""
+    rows = [(1, "a", None), (2, "a", 10), (3, "a", None), (4, "a", 5),
+            (5, "b", None), (6, "b", None)]
+    d = spark.createDataFrame(rows, "doc_id bigint, source string, n_tokens bigint")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    expected = d.withColumn("cum", F.sum("n_tokens").over(w).cast("bigint"))
+    # force multiple shards so the all-NULL-prefix shard boundary is hit
+    got = sharded_cumsum(
+        with_range_shard(d, "doc_id", n_shards=4),
+        ["source"], ["doc_id"], "n_tokens", "cum",
+    )
+    cols = ["doc_id", "source", "cum"]
+    assert _rows(got, cols) == _rows(expected, cols)

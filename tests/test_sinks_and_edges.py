@@ -397,3 +397,34 @@ def test_zorder_write_prunes_on_the_second_dimension(spark, tmp_path):
     assert x_hit == x_total
     # Z-order: the narrow suppkey band must skip at least half the groups
     assert z_hit * 2 <= z_total, (z_hit, z_total, x_hit, x_total)
+
+
+def test_zorder_survives_huge_key_range(spark, tmp_path):
+    """r6 review finding (execution-confirmed): snowflake-scale key ranges
+    overflowed the old bigint (x-min)*top scaling and ANSI-aborted the
+    write; the double-based scaling must write and keep both extremes in
+    the right cells."""
+    from pyspark.sql import functions as F
+
+    from pyspark_coding_challenge_spark.sources.writers import write_zordered_parquet
+
+    d = spark.range(1000).select(
+        (F.col("id") * 4_000_000_000_000_000).alias("x"),
+        (F.col("id") % 97).alias("y"),
+        F.col("id").alias("payload"),
+    )
+    out = f"{tmp_path}/z"
+    write_zordered_parquet(d, out, ("x", "y"), n_files=4)
+    back = spark.read.parquet(out)
+    assert back.count() == 1000
+    assert back.agg(F.max("x")).collect()[0][0] == 999 * 4_000_000_000_000_000
+
+
+def test_asof_join_ranked_rejects_outer_how(spark):
+    import pytest as _pytest
+
+    from pyspark_coding_challenge_spark.operators.asof import asof_join_ranked
+
+    d = spark.createDataFrame([(1, 1)], "k bigint, t bigint")
+    with _pytest.raises(ValueError, match="how"):
+        asof_join_ranked(d, d, "k", ("t",), ("t",), how="full")

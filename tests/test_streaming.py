@@ -211,3 +211,23 @@ def test_append_sink_zero_closed_windows_reads_back_empty(spark, tmp_path):
     out = streaming_tumbling_counts(spark, str(tmp_path))
     assert out.count() == 0
     assert [f.name for f in out.schema.fields] == ["window_start", "event_type", "cnt"]
+
+
+def test_stream_reader_handles_directory_shaped_events(spark, tmp_path):
+    """r6 review finding (execution-confirmed): a directory-shaped
+    events.parquet (df.write.parquet output) must stream its rows — the
+    old leaf-glob form matched zero part files and every slug silently
+    ran over an empty source."""
+    from pyspark_coding_challenge_spark.streaming.windows import (
+        clear_stream_schema_cache,
+        read_events_stream,
+        run_to_parquet,
+    )
+
+    src = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    src.write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    clear_stream_schema_cache(spark)
+    ev = read_events_stream(spark, str(tmp_path))
+    out = run_to_parquet(ev.select("event_id", "event_type"), spark, "dirshape_probe")
+    assert out.count() == src.count()
+    clear_stream_schema_cache(spark)
