@@ -68,7 +68,9 @@ def main() -> None:
                 timings[slug] = round(best, 3)
             except Exception as ex:  # noqa: BLE001
                 errors[slug] = str(ex)[:200]
-                timings[slug] = -1.0
+                # a transient failure on iteration 2 must not discard the
+                # valid iteration-1 measurement (r6 review finding)
+                timings[slug] = round(best, 3) if best != float("inf") else -1.0
     finally:
         total = round(sum(t for t in timings.values() if t >= 0), 3)
         out = {

@@ -33,6 +33,7 @@ loops stay in whole-stage codegen.
 from __future__ import annotations
 
 import os
+import threading
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -431,15 +432,19 @@ def verified_pairs_for_dir(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph. Entries live for the session; ``clear_pair_cache`` is the
     explicit release valve for long-lived drivers serving many dirs."""
     key = (spark.sparkContext.applicationId, sf_dir)
-    cached = _VERIFIED_PAIRS_CACHE.get(key)
-    if cached is None:
-        d = read_table(spark, sf_dir, "documents")
-        cached = verify_jaccard(d, lsh_candidate_pairs(d)).persist()
-        _VERIFIED_PAIRS_CACHE[key] = cached
+    # locked check-then-act: racing threads would otherwise each persist a
+    # pair graph and leak the loser's handle (r6 review finding)
+    with _PAIRS_LOCK:
+        cached = _VERIFIED_PAIRS_CACHE.get(key)
+        if cached is None:
+            d = read_table(spark, sf_dir, "documents")
+            cached = verify_jaccard(d, lsh_candidate_pairs(d)).persist()
+            _VERIFIED_PAIRS_CACHE[key] = cached
     return cached
 
 
 _VERIFIED_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
+_PAIRS_LOCK = threading.Lock()
 
 
 def clear_pair_cache(spark: SparkSession | None = None) -> int:

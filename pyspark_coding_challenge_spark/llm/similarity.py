@@ -23,6 +23,8 @@ correct on unnormalized inputs.
 
 from __future__ import annotations
 
+import threading
+
 import random
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
@@ -315,6 +317,7 @@ def train_ivf_centroids(e: DataFrame, n_lists: int = N_LISTS,
 
 
 _IVF_CENTROID_CACHE: dict[tuple[str, str], DataFrame] = {}
+_SIM_CACHE_LOCK = threading.Lock()
 
 
 def ivf_centroids_for_dir(spark: SparkSession, sf_dir: str,
@@ -327,6 +330,14 @@ def ivf_centroids_for_dir(spark: SparkSession, sf_dir: str,
     Staleness contract matches the pair cache (key = applicationId +
     sf_dir; ``clear_centroid_cache`` is the release valve)."""
     key = (spark.sparkContext.applicationId, sf_dir)
+    # locked check-then-act (r6 review finding class): training is EAGER
+    # (localCheckpoint), so the lock also stops two threads from training
+    # the same quantizer twice
+    with _SIM_CACHE_LOCK:
+        return _centroids_locked(spark, sf_dir, e, key)
+
+
+def _centroids_locked(spark, sf_dir, e, key):
     cached = _IVF_CENTROID_CACHE.get(key)
     if cached is None:
         if e is None:
@@ -590,11 +601,12 @@ def topk_for_dir(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries x k rows, and the ContextCleaner reclaims the blocks when the
     cache entry is dropped."""
     key = (spark.sparkContext.applicationId, sf_dir)
-    cached = _TOPK_CACHE.get(key)
-    if cached is None:
-        cached = embedding_topk(spark, sf_dir).localCheckpoint()
-        _TOPK_CACHE[key] = cached
-    return cached
+    with _SIM_CACHE_LOCK:
+        cached = _TOPK_CACHE.get(key)
+        if cached is None:
+            cached = embedding_topk(spark, sf_dir).localCheckpoint()
+            _TOPK_CACHE[key] = cached
+        return cached
 
 
 def clear_topk_cache(spark: SparkSession | None = None) -> int:

@@ -9,6 +9,8 @@ plans, so they scale linearly with input splits at 100 TB.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -86,6 +88,11 @@ def shared_doc_signals_for_dir(spark: SparkSession, sf_dir: str) -> DataFrame:
     caches: rewritten parquet within one session needs
     ``clear_doc_signals_cache``."""
     key = (spark.sparkContext.applicationId, sf_dir)
+    with _TEXT_CACHE_LOCK:
+        return _doc_signals_locked(spark, sf_dir, key)
+
+
+def _doc_signals_locked(spark, sf_dir, key):
     cached = _DOC_SIGNALS_CACHE.get(key)
     if cached is not None:
         return cached
@@ -129,6 +136,10 @@ def shared_doc_signals_for_dir(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _TOKEN_SPINE_CACHE: dict[tuple[str, str], DataFrame] = {}
+# one lock guards all three text caches' check-then-act (r6 review
+# finding in training_demo — same leak class here): persist() is lazy so
+# the critical sections stay cheap
+_TEXT_CACHE_LOCK = threading.Lock()
 
 
 def shared_token_spine_for_dir(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -142,13 +153,16 @@ def shared_token_spine_for_dir(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``n_tokens`` comes from ``n_tokens_col`` — THE tokenization contract —
     so the centralized pairing with ``sql_n_tokens`` stays live."""
     key = (spark.sparkContext.applicationId, sf_dir)
-    cached = _TOKEN_SPINE_CACHE.get(key)
-    if cached is not None:
-        return cached
-    d = read_table(spark, sf_dir, "documents")
-    spine = d.select("doc_id", "source", n_tokens_col().alias("n_tokens")).persist()
-    _TOKEN_SPINE_CACHE[key] = spine
-    return spine
+    with _TEXT_CACHE_LOCK:
+        cached = _TOKEN_SPINE_CACHE.get(key)
+        if cached is not None:
+            return cached
+        d = read_table(spark, sf_dir, "documents")
+        spine = d.select(
+            "doc_id", "source", n_tokens_col().alias("n_tokens")
+        ).persist()
+        _TOKEN_SPINE_CACHE[key] = spine
+        return spine
 
 
 def clear_token_spine_cache(spark: SparkSession | None = None) -> int:
@@ -587,10 +601,15 @@ def shared_span_starts_for_dir(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicate surface, not the corpus. Same staleness contract as the pair
     cache: rewritten parquet within one session needs
     ``clear_span_cache``."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    with _TEXT_CACHE_LOCK:
+        return _shared_spans_locked(spark, sf_dir, key)
+
+
+def _shared_spans_locked(spark, sf_dir, key):
     from pyspark_coding_challenge_spark.llm.dedup import md5_fold60, _with_tokens
     from pyspark_coding_challenge_spark.sources.readers import rebalance_for_compute
 
-    key = (spark.sparkContext.applicationId, sf_dir)
     cached = _SHARED_SPANS_CACHE.get(key)
     if cached is not None:
         return cached

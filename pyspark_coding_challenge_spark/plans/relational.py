@@ -1468,15 +1468,21 @@ WINDOW w AS (PARTITION BY c_mktsegment
 def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS (neither rollup nor cube) with the grouping()
     marker, via the SQL entry point — the one §2.11-absent surface the
-    DataFrame API does not expose directly."""
-    read_table(spark, sf_dir, "orders").createOrReplaceTempView("gs_orders")
-    return spark.sql("""
+    DataFrame API does not expose directly. The view name carries an
+    sf_dir digest (the subqueries._view idiom) so concurrent construction
+    against two dirs cannot bind the wrong directory's data."""
+    import hashlib
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    view = f"gs_orders_{tag}"
+    read_table(spark, sf_dir, "orders").createOrReplaceTempView(view)
+    return spark.sql(f"""
         SELECT COALESCE(o_orderstatus, 'ALL') AS status,
                COALESCE(o_orderpriority, 'ALL') AS priority,
                CAST(grouping(o_orderstatus) AS INT) AS status_is_total,
                CAST(grouping(o_orderpriority) AS INT) AS priority_is_total,
                count(*) AS cnt
-        FROM gs_orders
+        FROM {view}
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
     """)
 

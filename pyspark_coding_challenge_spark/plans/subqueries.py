@@ -559,19 +559,28 @@ def nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys with the disjunctive pair condition
     ``(supp=A and cust=B) or (supp=B and cust=A)``.
 
-    Both nation lookups broadcast (25 rows); the pair condition is a
-    residual on the already-equi-keyed joins — the fact tables shuffle on
-    their own keys exactly once, and the pair filter prunes before the
-    aggregate. At 100 TB this is two broadcast joins + the existing
-    orderkey shuffle, nothing more."""
+    Scale shape (r6 review finding): the NAME-FILTERED nation dims (2 of
+    25 rows) broadcast onto customer and supplier BEFORE any fact-to-fact
+    join, so customers/suppliers of the other 23 nations never enter the
+    custkey/suppkey shuffles — Catalyst's heuristic ReorderJoin keeps the
+    written order, so writing the pruning joins first is the plan. The
+    disjunctive pair condition remains a residual filter over the
+    two-nation survivors (it must exclude the (3,3)/(7,7) combinations)."""
     li = read_table(spark, sf_dir, "lineitem")
     o = read_table(spark, sf_dir, "orders")
     c = read_table(spark, sf_dir, "customer")
     s = read_table(spark, sf_dir, "supplier")
-    n1 = read_table(spark, sf_dir, "nation").select(
+    target = read_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_3", "NATION_7")
+    )
+    n1 = target.select(
         F.col("n_nationkey").alias("_sk"), F.col("n_name").alias("supp_nation"))
-    n2 = read_table(spark, sf_dir, "nation").select(
+    n2 = target.select(
         F.col("n_nationkey").alias("_ck"), F.col("n_name").alias("cust_nation"))
+    s2 = s.join(F.broadcast(n1), s.s_nationkey == F.col("_sk")).select(
+        "s_suppkey", "supp_nation")
+    c2 = c.join(F.broadcast(n2), c.c_nationkey == F.col("_ck")).select(
+        "c_custkey", "cust_nation")
     pair = (
         ((F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7"))
         | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
@@ -582,10 +591,8 @@ def nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .join(s, li.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(n1), s.s_nationkey == F.col("_sk"))
-        .join(F.broadcast(n2), c.c_nationkey == F.col("_ck"))
+        .join(c2, o.o_custkey == c2.c_custkey)
+        .join(s2, li.l_suppkey == s2.s_suppkey)
         .filter(pair)
         .groupBy("supp_nation", "cust_nation",
                  F.year("l_shipdate").cast("int").alias("l_year"))
@@ -623,8 +630,14 @@ def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     share is one aggregate pass with a CASE inside, never two scans.
 
     Exact-integer numerator/denominator (e4 units); only the final ratio
-    divides as double, rounded for the hash. Region filter rides the
-    broadcast nation join; facts shuffle once."""
+    divides as double, rounded for the hash.
+
+    Scale shape (r6 review finding): the region-filtered nation dim
+    broadcasts onto customer FIRST, and the region-pruned orders join the
+    facts — rows that can never satisfy the region predicate are dropped
+    before the expensive custkey/suppkey shuffles instead of after. The
+    supplier dim (needed unfiltered for the denominator) pre-joins its
+    broadcast nation lookup the same way."""
     li = read_table(spark, sf_dir, "lineitem")
     o = read_table(spark, sf_dir, "orders")
     c = read_table(spark, sf_dir, "customer")
@@ -636,17 +649,18 @@ def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_s = read_table(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("_sk"), F.col("n_name").alias("supp_nation"))
+    c2 = c.join(F.broadcast(n_c), c.c_nationkey == F.col("_ck")).select("c_custkey")
+    s2 = s.join(F.broadcast(n_s), s.s_nationkey == F.col("_sk")).select(
+        "s_suppkey", "supp_nation")
+    o2 = o.join(c2, o.o_custkey == c2.c_custkey).select("o_orderkey", "o_orderdate")
     vol = (
         _cents("l_extendedprice")
         * (100 - F.round(F.col("l_discount") * 100).cast("bigint"))
     )
     target = (F.col("supp_nation") == "NATION_2").cast("bigint")
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n_c), c.c_nationkey == F.col("_ck"))
-        .join(s, li.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(n_s), s.s_nationkey == F.col("_sk"))
+        li.join(o2, li.l_orderkey == o2.o_orderkey)
+        .join(s2, li.l_suppkey == s2.s_suppkey)
         .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
         .agg(
             F.sum(vol * target).alias("nation_vol_e4"),

@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+import threading
+
 from pyspark_coding_challenge_spark.plans.training import produce_training_examples
 from pyspark_coding_challenge_spark.sources.readers import read_table
 
@@ -51,6 +53,7 @@ def _base(spark: SparkSession, sf_dir: str) -> DataFrame:
 # leak that eventually thrashes other cached data. Same staleness contract:
 # if sf_dir's parquet is rewritten mid-session, clear the entry.
 _BASE_CACHE: dict[tuple[str, str], DataFrame] = {}
+_BASE_CACHE_LOCK = threading.Lock()
 
 
 def clear_base_cache(spark: SparkSession | None = None) -> int:
@@ -75,10 +78,15 @@ def training_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
     # streams); persisting it is the reference's own reuse-persistence hint
     # (README.md:64) and turns 4 lineitem-x-orders joins into 1.
     key = (spark.sparkContext.applicationId, sf_dir)
-    base = _BASE_CACHE.get(key)
-    if base is None:
-        base = _base(spark, sf_dir).persist()
-        _BASE_CACHE[key] = base
+    # lock around check-then-act: two threads racing here would each
+    # persist a copy and the loser's handle becomes an unreleasable
+    # cached relation (r6 review finding); persist() is lazy, so the
+    # critical section is cheap
+    with _BASE_CACHE_LOCK:
+        base = _BASE_CACHE.get(key)
+        if base is None:
+            base = _base(spark, sf_dir).persist()
+            _BASE_CACHE[key] = base
 
     imps = (
         base.groupBy("o_orderkey", "o_custkey", "o_orderdate")
