@@ -124,11 +124,34 @@ def _fresh_dirs(slug: str) -> tuple[str, str]:
 # to O(cores) on the cluster.
 STREAM_STATE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "8"))
 
+_ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+_PROVIDER_CONF = "spark.sql.streaming.stateStore.providerClass"
+
+
+def _stream_state_provider() -> str | None:
+    """SPARK_GRAFT_STREAM_STATE_PROVIDER, read at call time: unset/'hdfs'
+    keeps Spark's default HDFS-backed (in-executor-memory) store;
+    'rocksdb' selects the bundled RocksDB provider — the 100 TB/day shape,
+    where live state exceeds executor heap and must spill to local SSD
+    with incremental checkpointing. Any other value passes through as a
+    provider class name. Like the partition count, the provider is baked
+    into a query's checkpoint at FIRST start — changing it needs a fresh
+    checkpoint dir (our drivers wipe per run, so the knob just works)."""
+    v = os.environ.get("SPARK_GRAFT_STREAM_STATE_PROVIDER", "").strip().lower()
+    if v in ("", "hdfs", "default"):
+        return None
+    if v == "rocksdb":
+        return _ROCKSDB_PROVIDER
+    return os.environ["SPARK_GRAFT_STREAM_STATE_PROVIDER"].strip()
+
 
 class _stream_shuffle_partitions:
-    """Temporarily pin spark.sql.shuffle.partitions while a streaming query
-    starts (the value is captured at query start; batch queries planned
-    after restore are unaffected)."""
+    """Temporarily pin the streaming state confs while a query starts —
+    shuffle partitions, and the state-store provider when
+    ``SPARK_GRAFT_STREAM_STATE_PROVIDER`` selects one (both are captured
+    at query start; batch queries planned after restore are unaffected)."""
 
     def __init__(self, spark: SparkSession):
         self.spark = spark
@@ -138,9 +161,25 @@ class _stream_shuffle_partitions:
         self.spark.conf.set(
             "spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS)
         )
+        self.saved_provider = None
+        provider = _stream_state_provider()
+        if provider is not None:
+            try:
+                self.saved_provider = self.spark.conf.get(_PROVIDER_CONF)
+            except Exception:
+                self.saved_provider = None
+            self.spark.conf.set(_PROVIDER_CONF, provider)
+            self._set_provider = True
+        else:
+            self._set_provider = False
 
     def __exit__(self, *exc):
         self.spark.conf.set("spark.sql.shuffle.partitions", self.saved)
+        if self._set_provider:
+            if self.saved_provider is not None:
+                self.spark.conf.set(_PROVIDER_CONF, self.saved_provider)
+            else:
+                self.spark.conf.unset(_PROVIDER_CONF)
 
 
 def _read_back(spark: SparkSession, sink: str, schema) -> DataFrame:

@@ -139,6 +139,14 @@ def main() -> None:
         "spark.sql.shuffle.partitions",
         os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "8"),
     )
+    from pyspark_coding_challenge_spark.streaming.windows import (
+        _PROVIDER_CONF,
+        _stream_state_provider,
+    )
+
+    provider = _stream_state_provider()
+    if provider is not None:
+        spark.conf.set(_PROVIDER_CONF, provider)
 
     ev_dir = build_events(spark)
     schema = spark.read.parquet(ev_dir).schema
@@ -159,6 +167,7 @@ def main() -> None:
         return canonicalize_ts(raw, "ts")
 
     result: dict = {
+        "state_store_provider": provider or "hdfs-default",
         "protocol": (
             f"sf0.1 events x{FACTOR} (disjoint user_ids, original timestamps), "
             f"{N_FILES} time-ordered files consumed 1/trigger; per-batch "
@@ -208,7 +217,8 @@ def main() -> None:
     print(out)
     if rnd:
         repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-        path = os.path.join(repo_root, f"STREAM_STATE_PROBE_r{rnd}.json")
+        tag = "_ROCKSDB" if provider and "RocksDB" in provider else ""
+        path = os.path.join(repo_root, f"STREAM_STATE_PROBE{tag}_r{rnd}.json")
         with open(path, "w") as fh:
             fh.write(out + "\n")
         print(f"wrote {path}", file=sys.stderr)

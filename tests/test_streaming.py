@@ -231,3 +231,22 @@ def test_stream_reader_handles_directory_shaped_events(spark, tmp_path):
     out = run_to_parquet(ev.select("event_id", "event_type"), spark, "dirshape_probe")
     assert out.count() == src.count()
     clear_stream_schema_cache(spark)
+
+
+def test_rocksdb_state_store_produces_identical_results(spark, monkeypatch):
+    """SPARK_GRAFT_STREAM_STATE_PROVIDER=rocksdb must run the stateful
+    dedup on the bundled RocksDB provider (the >heap state shape at
+    100 TB/day) with output identical to the default store, and the
+    session conf must be restored afterwards."""
+    from pyspark_coding_challenge_spark.streaming.windows import (
+        _PROVIDER_CONF,
+        streaming_stateful_dedup,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    expected = sorted(map(tuple, streaming_stateful_dedup(spark, sf).collect()))
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_STATE_PROVIDER", "rocksdb")
+    got = sorted(map(tuple, streaming_stateful_dedup(spark, sf).collect()))
+    assert got == expected
+    # restored: unset falls back to Spark's default HDFS-backed provider
+    assert "RocksDB" not in (spark.conf.get(_PROVIDER_CONF, "") or "")
