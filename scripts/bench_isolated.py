@@ -101,6 +101,19 @@ def main() -> None:
     anchor_protocol = sf_dir.rstrip("/").endswith("sf0.1") and cpus == "32"
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+    # Per-slug registered section counts straight from the registry (r5
+    # verdict #7) — computed BEFORE the multi-minute bench loop so an
+    # import failure cannot discard the timings (the loop's children
+    # already import the package, so this adds no new dependency).
+    sys.path.insert(0, repo_root)
+    from pyspark_coding_challenge_spark import registry
+    from pyspark_coding_challenge_spark.plans.merge import SECTION_REGISTRY
+
+    section_counts = {
+        slug: len(SECTION_REGISTRY.get(slug, [slug]))
+        for slug in registry.queries()
+    }
+
     slugs: dict[str, dict] = {}
     for slug in SLUGS:
         proc = subprocess.run(
@@ -126,17 +139,6 @@ def main() -> None:
         slugs[slug] = entry
         print(f"{slug}: cold={rec['cold']} best={rec['best']}", file=sys.stderr)
 
-    # Per-slug registered section counts straight from the registry (r5
-    # verdict #7): scope growth between rounds is then a diff of artifacts,
-    # not prose. Unmerged slugs are one section by construction.
-    sys.path.insert(0, repo_root)  # the script runs from scripts/
-    from pyspark_coding_challenge_spark import registry
-    from pyspark_coding_challenge_spark.plans.merge import SECTION_REGISTRY
-
-    section_counts = {
-        slug: len(SECTION_REGISTRY.get(slug, [slug]))
-        for slug in registry.queries()
-    }
     for slug, entry in slugs.items():
         if "error" not in entry:
             entry["sections"] = section_counts.get(slug, 1)

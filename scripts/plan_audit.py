@@ -47,16 +47,24 @@ def audit_plan(plan: str) -> dict[str, int]:
 
 
 def main() -> None:
-    rnd = sys.argv[1] if len(sys.argv) > 1 else None
+    # int-validate BEFORE the minutes of plan building (same rationale as
+    # bench_isolated): a typo like 'r5' must not silently write a
+    # misnamed artifact outside the per-round convention
+    rnd = None
+    if len(sys.argv) > 1:
+        try:
+            rnd = int(sys.argv[1])
+        except ValueError:
+            print(f"round argument must be an integer, got {sys.argv[1]!r}",
+                  file=sys.stderr)
+            raise SystemExit(2)
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    from pyspark.sql import SparkSession
+    # the shared builder, not a hand-rolled session: audited plans must be
+    # built under the same confs (AQE, maxPartitionBytes, UTC, nanosAsLong)
+    # every bench/oracle/probe session runs with
+    from pyspark_coding_challenge_spark.session import get_spark
 
-    spark = (
-        SparkSession.builder.master("local[8]")
-        .config("spark.sql.shuffle.partitions", "8")
-        .config("spark.ui.enabled", "false")
-        .getOrCreate()
-    )
+    spark = get_spark(app_name="plan_audit", master="local[8]", shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
     from pyspark_coding_challenge_spark import registry
 

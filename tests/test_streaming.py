@@ -244,6 +244,8 @@ def test_rocksdb_state_store_produces_identical_results(spark, monkeypatch):
     )
 
     sf = "/root/testdata/sf0.001"
+    # a pre-set provider env would make this a RocksDB-vs-RocksDB no-op
+    monkeypatch.delenv("SPARK_GRAFT_STREAM_STATE_PROVIDER", raising=False)
     expected = sorted(map(tuple, streaming_stateful_dedup(spark, sf).collect()))
     monkeypatch.setenv("SPARK_GRAFT_STREAM_STATE_PROVIDER", "rocksdb")
     got = sorted(map(tuple, streaming_stateful_dedup(spark, sf).collect()))
