@@ -64,6 +64,11 @@ def asof_join(
     columns when ``how='left'`` and are dropped when ``how='inner'``.
     """
     _check_orders(left_order, right_order)
+    if how not in ("left", "inner"):
+        # duplicated in asof_join_ranked for direct callers; without this
+        # copy the merge path would silently treat e.g. 'outer' as 'left'
+        # (the tag filter below only ever keeps left rows)
+        raise ValueError(f"asof_join supports how='left'|'inner', got {how!r}")
     if right_within is not None:
         return asof_join_ranked(left, right, on, left_order, right_order,
                                 how, right_within)

@@ -559,12 +559,17 @@ def nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys with the disjunctive pair condition
     ``(supp=A and cust=B) or (supp=B and cust=A)``.
 
-    Scale shape (r6 review finding): the NAME-FILTERED nation dims (2 of
-    25 rows) broadcast onto customer and supplier BEFORE any fact-to-fact
-    join, so customers/suppliers of the other 23 nations never enter the
-    custkey/suppkey shuffles — Catalyst's heuristic ReorderJoin keeps the
-    written order, so writing the pruning joins first is the plan. The
-    disjunctive pair condition remains a residual filter over the
+    Scale shape (r6 verdict finding #1): the NAME-FILTERED nation dims
+    (2 of 25 rows) broadcast onto customer and supplier, and those pruned
+    dims join their fact side BEFORE the fact-to-fact orderkey join —
+    ``o2 = orders ⋈ c2`` (custkey shuffle over the ~8%-selectivity
+    customer survivors) and ``li2 = lineitem ⋈ s2`` (suppkey shuffle),
+    THEN ``li2 ⋈ o2`` on orderkey, exactly the sibling Q8 pattern. Both
+    orderkey-shuffle inputs shrink ~12× versus shuffling the full facts
+    first; Catalyst's heuristic ReorderJoin keeps the written order, so
+    writing the pruning joins first IS the plan (gated in
+    tests/test_plan_quality.py::test_nation_pair_prunes_before_orderkey).
+    The disjunctive pair condition remains a residual filter over the
     two-nation survivors (it must exclude the (3,3)/(7,7) combinations)."""
     li = read_table(spark, sf_dir, "lineitem")
     o = read_table(spark, sf_dir, "orders")
@@ -589,10 +594,13 @@ def nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         _cents("l_extendedprice")
         * (100 - F.round(F.col("l_discount") * 100).cast("bigint"))
     )
+    o2 = o.join(c2, o.o_custkey == c2.c_custkey).select(
+        "o_orderkey", "cust_nation")
+    li2 = li.join(s2, li.l_suppkey == s2.s_suppkey).select(
+        "l_orderkey", "l_shipdate", "l_extendedprice", "l_discount",
+        "supp_nation")
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(c2, o.o_custkey == c2.c_custkey)
-        .join(s2, li.l_suppkey == s2.s_suppkey)
+        li2.join(o2, li2.l_orderkey == o2.o_orderkey)
         .filter(pair)
         .groupBy("supp_nation", "cust_nation",
                  F.year("l_shipdate").cast("int").alias("l_year"))

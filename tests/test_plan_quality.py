@@ -379,3 +379,29 @@ def test_decontaminate_bloom_path_filters_fact_side_before_shuffle(spark):
     semi = plan.index("LeftSemi, BuildRight")
     first_exchange = plan.index("Exchange hashpartitioning")
     assert semi < first_exchange or "SortMergeJoin" not in plan[:semi], plan
+
+
+def test_nation_pair_prunes_before_orderkey(spark):
+    """Q7 (r6 verdict finding #1): the fact-to-fact orderkey join must be
+    the ROOT-most join, with the 2-of-25-nation pruning joins (suppkey on
+    lineitem, custkey on orders) BELOW it in the tree — both orderkey
+    inputs enter that biggest shuffle already ~12x smaller. The logical
+    tree prints root-first, so the orderkey Join line must precede both
+    pruning Join lines."""
+    from pyspark_coding_challenge_spark.plans import subqueries as sq
+
+    df = sq.nation_pair_volume(spark, SF_DIR)
+    lines = df._jdf.queryExecution().optimizedPlan().toString().splitlines()
+
+    def join_idx(key: str) -> int:
+        for i, ln in enumerate(lines):
+            if "Join" in ln and key in ln:
+                return i
+        raise AssertionError(f"no Join on {key} in:\n" + "\n".join(lines))
+
+    ok, sk, ck = join_idx("l_orderkey"), join_idx("l_suppkey"), join_idx("o_custkey")
+    assert ok < sk, "suppkey pruning join must sit below the orderkey join"
+    assert ok < ck, "custkey pruning join must sit below the orderkey join"
+    # and the nation name filters reach below the pruning joins (pushdown)
+    plan = "\n".join(lines)
+    assert "NATION_3" in plan and "NATION_7" in plan

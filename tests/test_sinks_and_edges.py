@@ -428,3 +428,16 @@ def test_asof_join_ranked_rejects_outer_how(spark):
     d = spark.createDataFrame([(1, 1)], "k bigint, t bigint")
     with _pytest.raises(ValueError, match="how"):
         asof_join_ranked(d, d, "k", ("t",), ("t",), how="full")
+
+
+def test_asof_join_merge_form_rejects_outer_how(spark):
+    import pytest as _pytest
+
+    from pyspark_coding_challenge_spark.operators.asof import asof_join
+
+    d = spark.createDataFrame([(1, 1)], "k bigint, t bigint")
+    # merge path (right_within=None) must validate too — r6 advisory: the
+    # guard had moved into asof_join_ranked only, so 'outer' fell through
+    # to the tag filter and silently behaved as 'left'
+    with _pytest.raises(ValueError, match="how"):
+        asof_join(d, d, "k", ("t",), ("t",), how="outer")
