@@ -21,18 +21,37 @@ relation's semantics. ``load_*`` refuses an artifact built from a different
 corpus directory or with different parameters — silently joining last
 month's pair graph against this month's corpus is the classic stale-index
 bug, and it must fail loudly.
+
+Automatic seeding (r6 verdict gap #2): when ``SPARK_GRAFT_ARTIFACT_DIR``
+is set, the ``*_for_dir`` builders consult it ON CACHE MISS via the
+``*_from_env`` helpers below — a present, provenance-VALID artifact seeds
+the session cache with zero build-chain jobs, so cold sessions (bench,
+driver, production restarts) run from the artifact without any explicit
+``load_*`` call. A present-but-mismatched artifact (different corpus or
+params) is skipped with a ``warnings.warn`` and the builder builds
+normally: the knob is ambient config that may legitimately point at an
+artifact for a different sf_dir, but silence would mask a stale index.
+The ``*_from_env`` helpers are called INSIDE the owning module's cache
+lock (they mutate no cache themselves — the builder installs the handle),
+while the explicit ``load_*`` functions take that same lock around their
+unpersist/persist/install sequence (r6 advisory: the unlocked install
+could race a concurrent builder and leak a persisted handle).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import warnings
 
 from pyspark.sql import DataFrame, SparkSession
 
 PAIRS_NAME = "verified_pairs"
 SPANS_NAME = "shared_spans"
 CENTROIDS_NAME = "ivf_centroids"
+SPINE_NAME = "token_spine"
+
+ENV_ARTIFACT_DIR = "SPARK_GRAFT_ARTIFACT_DIR"
 
 _META_FILE = "_artifact_meta.json"
 
@@ -102,6 +121,60 @@ def _centroid_params() -> dict:
     return {"n_lists": S.N_LISTS, "kmeans_iters": S.KMEANS_ITERS}
 
 
+def _spine_params() -> dict:
+    # the spine's semantics are exactly the tokenization contract; bump the
+    # version when text.n_tokens_col changes meaning
+    return {"tokenizer": "n_tokens_col/whitespace", "cols": "doc_id,source,n_tokens"}
+
+
+# ---------------------------------------------------------------------------
+# env-knob seeding (builders call these on cache miss, under their lock)
+# ---------------------------------------------------------------------------
+
+def _from_env(spark: SparkSession, sf_dir: str, name: str, params: dict,
+              persist: bool = True) -> DataFrame | None:
+    """Read ``$SPARK_GRAFT_ARTIFACT_DIR/<name>`` if present AND
+    provenance-valid for (sf_dir, params); None otherwise (with a warning
+    when the artifact exists but mismatches). The caller — a ``*_for_dir``
+    builder holding its module's cache lock — installs the returned handle
+    into its own cache; this function only reads, persists, and records the
+    path for the materialize read-your-own-writes guard."""
+    base = os.environ.get(ENV_ARTIFACT_DIR)
+    if not base:
+        return None
+    path = os.path.join(base, name)
+    if not os.path.exists(os.path.join(path, _META_FILE)):
+        return None
+    try:
+        _check_meta(path, sf_dir, params)
+    except ValueError as exc:
+        warnings.warn(f"ignoring {ENV_ARTIFACT_DIR} artifact: {exc}")
+        return None
+    df = spark.read.parquet(path)
+    if persist:
+        df = df.persist()
+    _mark_loaded(spark, sf_dir, name, path)
+    return df
+
+
+def pairs_from_env(spark: SparkSession, sf_dir: str) -> DataFrame | None:
+    return _from_env(spark, sf_dir, PAIRS_NAME, _pairs_params())
+
+
+def spans_from_env(spark: SparkSession, sf_dir: str) -> DataFrame | None:
+    return _from_env(spark, sf_dir, SPANS_NAME, _spans_params())
+
+
+def centroids_from_env(spark: SparkSession, sf_dir: str) -> DataFrame | None:
+    # n_lists rows — lazily re-read per use like load_ivf_centroids, no persist
+    return _from_env(spark, sf_dir, CENTROIDS_NAME, _centroid_params(),
+                     persist=False)
+
+
+def spine_from_env(spark: SparkSession, sf_dir: str) -> DataFrame | None:
+    return _from_env(spark, sf_dir, SPINE_NAME, _spine_params())
+
+
 # ---------------------------------------------------------------------------
 # verified near-dup pair graph
 # ---------------------------------------------------------------------------
@@ -132,12 +205,16 @@ def load_pairs(spark: SparkSession, sf_dir: str, artifact_dir: str,
     df = spark.read.parquet(path)
     if install:
         key = (spark.sparkContext.applicationId, sf_dir)
-        old = D._VERIFIED_PAIRS_CACHE.get(key)
-        if old is not None:
-            old.unpersist()
-        df = df.persist()
-        D._VERIFIED_PAIRS_CACHE[key] = df
-        _mark_loaded(spark, sf_dir, PAIRS_NAME, path)
+        # owning module's lock around the unpersist/persist/install (r6
+        # advisory: unlocked, this check-then-act races the builder's and
+        # leaks whichever persisted handle loses)
+        with D._PAIRS_LOCK:
+            old = D._VERIFIED_PAIRS_CACHE.get(key)
+            if old is not None:
+                old.unpersist()
+            df = df.persist()
+            D._VERIFIED_PAIRS_CACHE[key] = df
+            _mark_loaded(spark, sf_dir, PAIRS_NAME, path)
     return df
 
 
@@ -165,12 +242,13 @@ def load_spans(spark: SparkSession, sf_dir: str, artifact_dir: str,
     df = spark.read.parquet(path)
     if install:
         key = (spark.sparkContext.applicationId, sf_dir)
-        old = T._SHARED_SPANS_CACHE.get(key)
-        if old is not None:
-            old.unpersist()
-        df = df.persist()
-        T._SHARED_SPANS_CACHE[key] = df
-        _mark_loaded(spark, sf_dir, SPANS_NAME, path)
+        with T._TEXT_CACHE_LOCK:  # r6 advisory — see load_pairs
+            old = T._SHARED_SPANS_CACHE.get(key)
+            if old is not None:
+                old.unpersist()
+            df = df.persist()
+            T._SHARED_SPANS_CACHE[key] = df
+            _mark_loaded(spark, sf_dir, SPANS_NAME, path)
     return df
 
 
@@ -199,18 +277,58 @@ def load_ivf_centroids(spark: SparkSession, sf_dir: str, artifact_dir: str,
     df = spark.read.parquet(path)
     if install:
         key = (spark.sparkContext.applicationId, sf_dir)
-        S._IVF_CENTROID_CACHE[key] = df
-        _mark_loaded(spark, sf_dir, CENTROIDS_NAME, path)
+        with S._SIM_CACHE_LOCK:  # r6 advisory — see load_pairs
+            S._IVF_CENTROID_CACHE[key] = df
+            _mark_loaded(spark, sf_dir, CENTROIDS_NAME, path)
+    return df
+
+
+# ---------------------------------------------------------------------------
+# token spine
+# ---------------------------------------------------------------------------
+
+def materialize_spine(spark: SparkSession, sf_dir: str, artifact_dir: str) -> str:
+    """The 3-column (doc_id, source, n_tokens) token spine every packing/
+    batching/budgeting kernel consumes — cheap relative to the pair graph,
+    but at 100 TB the tokenize scan behind it is a full corpus pass worth
+    materializing once."""
+    from pyspark_coding_challenge_spark.llm.text import shared_token_spine_for_dir
+
+    path = os.path.join(artifact_dir, SPINE_NAME)
+    if _loaded_from(spark, sf_dir, SPINE_NAME) == os.path.abspath(path):
+        return path
+    shared_token_spine_for_dir(spark, sf_dir).write.mode("overwrite").parquet(path)
+    _write_meta(path, sf_dir, _spine_params())
+    return path
+
+
+def load_spine(spark: SparkSession, sf_dir: str, artifact_dir: str,
+               install: bool = True) -> DataFrame:
+    from pyspark_coding_challenge_spark.llm import text as T
+
+    path = os.path.join(artifact_dir, SPINE_NAME)
+    _check_meta(path, sf_dir, _spine_params())
+    df = spark.read.parquet(path)
+    if install:
+        key = (spark.sparkContext.applicationId, sf_dir)
+        with T._TEXT_CACHE_LOCK:  # r6 advisory — see load_pairs
+            old = T._TOKEN_SPINE_CACHE.get(key)
+            if old is not None:
+                old.unpersist()
+            df = df.persist()
+            T._TOKEN_SPINE_CACHE[key] = df
+            _mark_loaded(spark, sf_dir, SPINE_NAME, path)
     return df
 
 
 def materialize_all(spark: SparkSession, sf_dir: str, artifact_dir: str) -> dict:
-    """One-call production entry: land all three artifacts. Returns
+    """One-call production entry: land all four artifacts. Returns
     name -> path."""
     return {
         PAIRS_NAME: materialize_pairs(spark, sf_dir, artifact_dir),
         SPANS_NAME: materialize_spans(spark, sf_dir, artifact_dir),
         CENTROIDS_NAME: materialize_ivf_centroids(spark, sf_dir, artifact_dir),
+        SPINE_NAME: materialize_spine(spark, sf_dir, artifact_dir),
     }
 
 
@@ -219,4 +337,5 @@ def load_all(spark: SparkSession, sf_dir: str, artifact_dir: str) -> dict:
         PAIRS_NAME: load_pairs(spark, sf_dir, artifact_dir),
         SPANS_NAME: load_spans(spark, sf_dir, artifact_dir),
         CENTROIDS_NAME: load_ivf_centroids(spark, sf_dir, artifact_dir),
+        SPINE_NAME: load_spine(spark, sf_dir, artifact_dir),
     }

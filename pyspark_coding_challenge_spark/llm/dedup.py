@@ -437,9 +437,15 @@ def verified_pairs_for_dir(spark: SparkSession, sf_dir: str) -> DataFrame:
     with _PAIRS_LOCK:
         cached = _VERIFIED_PAIRS_CACHE.get(key)
         if cached is None:
+            # a provenance-valid $SPARK_GRAFT_ARTIFACT_DIR artifact seeds
+            # the cache with zero build-chain jobs (r6 verdict gap #2)
+            from pyspark_coding_challenge_spark.llm import artifacts
+
+            cached = artifacts.pairs_from_env(spark, sf_dir)
+        if cached is None:
             d = read_table(spark, sf_dir, "documents")
             cached = verify_jaccard(d, lsh_candidate_pairs(d)).persist()
-            _VERIFIED_PAIRS_CACHE[key] = cached
+        _VERIFIED_PAIRS_CACHE[key] = cached
     return cached
 
 

@@ -339,6 +339,12 @@ def ivf_centroids_for_dir(spark: SparkSession, sf_dir: str,
 
 def _centroids_locked(spark, sf_dir, e, key):
     cached = _IVF_CENTROID_CACHE.get(key)
+    if cached is None and e is None:
+        from pyspark_coding_challenge_spark.llm import artifacts
+
+        cached = artifacts.centroids_from_env(spark, sf_dir)
+        if cached is not None:
+            _IVF_CENTROID_CACHE[key] = cached
     if cached is None:
         if e is None:
             e = rebalance_for_compute(

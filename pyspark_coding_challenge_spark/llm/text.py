@@ -157,10 +157,14 @@ def shared_token_spine_for_dir(spark: SparkSession, sf_dir: str) -> DataFrame:
         cached = _TOKEN_SPINE_CACHE.get(key)
         if cached is not None:
             return cached
-        d = read_table(spark, sf_dir, "documents")
-        spine = d.select(
-            "doc_id", "source", n_tokens_col().alias("n_tokens")
-        ).persist()
+        from pyspark_coding_challenge_spark.llm import artifacts
+
+        spine = artifacts.spine_from_env(spark, sf_dir)
+        if spine is None:
+            d = read_table(spark, sf_dir, "documents")
+            spine = d.select(
+                "doc_id", "source", n_tokens_col().alias("n_tokens")
+            ).persist()
         _TOKEN_SPINE_CACHE[key] = spine
         return spine
 
@@ -613,6 +617,12 @@ def _shared_spans_locked(spark, sf_dir, key):
     cached = _SHARED_SPANS_CACHE.get(key)
     if cached is not None:
         return cached
+    from pyspark_coding_challenge_spark.llm import artifacts
+
+    seeded = artifacts.spans_from_env(spark, sf_dir)
+    if seeded is not None:
+        _SHARED_SPANS_CACHE[key] = seeded
+        return seeded
     k = SPAN_K
     d = rebalance_for_compute(read_table(spark, sf_dir, "documents"), "doc_id")
     t = _with_tokens(d).select("doc_id", "_toks", F.size("_toks").alias("_n"))

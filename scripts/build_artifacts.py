@@ -1,13 +1,15 @@
 #!/usr/bin/env python
 """CLI for the cross-session artifact builder (llm/artifacts.py): land the
-verified pair graph, shared-span relation, and trained IVF quantizer as
-parquet artifacts a later job loads with ``load_all``/``load_pairs``/...
+verified pair graph, shared-span relation, trained IVF quantizer, and token
+spine as parquet artifacts a later job loads with ``load_all``/
+``load_pairs``/... — or, with ``SPARK_GRAFT_ARTIFACT_DIR`` pointing at
+``artifact_dir``, that every ``*_for_dir`` builder seeds from automatically.
 
 Usage:
     python scripts/build_artifacts.py <sf_dir> <artifact_dir> [names...]
 
-``names`` defaults to all three (verified_pairs shared_spans
-ivf_centroids). Exits non-zero on unknown names before any Spark work.
+``names`` defaults to all four (verified_pairs shared_spans ivf_centroids
+token_spine). Exits non-zero on unknown names before any Spark work.
 """
 
 from __future__ import annotations
@@ -28,6 +30,7 @@ def main() -> None:
         A.PAIRS_NAME: A.materialize_pairs,
         A.SPANS_NAME: A.materialize_spans,
         A.CENTROIDS_NAME: A.materialize_ivf_centroids,
+        A.SPINE_NAME: A.materialize_spine,
     }
     names = sys.argv[3:] or list(builders)
     unknown = [n for n in names if n not in builders]

@@ -154,3 +154,124 @@ def test_materialize_after_load_same_path_is_noop(spark, tmp_path):
     assert path.endswith(A.PAIRS_NAME)
     assert dedup_minhash_lsh(spark, SF_DIR).count() >= 0
     clear_pair_cache(spark)
+
+
+# ---------------------------------------------------------------------------
+# SPARK_GRAFT_ARTIFACT_DIR: builders seed from the artifact automatically
+# ---------------------------------------------------------------------------
+
+
+def test_env_knob_seeds_pairs_builder(spark, tmp_path, monkeypatch):
+    """With the knob set, verified_pairs_for_dir must read the artifact on
+    cache miss — zero build-chain (documents/minhash) jobs — and every
+    consumer reproduces its output exactly (r6 verdict gap #2)."""
+    from pyspark_coding_challenge_spark.llm.dedup import (
+        clear_pair_cache,
+        verified_pairs_for_dir,
+    )
+
+    expected = _clusters_rows(spark, SF_DIR)
+    A.materialize_pairs(spark, SF_DIR, str(tmp_path))
+    clear_pair_cache(spark)
+    monkeypatch.setenv(A.ENV_ARTIFACT_DIR, str(tmp_path))
+    plan = (
+        verified_pairs_for_dir(spark, SF_DIR)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "documents.parquet" not in plan, plan
+    assert "FileScan parquet [doc_a" in plan, plan
+    assert _clusters_rows(spark, SF_DIR) == expected
+    clear_pair_cache(spark)
+
+
+def test_env_knob_ignores_mismatched_corpus_with_warning(spark, tmp_path, monkeypatch):
+    """An artifact for a DIFFERENT sf_dir must not seed — the builder warns
+    and builds normally (the knob is ambient config shared across dirs)."""
+    import warnings as W
+
+    from pyspark_coding_challenge_spark.llm.dedup import (
+        clear_pair_cache,
+        verified_pairs_for_dir,
+    )
+
+    A.materialize_pairs(spark, SF_DIR, str(tmp_path))
+    clear_pair_cache(spark)
+    monkeypatch.setenv(A.ENV_ARTIFACT_DIR, str(tmp_path))
+    other = "/root/testdata/sf0.01"
+    with W.catch_warnings(record=True) as caught:
+        W.simplefilter("always")
+        plan = (
+            verified_pairs_for_dir(spark, other)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+    assert "documents.parquet" in plan, plan  # built, not seeded
+    assert any("ignoring" in str(w.message) for w in caught)
+    clear_pair_cache(spark)
+
+
+def test_env_knob_seeds_spine_and_spans(spark, tmp_path, monkeypatch):
+    """Token spine + shared spans seed from the artifact dir: the spine
+    relation reads 3-column parquet (not documents), and the span consumer
+    is bit-identical."""
+    from pyspark_coding_challenge_spark.llm.text import (
+        clear_span_cache,
+        clear_token_spine_cache,
+        shared_token_spine_for_dir,
+        text_span_dup,
+    )
+
+    expected_spans = sorted(tuple(r) for r in text_span_dup(spark, SF_DIR).collect())
+    expected_spine = sorted(
+        tuple(r) for r in shared_token_spine_for_dir(spark, SF_DIR).collect()
+    )
+    A.materialize_spans(spark, SF_DIR, str(tmp_path))
+    A.materialize_spine(spark, SF_DIR, str(tmp_path))
+    clear_span_cache(spark)
+    clear_token_spine_cache(spark)
+    monkeypatch.setenv(A.ENV_ARTIFACT_DIR, str(tmp_path))
+    plan = (
+        shared_token_spine_for_dir(spark, SF_DIR)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "documents.parquet" not in plan, plan
+    assert sorted(
+        tuple(r) for r in shared_token_spine_for_dir(spark, SF_DIR).collect()
+    ) == expected_spine
+    assert sorted(tuple(r) for r in text_span_dup(spark, SF_DIR).collect()) \
+        == expected_spans
+    clear_span_cache(spark)
+    clear_token_spine_cache(spark)
+
+
+def test_env_knob_seeds_ivf_centroids(spark, tmp_path, monkeypatch):
+    from pyspark_coding_challenge_spark.llm.similarity import (
+        clear_centroid_cache,
+        embedding_ann_ivf,
+    )
+
+    expected = sorted(tuple(r) for r in embedding_ann_ivf(spark, SF_DIR).collect())
+    A.materialize_ivf_centroids(spark, SF_DIR, str(tmp_path))
+    clear_centroid_cache(spark)
+    monkeypatch.setenv(A.ENV_ARTIFACT_DIR, str(tmp_path))
+    assert sorted(tuple(r) for r in embedding_ann_ivf(spark, SF_DIR).collect()) \
+        == expected
+    clear_centroid_cache(spark)
+
+
+def test_spine_artifact_round_trip(spark, tmp_path):
+    from pyspark_coding_challenge_spark.llm.text import (
+        clear_token_spine_cache,
+        shared_token_spine_for_dir,
+    )
+
+    expected = sorted(
+        tuple(r) for r in shared_token_spine_for_dir(spark, SF_DIR).collect()
+    )
+    A.materialize_spine(spark, SF_DIR, str(tmp_path))
+    clear_token_spine_cache(spark)
+    A.load_spine(spark, SF_DIR, str(tmp_path))
+    got = sorted(
+        tuple(r) for r in shared_token_spine_for_dir(spark, SF_DIR).collect()
+    )
+    assert got == expected
+    clear_token_spine_cache(spark)
