@@ -182,15 +182,51 @@ BROADCAST_EVAL_MAX_TOKENS = int(
     os.environ.get("SPARK_GRAFT_BROADCAST_EVAL_MAX_TOKENS", "2000000")
 )
 
-# Bloom bitmap width (bits) for the non-broadcast decontamination path.
-# The broadcast side of the pre-pass is the set of OCCUPIED bit positions
-# — capped at BLOOM_BITS rows of one int no matter how large the eval
-# suite grows, which is the whole point of a bloom filter. 2^20 bits
-# handles ~10^5 eval shingles at ~10% false-positive (survivors still go
-# through the exact join, so FPR costs shuffle bytes, never correctness);
-# size ~10 bits/shingle at prod (10^9 shingles -> 2^33 bits = 1 GiB spread
-# across 2 broadcast semi-join builds — still executor-resident).
-DECON_BLOOM_BITS = int(os.environ.get("SPARK_GRAFT_DECON_BLOOM_BITS", str(1 << 20)))
+# Bloom bitmap for the non-broadcast decontamination path — a PACKED
+# bitmap, not a row set (r6 verdict finding #3: broadcasting occupied
+# positions as rows of ints costs tens of bytes per entry, so the
+# "1 GiB at 10^9 shingles" claim didn't hold). Representation: the bitmap
+# is cut into segments of _BLOOM_SEG_WORDS 64-bit words, each segment one
+# broadcast row (seg BIGINT, words ARRAY<BIGINT> dense) — Spark arrays of
+# longs are primitive-backed (UnsafeArrayData), so the broadcast truly
+# costs ~m/8 bytes plus one hash entry per 2 KiB segment. At the 2^33-bit
+# ceiling that is 1 GiB of words behind 64 Ki hash entries —
+# executor-resident for real.
+#
+# Width: 0 (default) = AUTO-SIZE from the same n_chars-estimated eval
+# token count the broadcast decision uses, at DECON_BLOOM_BITS_PER_KEY
+# bits per expected shingle (k=2 probes at 10 bits/key -> ~3% FPR;
+# survivors still go through the exact join, so FPR costs shuffle bytes,
+# never correctness), clamped to [2^20, 2^33] and rounded up to whole
+# segments. Set the env var to pin a width instead.
+DECON_BLOOM_BITS = int(os.environ.get("SPARK_GRAFT_DECON_BLOOM_BITS", "0"))
+DECON_BLOOM_BITS_PER_KEY = 10
+_BLOOM_SEG_LOG2_WORDS = 8  # 256 words = 2 KiB packed bits per segment row
+_BLOOM_SEG_WORDS = 1 << _BLOOM_SEG_LOG2_WORDS
+_BLOOM_SEG_BITS = _BLOOM_SEG_WORDS * 64
+DECON_BLOOM_MAX_BITS = 1 << 33
+
+
+def _bloom_width_bits(est_eval_tokens: int) -> int:
+    """Bitmap width in bits for an estimated eval shingle count; whole
+    segments so every probe position lands in a materializable row."""
+    m = DECON_BLOOM_BITS
+    if m <= 0:
+        m = max(1 << 20, min(DECON_BLOOM_MAX_BITS,
+                             est_eval_tokens * DECON_BLOOM_BITS_PER_KEY))
+    return ((m + _BLOOM_SEG_BITS - 1) // _BLOOM_SEG_BITS) * _BLOOM_SEG_BITS
+
+
+def _mix60(c: F.Column) -> F.Column:
+    """Xorshift scramble of the 60-bit fold — the SECOND bloom probe's
+    source bits. Independent of the identity used for probe 1 at ANY
+    bitmap width (r6 advisory: the old shiftright(h, 30) probe spanned
+    only [0, 2^30) and correlated with probe 1 past m = 2^30). Bitwise
+    ops only — no multiply, so ANSI overflow can't trip; shiftleft may
+    set the sign bit, which pmod maps back to [0, m)."""
+    x = c.bitwiseXOR(F.shiftright(c, 29))
+    x = x.bitwiseXOR(F.shiftleft(x, 21))
+    return x.bitwiseXOR(F.shiftright(x, 13))
 
 # Broadcast-vs-bloom decision probe: average English chars per
 # whitespace-token (word + the space) — used to ESTIMATE eval-side tokens
@@ -218,12 +254,13 @@ def decontaminate(spark: SparkSession, sf_dir: str,
     ``BROADCAST_EVAL_MAX_TOKENS``; pass True/False to skip the probe.
 
     Above the cap (``broadcast_eval=False``), the exact join is preceded
-    by a BLOOM pre-pass: eval shingle hashes are folded onto a
-    ``DECON_BLOOM_BITS``-bit bitmap via two derived positions, the
-    occupied-position set (<= DECON_BLOOM_BITS rows of one int, REGARDLESS
-    of eval size) is broadcast, and the train side is semi-joined against
-    it on both positions map-side. Only bloom survivors reach the shuffled
-    exact join, so a 10^9-shingle eval suite costs a bounded broadcast +
+    by a BLOOM pre-pass: eval shingle hashes set two probe positions (the
+    fold and its xorshift mix) on an auto-sized PACKED bitmap — dense
+    ``array<bigint>`` word segments, so the broadcast costs ~bits, not
+    hash-table entries (r6 finding #3) — and the train side is semi-joined
+    against the segment relation map-side, testing the probe bit inside
+    the join condition. Only bloom survivors reach the shuffled exact
+    join, so a 10^9-shingle eval suite costs a ~1 GiB broadcast +
     map-side filter instead of a full fact-side shuffle. False positives
     are discarded by the exact join — output is identical on every path
     (pinned by tests/test_llm_curation.py).
@@ -250,8 +287,12 @@ def decontaminate(spark: SparkSession, sf_dir: str,
         return sh.select("doc_id", md5_fold60(F.col("s")).alias("h"))
 
     eval_docs = d.filter(F.col("doc_id") % EVAL_MOD == 0)
-    if broadcast_eval is None:
+    est_chars = None
+    if broadcast_eval is None or (not broadcast_eval and DECON_BLOOM_BITS <= 0):
+        # one skinny-column scan serves BOTH the broadcast decision and the
+        # bloom auto-sizing — never tokenize the split to pick a strategy
         est_chars = eval_docs.select(F.sum("n_chars")).collect()[0][0] or 0
+    if broadcast_eval is None:
         broadcast_eval = (
             est_chars // CHARS_PER_TOKEN_EST <= BROADCAST_EVAL_MAX_TOKENS
         )
@@ -261,25 +302,76 @@ def decontaminate(spark: SparkSession, sf_dir: str,
     if broadcast_eval:
         ev = F.broadcast(ev)
     else:
-        # Bloom pre-pass: two bit positions per hash (low bits + high bits
-        # of the 60-bit fold — disjoint source bits, so effectively two
-        # hash functions). The broadcast side is the OCCUPIED-position set,
-        # bounded by the bitmap width, never by eval size.
-        m = DECON_BLOOM_BITS
-        p1 = lambda c: F.pmod(F.col(c), F.lit(m))  # noqa: E731
-        p2 = lambda c: F.pmod(F.shiftright(F.col(c), 30), F.lit(m))  # noqa: E731
-        # ONE eval-side pass builds the bitmap (explode both positions from
+        # Bloom pre-pass: two probe positions per hash — the fold itself
+        # and its xorshift mix, independent at any bitmap width. ONE
+        # eval-side pass builds the bitmap (explode both positions from
         # the same rows) — a union of two selects would re-run the eval
         # shingle+md5 kernel per branch (review finding r6); the exact join
         # below is then the second and last eval pass.
-        occupied = (
-            ev.select(F.explode(F.array(p1("h"), p2("h"))).alias("p"))
-            .distinct()
+        m = _bloom_width_bits((est_chars or 0) // CHARS_PER_TOKEN_EST)
+        p1 = lambda c: F.pmod(c, F.lit(m))  # noqa: E731
+        p2 = lambda c: F.pmod(_mix60(c), F.lit(m))  # noqa: E731
+        # pack positions -> 64-bit words -> dense word-array segments
+        # (primitive-backed, so the broadcast costs ~m/8 bytes)
+        words = (
+            ev.select(F.explode(F.array(p1(F.col("h")), p2(F.col("h")))).alias("p"))
+            .select(
+                F.shiftright("p", 6).alias("w"),
+                F.expr("shiftleft(1L, CAST(p & 63 AS INT))").alias("b"),
+            )
+            .groupBy("w")
+            .agg(F.bit_or("b").alias("bits"))
         )
+        segs = (
+            words.select(
+                F.shiftright("w", _BLOOM_SEG_LOG2_WORDS).alias("_seg"),
+                F.col("w").bitwiseAND(F.lit(_BLOOM_SEG_WORDS - 1))
+                .cast("int").alias("wis"),
+                "bits",
+            )
+            .groupBy("_seg")
+            .agg(F.map_from_entries(
+                F.collect_list(F.struct("wis", "bits"))).alias("mp"))
+            .select(
+                "_seg",
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(_BLOOM_SEG_WORDS - 1)),
+                    lambda i: F.coalesce(
+                        F.element_at(F.col("mp"), i), F.lit(0).cast("bigint")
+                    ),
+                ).alias("_words"),
+            )
+        )
+        bseg = F.broadcast(segs)
+        # per-row probe decomposition (narrow codegen), then per probe a
+        # broadcast LEFT SEMI on the segment key with the bit test as the
+        # residual condition — absent segments (no bits set anywhere in
+        # their range) reject naturally. Probe masks are computed
+        # train-side because variable-amount shifts need the SQL form.
         train = (
-            train.join(F.broadcast(occupied), p1("h") == F.col("p"), "left_semi")
-            .join(F.broadcast(occupied), p2("h") == F.col("p"), "left_semi")
+            train
+            .withColumn("_p1", p1(F.col("h")))
+            .withColumn("_p2", p2(F.col("h")))
+            .withColumn("_m1", F.expr("shiftleft(1L, CAST(_p1 & 63 AS INT))"))
+            .withColumn("_m2", F.expr("shiftleft(1L, CAST(_p2 & 63 AS INT))"))
         )
+        for tag in ("1", "2"):
+            pcol = F.col(f"_p{tag}")
+            train = train.join(
+                bseg,
+                (F.shiftright(pcol, 6 + _BLOOM_SEG_LOG2_WORDS) == F.col("_seg"))
+                & (
+                    F.element_at(
+                        F.col("_words"),
+                        F.shiftright(pcol, 6)
+                        .bitwiseAND(F.lit(_BLOOM_SEG_WORDS - 1))
+                        .cast("int") + F.lit(1),
+                    ).bitwiseAND(F.col(f"_m{tag}"))
+                    != 0
+                ),
+                "left_semi",
+            )
+        train = train.drop("_p1", "_p2", "_m1", "_m2")
     return (
         train.join(ev, on="h")
         .groupBy("doc_id")
@@ -398,7 +490,8 @@ def source_quantile_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     ranked = sharded_row_number(
-        with_range_shard(scored, "_neg_lex"),
+        with_range_shard(scored, "_neg_lex",
+                         cache_key=("curation_neg_lex", sf_dir)),
         ["source"],
         [F.col("_lex").desc(), F.col("doc_id").asc()],
         "src_rank",

@@ -330,6 +330,9 @@ def batch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "source", "n_tokens", bucket.alias("len_bucket")
         ),
         "doc_id",
+        # same breaks as text.text_pack_sequences (doc_id quantiles of the
+        # same spine) — deliberately the same cache_key, one quantile job
+        cache_key=("spine_doc_id", sf_dir),
     )
     return (
         sharded_row_number(base, ["source", "len_bucket"], ["doc_id"], "_rn")

@@ -553,6 +553,9 @@ def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_tokens").cast("bigint").alias("n_tokens"),
         ),
         "doc_id",
+        # shared with profiling.batch_plan: same spine, same key -> ONE
+        # quantile job per session (r6 finding #2)
+        cache_key=("spine_doc_id", sf_dir),
     )
     df = sharded_cumsum(
         base, ["source"], ["doc_id"], "n_tokens", "tok_end"

@@ -24,6 +24,7 @@ still hash-match. Consumers: ``llm.text.text_pack_sequences``,
 
 from __future__ import annotations
 
+import threading
 from typing import Sequence
 
 from pyspark.sql import Column, DataFrame
@@ -35,12 +36,34 @@ from pyspark.sql.window import Window
 # step 4 is provably tiny at ANY corpus size; raise for >256-way clusters.
 N_PREFIX_SHARDS = 256
 
+# (applicationId, caller cache_key, key_col, n_shards) -> the 1-row
+# checkpointed breaks relation. The quantile pass is EAGER (localCheckpoint
+# at plan-construction time, r6 finding #2) — without this cache every
+# calling section re-ran it per invocation even though the breaks are a
+# pure function of (data, key). Mirrors the token-spine cache idiom.
+_BREAKS_CACHE: dict[tuple, DataFrame] = {}
+_BREAKS_LOCK = threading.Lock()
+
+
+def clear_breaks_cache(spark=None) -> int:
+    """Drop cached quantile breaks (all, or one session's) — mirrors
+    ``text.clear_token_spine_cache``. Checkpoint blocks are reclaimed by
+    the ContextCleaner once the reference drops."""
+    released = 0
+    app = spark.sparkContext.applicationId if spark is not None else None
+    for key in list(_BREAKS_CACHE):
+        if app is None or key[0] == app:
+            del _BREAKS_CACHE[key]
+            released += 1
+    return released
+
 
 def with_range_shard(
     df: DataFrame,
     key_col: str,
     shard_col: str = "_shard",
     n_shards: int = N_PREFIX_SHARDS,
+    cache_key: tuple | None = None,
 ) -> DataFrame:
     """Add ``shard_col``: an integer in [0, n_shards) MONOTONE
     NON-DECREASING in ``key_col`` (equal keys -> equal shard), computed
@@ -58,15 +81,39 @@ def with_range_shard(
     balanced under ANY key distribution to ~1/accuracy; heavily duplicated
     keys still collapse to one shard, which monotonicity requires —
     duplicate ORDER keys are the caller's tie-break problem, not this
-    function's."""
-    qs = [i / n_shards for i in range(1, n_shards)]
-    # localCheckpoint pins ONE evaluation of the quantile pass:
-    # sharded_cumsum references the sharded df in two plan branches, and
-    # approx-quantile merge order is not deterministic across shuffle
-    # fetches — two independent evaluations could disagree at a break
-    # boundary and assign the same row different shards per branch
-    # (review finding r6). The checkpointed relation is 1 row.
-    stats = df.agg(F.percentile_approx(key_col, qs).alias("_breaks")).localCheckpoint()
+    function's.
+
+    ``cache_key``: opaque caller-supplied identity of ``df``'s CONTENTS
+    (e.g. ``(sf_dir, "pack")``). When given, the eager quantile pass runs
+    once per (session, cache_key, key_col, n_shards) and later invocations
+    reuse the checkpointed breaks (r6 finding #2: pack/batch sections were
+    re-running the percentile job per call). Only pass it for relations
+    that are deterministic for the key — a changing input under the same
+    key is the caller's staleness bug."""
+    ck = None
+    stats = None
+    if cache_key is not None:
+        ck = (df.sparkSession.sparkContext.applicationId, cache_key,
+              key_col, n_shards)
+        with _BREAKS_LOCK:
+            stats = _BREAKS_CACHE.get(ck)
+    if stats is None:
+        qs = [i / n_shards for i in range(1, n_shards)]
+        # localCheckpoint pins ONE evaluation of the quantile pass:
+        # sharded_cumsum references the sharded df in two plan branches, and
+        # approx-quantile merge order is not deterministic across shuffle
+        # fetches — two independent evaluations could disagree at a break
+        # boundary and assign the same row different shards per branch
+        # (review finding r6). The checkpointed relation is 1 row.
+        stats = df.agg(
+            F.percentile_approx(key_col, qs).alias("_breaks")
+        ).localCheckpoint()
+        if ck is not None:
+            with _BREAKS_LOCK:
+                # a racing thread may have landed first; keep ITS handle so
+                # both callers share one checkpoint (the loser's blocks are
+                # reclaimed by the ContextCleaner)
+                stats = _BREAKS_CACHE.setdefault(ck, stats)
     shard = F.expr(
         f"CAST(size(filter(_breaks, b -> b <= {key_col})) AS INT)"
     )

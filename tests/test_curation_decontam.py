@@ -69,3 +69,50 @@ def test_bloom_path_detects_planted_overlap(spark, tmp_path):
     )
     got = {r.doc_id: r for r in decontaminate(spark, sf, broadcast_eval=False).collect()}
     assert 11 in got and got[11].eval_matches == 1
+
+
+def test_bloom_width_auto_sizes_from_estimate():
+    """r7: width scales with the estimated eval shingle count at
+    BITS_PER_KEY, clamped to [2^20, 2^33], whole segments (r6 finding #3:
+    the static 2^20 default silently saturated at prod scale)."""
+    from pyspark_coding_challenge_spark.llm import curation as C
+
+    assert C.DECON_BLOOM_BITS <= 0  # default is auto
+    assert C._bloom_width_bits(0) == 1 << 20
+    assert C._bloom_width_bits(10**5) == 1 << 20  # 10^6 bits < floor
+    mid = C._bloom_width_bits(10**7)  # 10^8 bits, in range
+    assert mid % C._BLOOM_SEG_BITS == 0 and mid >= 10**8
+    assert C._bloom_width_bits(10**9) == 1 << 33  # ceiling
+    assert (1 << 33) % C._BLOOM_SEG_BITS == 0
+
+
+def test_bloom_saturated_tiny_bitmap_still_exact(spark, monkeypatch):
+    """Pin the width to ONE segment: the bitmap saturates, nearly every
+    train shingle survives the pre-pass — and the output is still
+    row-identical because the exact join discards every false positive."""
+    from pyspark_coding_challenge_spark.llm import curation as C
+
+    monkeypatch.setattr(C, "DECON_BLOOM_BITS", C._BLOOM_SEG_BITS)
+    sf = "/root/testdata/sf0.001"
+    fast = C.decontaminate(spark, sf, broadcast_eval=True)
+    bloom = C.decontaminate(spark, sf, broadcast_eval=False)
+    assert sorted(map(tuple, fast.collect())) == sorted(map(tuple, bloom.collect()))
+
+
+def test_second_probe_spans_full_width_past_2_30(spark):
+    """r6 advisory: the old probe-2 (shiftright(h, 30)) spanned only
+    [0, 2^30) of a wider bitmap. The xorshift mix must reach positions
+    >= 2^30 when m = 2^33."""
+    from pyspark.sql import functions as F
+
+    from pyspark_coding_challenge_spark.llm.curation import _mix60
+
+    m = 1 << 33
+    df = spark.range(0, 200000, 37).select(
+        F.pmod(_mix60((F.col("id") * F.lit(2** 40 // 7)).cast("bigint")),
+               F.lit(m)).alias("p2")
+    )
+    hi = df.filter(F.col("p2") >= (1 << 30)).count()
+    n = df.count()
+    # ~7/8 of a uniform [0, 2^33) distribution lies above 2^30
+    assert hi > 0.7 * n, f"{hi}/{n} probes above 2^30 — probe 2 is not spreading"

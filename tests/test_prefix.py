@@ -211,3 +211,44 @@ def test_null_values_follow_single_window_semantics(spark):
     )
     cols = ["doc_id", "source", "cum"]
     assert _rows(got, cols) == _rows(expected, cols)
+
+
+def test_breaks_cache_one_quantile_job_per_key(spark):
+    """r6 finding #2: the eager quantile pass must run once per
+    (session, cache_key, key) — a second invocation with the same
+    cache_key launches ZERO Spark jobs; a different cache_key re-runs.
+    Counted via job groups (the eager localCheckpoint's jobs run under
+    the group active at call time)."""
+    from pyspark_coding_challenge_spark.operators.prefix import clear_breaks_cache
+
+    sc = spark.sparkContext
+    d = _skewed_docs(spark)
+    clear_breaks_cache(spark)
+
+    def jobs_for(group, fn):
+        sc.setJobGroup(group, group)
+        try:
+            fn()
+        finally:
+            sc.setJobGroup(None, None)
+        return len(set(sc.statusTracker().getJobIdsForGroup(group)))
+
+    n1 = jobs_for("brk1", lambda: with_range_shard(d, "doc_id", cache_key=("t", "a")))
+    n2 = jobs_for("brk2", lambda: with_range_shard(d, "doc_id", cache_key=("t", "a")))
+    n3 = jobs_for("brk3", lambda: with_range_shard(d, "doc_id", cache_key=("t", "b")))
+    assert n1 >= 1, "first call must run the eager quantile job"
+    assert n2 == 0, f"cached call launched {n2} jobs"
+    assert n3 >= 1, "different cache_key must re-run"
+    # hashes unchanged: cached-breaks output == fresh-breaks output
+    a = _rows(
+        sharded_cumsum(with_range_shard(d, "doc_id", cache_key=("t", "a")),
+                       ["source"], ["doc_id"], "n_tokens", "c"),
+        ["doc_id", "c"],
+    )
+    b = _rows(
+        sharded_cumsum(with_range_shard(d, "doc_id"),
+                       ["source"], ["doc_id"], "n_tokens", "c"),
+        ["doc_id", "c"],
+    )
+    assert a == b
+    clear_breaks_cache(spark)
