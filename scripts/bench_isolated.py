@@ -1,8 +1,10 @@
 #!/usr/bin/env python
-"""Isolated bench anchors (r4 verdict #5): fresh-process best-of-3 timings
-for the heaviest slugs, emitted as machine-readable
-``BENCH_isolated_r{N}.json`` so future judges can separate environment
-drift from code regressions by diffing artifacts instead of trusting prose.
+"""Isolated bench anchors (r4 verdict #5; ALL 50 slugs since r7, judge
+item #4): fresh-process best-of-3 timings for every registered slug,
+emitted as machine-readable ``BENCH_isolated_r{N}.json`` so future judges
+can separate environment drift from code regressions by diffing artifacts
+instead of trusting prose. ``vs_prev`` ratios against the previous round's
+artifact are computed in-file where that round measured the slug.
 
 Each slug runs in its OWN subprocess with its own Spark session: no GC
 pressure, JIT state, or cached relations leak between slugs (the in-bench
@@ -29,25 +31,11 @@ import os
 import subprocess
 import sys
 
-# The ~10 heaviest slugs by BENCH_r04/r05 cost — the ones whose
-# round-over-round deltas matter for regression triage.
-SLUGS = [
-    "training_examples",
-    "llm_corpus_curation",
-    "dedup_clusters",
-    "dedup_minhash_lsh",
-    "text_analysis",
-    "embedding_ann_ivf",
-    "embedding_ann_lsh",
-    "user_history_topk",
-    "streaming_stream_stream_join",
-    "streaming_windowed_aggs",
-    "agg_variants",
-    "tpch_composites",
-    # round-5 widened slugs (subquery family / batch-plan + integrity audit)
-    "join_variants",
-    "data_profile",
-]
+# Since r7 the slug list is the WHOLE registry (in registration order);
+# BASELINE.md documents 1.3-1.9x ambient drift in the shared-session
+# bench totals, so the isolated artifact is the only trustworthy
+# round-over-round signal and must cover every slug, not 14 headliners.
+# SPARK_GRAFT_ISO_SLUGS (comma list) restricts a run for quick iteration.
 
 # End-of-r4 anchors, transcribed from BASELINE.md's prose note (same
 # protocol: sf0.1, local[32], fresh session, best-of-3 after one warm-up —
@@ -114,8 +102,32 @@ def main() -> None:
         for slug in registry.queries()
     }
 
+    all_slugs = list(registry.queries())
+    pick = os.environ.get("SPARK_GRAFT_ISO_SLUGS")
+    if pick:
+        wanted = [s.strip() for s in pick.split(",") if s.strip()]
+        unknown = [s for s in wanted if s not in all_slugs]
+        if unknown:
+            print(f"unknown slugs in SPARK_GRAFT_ISO_SLUGS: {unknown}",
+                  file=sys.stderr)
+            raise SystemExit(2)
+        all_slugs = wanted
+
+    # previous round's artifact -> in-file vs_prev ratios (same protocol
+    # check as the r4 anchors: only comparable at the default sf/cpus)
+    prev: dict = {}
+    prev_round = None
+    if rnd is not None and anchor_protocol:
+        for r in range(rnd - 1, 0, -1):
+            p = os.path.join(repo_root, f"BENCH_isolated_r{r}.json")
+            if os.path.exists(p):
+                with open(p) as f:
+                    prev = json.load(f).get("slugs", {})
+                prev_round = r
+                break
+
     slugs: dict[str, dict] = {}
-    for slug in SLUGS:
+    for slug in all_slugs:
         proc = subprocess.run(
             [sys.executable, "-c", _CHILD, slug, sf_dir, cpus],
             capture_output=True,
@@ -136,6 +148,10 @@ def main() -> None:
         if slug in R4_PROSE_ANCHORS and anchor_protocol:
             entry["r4_best"] = R4_PROSE_ANCHORS[slug]
             entry["vs_r4"] = round(rec["best"] / R4_PROSE_ANCHORS[slug], 3)
+        prev_best = prev.get(slug, {}).get("best")
+        if prev_best:
+            entry["prev_best"] = prev_best
+            entry["vs_prev"] = round(rec["best"] / prev_best, 3)
         slugs[slug] = entry
         print(f"{slug}: cold={rec['cold']} best={rec['best']}", file=sys.stderr)
 
@@ -151,6 +167,7 @@ def main() -> None:
         "slugs": slugs,
         "section_counts": section_counts,
         "r4_anchor_source": "BASELINE.md end-of-r4 prose note (best-of-3, no cold recorded)",
+        "prev_round": prev_round,
     }
     line = json.dumps(out)
     print(line)

@@ -25,6 +25,10 @@ import sys
 import time
 
 REPLICAS = (1, 2, 5, 10)
+# --deep: the two kernels closest to the linear break at 10x (r6:
+# exact_dedup_groups 2.39x, in_groupby_having 2.34x) pushed to 30x to see
+# whether they stay sub-linear past the extrapolation point
+DEEP_REPLICAS = (1, 10, 30)
 BASE_SF = "/root/testdata/sf0.1"
 WORK = "/tmp/spark_graft_scale_probe"
 
@@ -146,6 +150,10 @@ def probe_tpch(spark, sf_dir: str) -> dict[str, float]:
         ("correlated_avg_qty", sq.correlated_small_quantity),
         ("salted_skew_join", sq.salted_skew_join),
         ("order_count_dist", sq.order_count_distribution),
+        # r7: Q7 after the prune-before-orderkey rewrite, with its sibling
+        # Q8 (already dimension-first) as the reference shape
+        ("nation_pair_volume", sq.nation_pair_volume),
+        ("market_share", sq.market_share),
     ):
         t0 = _t.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -244,10 +252,30 @@ def probe_skew(spark, sf_dir: str) -> dict:
     return timings
 
 
+def probe_deep(spark, corpus_dir: str, tpch_dir: str) -> dict[str, float]:
+    """Just the two near-linear-break kernels, one timed run each."""
+    from pyspark.sql import functions as F
+
+    from pyspark_coding_challenge_spark.plans import subqueries as sq
+
+    timings: dict[str, float] = {}
+    docs = spark.read.parquet(f"{corpus_dir}/documents.parquet")
+    t0 = time.perf_counter()
+    docs.groupBy(F.md5("text").alias("h")).count() \
+        .write.format("noop").mode("overwrite").save()
+    timings["exact_dedup_groups"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    sq.in_big_quantity_orders(spark, tpch_dir) \
+        .write.format("noop").mode("overwrite").save()
+    timings["in_groupby_having"] = round(time.perf_counter() - t0, 3)
+    return timings
+
+
 def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("-")]
     tpch = "--tpch" in sys.argv
     skew = "--skew" in sys.argv
+    deep = "--deep" in sys.argv
     rnd = args[0] if args else None
     os.makedirs(WORK, exist_ok=True)
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -255,6 +283,41 @@ def main() -> None:
 
     spark = get_spark(app_name="scale_probe", master="local[32]")
     spark.sparkContext.setLogLevel("ERROR")
+
+    if deep:
+        # both kernels in one artifact: corpus x{f} for exact_dedup_groups,
+        # tpch x{f} for in_groupby_having (r6 verdict #8)
+        result = {
+            "protocol": (
+                "30x extension of the two kernels nearest the linear break "
+                "at 10x; replicated sf0.1 documents (disjoint ids, retagged "
+                "tokens) and orders+lineitem (disjoint orderkeys), one "
+                "timed run per factor after a 1x warm-up"
+            ),
+            "factors": {},
+        }
+        probe_deep(spark, build_corpus(spark, 1), build_tpch(spark, 1))
+        for f in DEEP_REPLICAS:
+            result["factors"][str(f)] = probe_deep(
+                spark, build_corpus(spark, f), build_tpch(spark, f)
+            )
+        base = result["factors"]["1"]
+        result["ratios_vs_1x"] = {
+            f: {k: (round(v[k] / base[k], 2) if base[k] > 0 else None)
+                for k in v}
+            for f, v in result["factors"].items()
+        }
+        out = json.dumps(result)
+        print(out)
+        if rnd:
+            repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+            name = os.path.join(repo_root, f"SCALE_PROBE_DEEP_r{rnd}.json")
+            with open(name, "w") as fh:
+                fh.write(out + "\n")
+            print(f"wrote {name}", file=sys.stderr)
+        spark.stop()
+        shutil.rmtree(WORK, ignore_errors=True)
+        return
 
     if skew:
         build, run = build_skew_corpus, probe_skew

@@ -210,6 +210,44 @@ def main() -> None:
     sess_series, sess_emitted = _drive(spark, sessions, "sessions")
     result["operators"]["session_windows"] = sess_series
 
+    # Stream-stream interval join (r6 verdict #7): BOTH sides buffer in the
+    # symmetric hash join state — the classic unbounded-state trap. Same
+    # shape as streaming.windows.streaming_stream_stream_join (views
+    # joined to purchases at most 2h later); the interval bound + the two
+    # watermarks must evict views at wm-2h and purchases at wm, so state
+    # plateaus at O(rows within one horizon), never O(all rows replayed).
+    views = (
+        src().filter(F.col("event_type") == "view")
+        .select(F.col("user_id").alias("v_user"),
+                F.col("event_id").alias("view_id"),
+                F.col("ts").alias("v_ts"))
+        .withWatermark("v_ts", WATERMARK_DELAY)
+    )
+    purchases = (
+        src().filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"),
+                F.col("event_id").alias("purchase_id"),
+                F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", WATERMARK_DELAY)
+    )
+    ss_join = views.join(
+        purchases,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 2 HOURS")),
+        "inner",
+    ).select("v_user", "view_id", "purchase_id")
+    join_series, join_emitted = _drive(spark, ss_join, "ss_join")
+    result["operators"]["stream_stream_join"] = join_series
+    # no-eviction baseline: a join that never evicted would end holding
+    # every view + purchase row replayed through it
+    join_input_rows = (
+        spark.read.parquet(ev_dir)
+        .filter(F.col("event_type").isin("view", "purchase")).count()
+    )
+    result["stream_stream_join_input_rows"] = join_input_rows
+    result["stream_stream_join_emitted_rows"] = join_emitted
+
     # Per-operator no-eviction baseline (review finding r6): the dedup
     # store's is the distinct key count; the session store's is its OWN
     # emitted session count — comparing session state against dedup keys
@@ -217,6 +255,7 @@ def main() -> None:
     baselines = {
         "stateful_dedup": max(total_dedup_keys, dedup_emitted),
         "session_windows": sess_emitted,
+        "stream_stream_join": join_input_rows,
     }
     for name, series in result["operators"].items():
         if not series:
