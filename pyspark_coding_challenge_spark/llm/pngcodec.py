@@ -106,12 +106,20 @@ def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
         raise ValueError("Adam7 interlace not supported")
     channels = _CHANNELS[color_type]
 
-    raw = zlib.decompress(bytes(idat))
     stride = w * channels  # bytes per unfiltered scanline
-    if len(raw) != h * (1 + stride):
-        raise ValueError(
-            f"inflated IDAT is {len(raw)} bytes, expected {h * (1 + stride)}"
-        )
+    expected = h * (1 + stride)
+    # bounded inflate: cap at expected+1 so a corrupt (or hostile) IDAT
+    # cannot balloon memory before the length check — one extra byte is
+    # enough to distinguish "too long" from "exact"
+    dobj = zlib.decompressobj()
+    try:
+        raw = dobj.decompress(bytes(idat), expected + 1)
+    except zlib.error as exc:
+        raise ValueError(f"IDAT inflate failed: {exc}") from exc
+    if len(raw) != expected:
+        raise ValueError(f"inflated IDAT is {len(raw)} bytes, expected {expected}")
+    if not dobj.eof or dobj.unconsumed_tail or dobj.unused_data:
+        raise ValueError("IDAT stream does not end at the expected pixel count")
 
     out = bytearray(h * stride)
     prev_off = -1  # offset of previous reconstructed scanline in `out`
