@@ -188,7 +188,14 @@ def materialize_pairs(spark: SparkSession, sf_dir: str, artifact_dir: str) -> st
     path = os.path.join(artifact_dir, PAIRS_NAME)
     if _loaded_from(spark, sf_dir, PAIRS_NAME) == os.path.abspath(path):
         return path  # cache was seeded FROM this path — bytes already there
-    verified_pairs_for_dir(spark, sf_dir).write.mode("overwrite").parquet(path)
+    df = verified_pairs_for_dir(spark, sf_dir)
+    # the builder itself may JUST have seeded from $SPARK_GRAFT_ARTIFACT_DIR
+    # == this very path (r7 review finding, execution-confirmed): re-check
+    # AFTER it runs, or the overwrite below deletes the parquet it reads
+    # and leaves the artifact dir empty
+    if _loaded_from(spark, sf_dir, PAIRS_NAME) == os.path.abspath(path):
+        return path
+    df.write.mode("overwrite").parquet(path)
     _write_meta(path, sf_dir, _pairs_params())
     return path
 
@@ -228,7 +235,10 @@ def materialize_spans(spark: SparkSession, sf_dir: str, artifact_dir: str) -> st
     path = os.path.join(artifact_dir, SPANS_NAME)
     if _loaded_from(spark, sf_dir, SPANS_NAME) == os.path.abspath(path):
         return path
-    shared_span_starts_for_dir(spark, sf_dir).write.mode("overwrite").parquet(path)
+    df = shared_span_starts_for_dir(spark, sf_dir)
+    if _loaded_from(spark, sf_dir, SPANS_NAME) == os.path.abspath(path):
+        return path  # builder env-seeded from this path — see materialize_pairs
+    df.write.mode("overwrite").parquet(path)
     _write_meta(path, sf_dir, _spans_params())
     return path
 
@@ -263,7 +273,10 @@ def materialize_ivf_centroids(spark: SparkSession, sf_dir: str,
     path = os.path.join(artifact_dir, CENTROIDS_NAME)
     if _loaded_from(spark, sf_dir, CENTROIDS_NAME) == os.path.abspath(path):
         return path
-    ivf_centroids_for_dir(spark, sf_dir).write.mode("overwrite").parquet(path)
+    df = ivf_centroids_for_dir(spark, sf_dir)
+    if _loaded_from(spark, sf_dir, CENTROIDS_NAME) == os.path.abspath(path):
+        return path  # builder env-seeded from this path — see materialize_pairs
+    df.write.mode("overwrite").parquet(path)
     _write_meta(path, sf_dir, _centroid_params())
     return path
 
@@ -297,7 +310,10 @@ def materialize_spine(spark: SparkSession, sf_dir: str, artifact_dir: str) -> st
     path = os.path.join(artifact_dir, SPINE_NAME)
     if _loaded_from(spark, sf_dir, SPINE_NAME) == os.path.abspath(path):
         return path
-    shared_token_spine_for_dir(spark, sf_dir).write.mode("overwrite").parquet(path)
+    df = shared_token_spine_for_dir(spark, sf_dir)
+    if _loaded_from(spark, sf_dir, SPINE_NAME) == os.path.abspath(path):
+        return path  # builder env-seeded from this path — see materialize_pairs
+    df.write.mode("overwrite").parquet(path)
     _write_meta(path, sf_dir, _spine_params())
     return path
 

@@ -190,8 +190,8 @@ BROADCAST_EVAL_MAX_TOKENS = int(
 # broadcast row (seg BIGINT, words ARRAY<BIGINT> dense) — Spark arrays of
 # longs are primitive-backed (UnsafeArrayData), so the broadcast truly
 # costs ~m/8 bytes plus one hash entry per 2 KiB segment. At the 2^33-bit
-# ceiling that is 1 GiB of words behind 64 Ki hash entries —
-# executor-resident for real.
+# ceiling that is 1 GiB of packed words behind 512 Ki hash entries (2^27
+# words / 256 per segment) — executor-resident for real.
 #
 # Width: 0 (default) = AUTO-SIZE from the same n_chars-estimated eval
 # token count the broadcast decision uses, at DECON_BLOOM_BITS_PER_KEY

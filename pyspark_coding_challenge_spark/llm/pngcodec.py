@@ -36,6 +36,11 @@ import zlib
 
 _SIGNATURE = b"\x89PNG\r\n\x1a\n"
 
+# Decode-bomb ceiling on declared w*h (~64 MP => <=320 MB of RGBA pixel
+# bytes per row); raise it deliberately for a corpus of genuinely huge
+# images rather than letting corrupt headers size allocations.
+MAX_PIXELS = 64_000_000
+
 # color type -> samples per pixel (PIL band-count parity; type 3 is the
 # palette-index plane, 1 sample, like PIL mode 'P')
 _CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
@@ -96,6 +101,12 @@ def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
     w, h, depth, color_type, compression, filt, interlace = ihdr
     if w <= 0 or h <= 0:
         raise ValueError("nonpositive dimensions")
+    if w * h > MAX_PIXELS:
+        # the inflate cap below derives from IHDR, which corruption (or an
+        # attacker) controls — without a ceiling a valid-CRC header claiming
+        # 50000x50000 lets a small zlib bomb balloon toward ~7.5 GB inside
+        # one task (r7 review finding). Same idea as PIL.MAX_IMAGE_PIXELS.
+        raise ValueError(f"{w}x{h} exceeds MAX_PIXELS={MAX_PIXELS}")
     if depth != 8:
         raise ValueError(f"unsupported bit depth {depth}")
     if color_type not in _CHANNELS:

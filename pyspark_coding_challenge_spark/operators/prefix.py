@@ -51,10 +51,11 @@ def clear_breaks_cache(spark=None) -> int:
     the ContextCleaner once the reference drops."""
     released = 0
     app = spark.sparkContext.applicationId if spark is not None else None
-    for key in list(_BREAKS_CACHE):
-        if app is None or key[0] == app:
-            del _BREAKS_CACHE[key]
-            released += 1
+    with _BREAKS_LOCK:  # concurrent clears / a racing setdefault (r7 review)
+        for key in list(_BREAKS_CACHE):
+            if app is None or key[0] == app:
+                del _BREAKS_CACHE[key]
+                released += 1
     return released
 
 

@@ -117,13 +117,26 @@ def main() -> None:
     # check as the r4 anchors: only comparable at the default sf/cpus)
     prev: dict = {}
     prev_round = None
-    if rnd is not None and anchor_protocol:
+    if rnd is not None:
         for r in range(rnd - 1, 0, -1):
             p = os.path.join(repo_root, f"BENCH_isolated_r{r}.json")
             if os.path.exists(p):
                 with open(p) as f:
-                    prev = json.load(f).get("slugs", {})
-                prev_round = r
+                    prev_doc = json.load(f)
+                # BOTH protocols must match — the current run's AND the
+                # prior artifact's recorded sf/cpus (r7 review finding: a
+                # prior quick-iteration artifact at sf0.01 would otherwise
+                # fabricate ~10x 'regressions' in vs_prev)
+                if (prev_doc.get("sf") == sf_dir
+                        and str(prev_doc.get("cpus")) == cpus):
+                    prev = prev_doc.get("slugs", {})
+                    prev_round = r
+                else:
+                    print(
+                        f"skipping vs_prev: r{r} artifact protocol "
+                        f"({prev_doc.get('sf')}, {prev_doc.get('cpus')}) != "
+                        f"current ({sf_dir}, {cpus})", file=sys.stderr,
+                    )
                 break
 
     slugs: dict[str, dict] = {}

@@ -258,6 +258,29 @@ def test_env_knob_seeds_ivf_centroids(spark, tmp_path, monkeypatch):
     clear_centroid_cache(spark)
 
 
+def test_rematerialize_with_env_knob_is_noop_not_destructive(spark, tmp_path, monkeypatch):
+    """r7 review finding (execution-confirmed): with the env knob pointing
+    at artifact_dir — exactly what re-running scripts/build_artifacts.py
+    does — materialize_pairs' builder seeds FROM the target path mid-call;
+    the overwrite then deleted the parquet it was reading and left the
+    artifact dir empty. Must be a no-op with the artifact intact."""
+    from pyspark_coding_challenge_spark.llm.dedup import (
+        clear_pair_cache,
+        verified_pairs_for_dir,
+    )
+
+    expected = sorted(
+        tuple(r) for r in verified_pairs_for_dir(spark, SF_DIR).collect()
+    )
+    A.materialize_pairs(spark, SF_DIR, str(tmp_path))
+    clear_pair_cache(spark)  # fresh-session state: cache empty, env set
+    monkeypatch.setenv(A.ENV_ARTIFACT_DIR, str(tmp_path))
+    path = A.materialize_pairs(spark, SF_DIR, str(tmp_path))
+    got = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+    assert got == expected  # artifact bytes intact, not destroyed
+    clear_pair_cache(spark)
+
+
 def test_spine_artifact_round_trip(spark, tmp_path):
     from pyspark_coding_challenge_spark.llm.text import (
         clear_token_spine_cache,

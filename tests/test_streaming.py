@@ -77,18 +77,21 @@ def test_watermark_drops_late_rows_across_batches(spark, tmp_path):
     assert got == {("2024-01-01 08:00:00", 1)}
 
 
-def test_multimodal_real_decode_is_gated_or_decodes(spark):
-    """Without a codec the real path must refuse (NotImplementedError, never
-    a fake answer); with PIL present it must decode true image bytes."""
+def test_multimodal_real_decode_decodes_everywhere(spark):
+    """The real path decodes true PNG bytes in EVERY environment (r7: PIL
+    when importable, the stdlib codec otherwise) and raises ValueError —
+    never a fake answer — on undecodable bytes."""
     from pyspark_coding_challenge_spark.llm.multimodal import decode_image_real
+    from pyspark_coding_challenge_spark.llm.pngcodec import encode_png
+
+    assert decode_image_real(encode_png(7, 5, 3)) == (7, 5, 3)
+    with pytest.raises(Exception):  # PIL raises its own error type; stdlib ValueError
+        decode_image_real(b"\x89PNG fake header")
 
     try:
         from PIL import Image
     except ImportError:
-        with pytest.raises(NotImplementedError):
-            decode_image_real(b"\x89PNG fake header")
         return
-
     import io
 
     buf = io.BytesIO()
