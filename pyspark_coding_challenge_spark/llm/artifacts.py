@@ -131,8 +131,20 @@ def _spine_params() -> dict:
 # env-knob seeding (builders call these on cache miss, under their lock)
 # ---------------------------------------------------------------------------
 
+def _spread(df: DataFrame, key: str | None) -> DataFrame:
+    """Re-spread an artifact read across the session's shuffle parallelism
+    BEFORE persisting. An artifact's parquet files are small (skinny
+    relations), so the scan coalesces to ~1 input partition
+    (maxPartitionBytes), and a persisted 1-partition relation serializes
+    every downstream consumer until its next shuffle — measured as a ~25%
+    steady-state regression on text_analysis/llm_corpus_curation when the
+    spans/spine seeded unspread (r7 knob bench vs control). One hash
+    repartition at load time, once per session, restores it."""
+    return df.repartition(key) if key else df
+
+
 def _from_env(spark: SparkSession, sf_dir: str, name: str, params: dict,
-              persist: bool = True) -> DataFrame | None:
+              persist: bool = True, spread_key: str | None = None) -> DataFrame | None:
     """Read ``$SPARK_GRAFT_ARTIFACT_DIR/<name>`` if present AND
     provenance-valid for (sf_dir, params); None otherwise (with a warning
     when the artifact exists but mismatches). The caller — a ``*_for_dir``
@@ -150,7 +162,7 @@ def _from_env(spark: SparkSession, sf_dir: str, name: str, params: dict,
     except ValueError as exc:
         warnings.warn(f"ignoring {ENV_ARTIFACT_DIR} artifact: {exc}")
         return None
-    df = spark.read.parquet(path)
+    df = _spread(spark.read.parquet(path), spread_key)
     if persist:
         df = df.persist()
     _mark_loaded(spark, sf_dir, name, path)
@@ -158,11 +170,13 @@ def _from_env(spark: SparkSession, sf_dir: str, name: str, params: dict,
 
 
 def pairs_from_env(spark: SparkSession, sf_dir: str) -> DataFrame | None:
-    return _from_env(spark, sf_dir, PAIRS_NAME, _pairs_params())
+    return _from_env(spark, sf_dir, PAIRS_NAME, _pairs_params(),
+                     spread_key="doc_a")
 
 
 def spans_from_env(spark: SparkSession, sf_dir: str) -> DataFrame | None:
-    return _from_env(spark, sf_dir, SPANS_NAME, _spans_params())
+    return _from_env(spark, sf_dir, SPANS_NAME, _spans_params(),
+                     spread_key="doc_id")
 
 
 def centroids_from_env(spark: SparkSession, sf_dir: str) -> DataFrame | None:
@@ -172,7 +186,8 @@ def centroids_from_env(spark: SparkSession, sf_dir: str) -> DataFrame | None:
 
 
 def spine_from_env(spark: SparkSession, sf_dir: str) -> DataFrame | None:
-    return _from_env(spark, sf_dir, SPINE_NAME, _spine_params())
+    return _from_env(spark, sf_dir, SPINE_NAME, _spine_params(),
+                     spread_key="doc_id")
 
 
 # ---------------------------------------------------------------------------
@@ -209,7 +224,7 @@ def load_pairs(spark: SparkSession, sf_dir: str, artifact_dir: str,
 
     path = os.path.join(artifact_dir, PAIRS_NAME)
     _check_meta(path, sf_dir, _pairs_params())
-    df = spark.read.parquet(path)
+    df = _spread(spark.read.parquet(path), "doc_a")
     if install:
         key = (spark.sparkContext.applicationId, sf_dir)
         # owning module's lock around the unpersist/persist/install (r6
@@ -249,7 +264,7 @@ def load_spans(spark: SparkSession, sf_dir: str, artifact_dir: str,
 
     path = os.path.join(artifact_dir, SPANS_NAME)
     _check_meta(path, sf_dir, _spans_params())
-    df = spark.read.parquet(path)
+    df = _spread(spark.read.parquet(path), "doc_id")
     if install:
         key = (spark.sparkContext.applicationId, sf_dir)
         with T._TEXT_CACHE_LOCK:  # r6 advisory — see load_pairs
@@ -324,7 +339,7 @@ def load_spine(spark: SparkSession, sf_dir: str, artifact_dir: str,
 
     path = os.path.join(artifact_dir, SPINE_NAME)
     _check_meta(path, sf_dir, _spine_params())
-    df = spark.read.parquet(path)
+    df = _spread(spark.read.parquet(path), "doc_id")
     if install:
         key = (spark.sparkContext.applicationId, sf_dir)
         with T._TEXT_CACHE_LOCK:  # r6 advisory — see load_pairs

@@ -181,6 +181,9 @@ def main() -> None:
         "section_counts": section_counts,
         "r4_anchor_source": "BASELINE.md end-of-r4 prose note (best-of-3, no cold recorded)",
         "prev_round": prev_round,
+        # non-null when the run was seeded from cross-session artifacts —
+        # cold numbers then measure artifact load, not the build chain
+        "artifact_dir": os.environ.get("SPARK_GRAFT_ARTIFACT_DIR"),
     }
     line = json.dumps(out)
     print(line)
