@@ -132,15 +132,19 @@ def _spine_params() -> dict:
 # ---------------------------------------------------------------------------
 
 def _spread(df: DataFrame, key: str | None) -> DataFrame:
-    """Re-spread an artifact read across the session's shuffle parallelism
-    BEFORE persisting. An artifact's parquet files are small (skinny
-    relations), so the scan coalesces to ~1 input partition
-    (maxPartitionBytes), and a persisted 1-partition relation serializes
-    every downstream consumer until its next shuffle — measured as a ~25%
-    steady-state regression on text_analysis/llm_corpus_curation when the
-    spans/spine seeded unspread (r7 knob bench vs control). One hash
-    repartition at load time, once per session, restores it."""
-    return df.repartition(key) if key else df
+    """Re-spread an artifact read across the session's parallelism BEFORE
+    persisting. A small artifact's parquet scan coalesces to ~1 input
+    partition (maxPartitionBytes), and a persisted 1-partition relation
+    serializes every downstream consumer until its next shuffle. Delegates
+    to ``sources.readers.rebalance_for_compute`` (r7 review finding: a
+    hand-rolled unconditional repartition would ALSO shuffle a
+    production-scale artifact whose scan is already wide — the shared
+    helper no-ops in that case)."""
+    if key is None:
+        return df
+    from pyspark_coding_challenge_spark.sources.readers import rebalance_for_compute
+
+    return rebalance_for_compute(df, key)
 
 
 def _from_env(spark: SparkSession, sf_dir: str, name: str, params: dict,
@@ -159,10 +163,19 @@ def _from_env(spark: SparkSession, sf_dir: str, name: str, params: dict,
         return None
     try:
         _check_meta(path, sf_dir, params)
+        # the parquet read resolves its schema EAGERLY — a valid meta
+        # sidecar over deleted/corrupt parquet (partial cleanup, rsync)
+        # raises AnalysisException here, and an ambient seeding knob must
+        # degrade to a normal build, never crash the builder inside its
+        # cache lock (r7 review finding)
+        df = _spread(spark.read.parquet(path), spread_key)
     except ValueError as exc:
         warnings.warn(f"ignoring {ENV_ARTIFACT_DIR} artifact: {exc}")
         return None
-    df = _spread(spark.read.parquet(path), spread_key)
+    except Exception as exc:  # unreadable artifact: warn and rebuild
+        warnings.warn(f"ignoring unreadable {ENV_ARTIFACT_DIR} artifact "
+                      f"at {path}: {exc}")
+        return None
     if persist:
         df = df.persist()
     _mark_loaded(spark, sf_dir, name, path)

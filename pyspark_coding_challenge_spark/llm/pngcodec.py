@@ -41,6 +41,27 @@ _SIGNATURE = b"\x89PNG\r\n\x1a\n"
 # images rather than letting corrupt headers size allocations.
 MAX_PIXELS = 64_000_000
 
+
+class UnsupportedImageError(NotImplementedError):
+    """The payload is a VALID image this codec cannot decode — another
+    format entirely (JPEG/GIF/WebP/...), or a PNG variant outside scope
+    (Adam7 interlace, non-8-bit depth). Distinct from ValueError (corrupt
+    bytes) on purpose: the mapInPandas kernel quarantines corruption per
+    row but must FAIL LOUDLY on a capability gap, or a PIL-less run over a
+    JPEG corpus would silently quarantine 100% of valid data (r7 review
+    finding)."""
+
+
+# magic prefixes of formats a real corpus actually contains — recognized
+# so the error says "wrong codec", not "corrupt"
+_OTHER_FORMATS = (
+    (b"\xff\xd8\xff", "JPEG"),
+    (b"GIF87a", "GIF"), (b"GIF89a", "GIF"),
+    (b"BM", "BMP"),
+    (b"II*\x00", "TIFF"), (b"MM\x00*", "TIFF"),
+    (b"RIFF", "WebP/RIFF"),
+)
+
 # color type -> samples per pixel (PIL band-count parity; type 3 is the
 # palette-index plane, 1 sample, like PIL mode 'P')
 _CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
@@ -57,6 +78,12 @@ def _paeth(a: int, b: int, c: int) -> int:
 def _chunks(payload: bytes):
     """Yield (type, data) pairs, verifying length bounds and CRC-32."""
     if payload[:8] != _SIGNATURE:
+        for magic, name in _OTHER_FORMATS:
+            if payload[:len(magic)] == magic:
+                raise UnsupportedImageError(
+                    f"{name} payload: stdlib codec handles PNG only — "
+                    "install PIL for other formats"
+                )
         raise ValueError("not a PNG: bad signature")
     pos = 8
     n = len(payload)
@@ -107,14 +134,19 @@ def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
         # 50000x50000 lets a small zlib bomb balloon toward ~7.5 GB inside
         # one task (r7 review finding). Same idea as PIL.MAX_IMAGE_PIXELS.
         raise ValueError(f"{w}x{h} exceeds MAX_PIXELS={MAX_PIXELS}")
+    if depth in (1, 2, 4, 16):
+        # legal PNG depths this codec doesn't implement: capability gap
+        raise UnsupportedImageError(f"bit depth {depth} not implemented")
     if depth != 8:
-        raise ValueError(f"unsupported bit depth {depth}")
+        raise ValueError(f"invalid bit depth {depth}")
     if color_type not in _CHANNELS:
         raise ValueError(f"unknown color type {color_type}")
     if compression != 0 or filt != 0:
         raise ValueError("unknown compression/filter method")
+    if interlace == 1:
+        raise UnsupportedImageError("Adam7 interlace not implemented")
     if interlace != 0:
-        raise ValueError("Adam7 interlace not supported")
+        raise ValueError(f"invalid interlace method {interlace}")
     channels = _CHANNELS[color_type]
 
     stride = w * channels  # bytes per unfiltered scanline

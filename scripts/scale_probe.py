@@ -26,9 +26,11 @@ import time
 
 REPLICAS = (1, 2, 5, 10)
 # --deep: the two kernels closest to the linear break at 10x (r6:
-# exact_dedup_groups 2.39x, in_groupby_having 2.34x) pushed to 30x to see
-# whether they stay sub-linear past the extrapolation point
-DEEP_REPLICAS = (1, 10, 30)
+# exact_dedup_groups 2.39x, in_groupby_having 2.34x) pushed to 30x and
+# 100x (sf0.1 base is 5k docs / 600k lineitem rows — 100x still fits in
+# memory with room to spare) to see whether they stay sub-linear well
+# past the extrapolation point
+DEEP_REPLICAS = (1, 10, 30, 100)
 BASE_SF = "/root/testdata/sf0.1"
 WORK = "/tmp/spark_graft_scale_probe"
 
@@ -289,10 +291,11 @@ def main() -> None:
         # tpch x{f} for in_groupby_having (r6 verdict #8)
         result = {
             "protocol": (
-                "30x extension of the two kernels nearest the linear break "
-                "at 10x; replicated sf0.1 documents (disjoint ids, retagged "
-                "tokens) and orders+lineitem (disjoint orderkeys), one "
-                "timed run per factor after a 1x warm-up"
+                f"{'/'.join(str(f) + 'x' for f in DEEP_REPLICAS)} extension "
+                "of the two kernels nearest the linear break at 10x; "
+                "replicated sf0.1 documents (disjoint ids, retagged tokens) "
+                "and orders+lineitem (disjoint orderkeys), one timed run "
+                "per factor after a 1x warm-up"
             ),
             "factors": {},
         }

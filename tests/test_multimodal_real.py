@@ -162,6 +162,64 @@ def test_pngcodec_rejects_bad_inflate_length():
         pngcodec.decode_png(payload)
 
 
+def test_capability_gap_fails_loudly_corruption_quarantines(spark):
+    """r7 review finding: a valid JPEG on a PIL-less host (or an Adam7 /
+    16-bit PNG anywhere the stdlib codec runs) is a CAPABILITY gap — the
+    task must fail, not silently quarantine 100% of valid data. Corrupt
+    bytes still quarantine per row."""
+    jpeg_ish = b"\xff\xd8\xff\xe0" + b"\x00" * 64  # valid JPEG magic
+    with pytest.raises(pngcodec.UnsupportedImageError):
+        pngcodec.decode_png(jpeg_ish)
+
+    # interlaced PNG header: legal PNG, out of stdlib scope
+    import struct
+
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 1)
+    interlaced = (
+        b"\x89PNG\r\n\x1a\n" + pngcodec._chunk(b"IHDR", ihdr)
+        + pngcodec._chunk(b"IDAT", zlib.compress(b"\x00"))
+        + pngcodec._chunk(b"IEND", b"")
+    )
+    with pytest.raises(pngcodec.UnsupportedImageError):
+        pngcodec.decode_png(interlaced)
+
+    if not HAVE_PIL:
+        # through the kernel: the whole task errors on the JPEG row
+        df = spark.createDataFrame(
+            [(1, jpeg_ish), (2, _png_bytes(4, 4))],
+            "doc_id BIGINT, payload BINARY",
+        )
+        with pytest.raises(Exception, match="JPEG|NotImplemented"):
+            multimodal_decode_meta_real(df).collect()
+
+
+def test_unreadable_env_artifact_warns_and_rebuilds(spark, tmp_path, monkeypatch):
+    """r7 review finding: a valid meta sidecar over deleted parquet must
+    degrade to a normal build with a warning, never crash the builder."""
+    import glob
+    import os
+    import warnings as W
+
+    from pyspark_coding_challenge_spark.llm import artifacts as A
+    from pyspark_coding_challenge_spark.llm.dedup import (
+        clear_pair_cache,
+        verified_pairs_for_dir,
+    )
+
+    SF = "/root/testdata/sf0.001"
+    A.materialize_pairs(spark, SF, str(tmp_path))
+    clear_pair_cache(spark)
+    for f in glob.glob(f"{tmp_path}/{A.PAIRS_NAME}/*.parquet"):
+        os.remove(f)  # meta sidecar survives, data gone
+    monkeypatch.setenv(A.ENV_ARTIFACT_DIR, str(tmp_path))
+    with W.catch_warnings(record=True) as caught:
+        W.simplefilter("always")
+        df = verified_pairs_for_dir(spark, SF)  # must BUILD, not crash
+    assert df.count() >= 0
+    assert any("unreadable" in str(w.message) for w in caught)
+    clear_pair_cache(spark)
+
+
 @pytest.mark.skipif(not HAVE_PIL, reason="PIL cross-check only where PIL exists")
 def test_pngcodec_agrees_with_pil():
     for mode, channels in _MODE_CHANNELS.items():
