@@ -551,6 +551,13 @@ def register_all(register) -> None:
         )
         return base.unionByName(cut, allowMissingColumns=True)
 
+    from pyspark_coding_challenge_spark.plans.merge import SECTION_REGISTRY
+
+    # custom-merged: record sections by hand so the bench's per-slug
+    # section counts stay machine-checkable (r7 bookkeeping fix)
+    SECTION_REGISTRY["llm_corpus_curation"] = [
+        "curated", "clusters", "decontam", "source_quantile_cut",
+    ]
     register(
         "llm_corpus_curation",
         _with_quantile_cut,

@@ -736,9 +736,12 @@ def dedup_clusters_sectioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     member (lexical diversity desc, doc_id tiebreak) — the policy a real
     curation pipeline wants: near-dup clusters usually contain one clean
     original and N mutilated copies, and min-id keeps whichever crawled
-    first, not whichever is cleanest. One connected-components run serves
-    both sections (label propagation is the expensive part; the quality
-    join is a doc_id-keyed hash join against the corpus)."""
+    first, not whichever is cleanest. Section ``leakage_safe_split``
+    assigns every corpus doc to train/val/test by a hash of its cluster
+    REPRESENTATIVE, so near-dup clusters never straddle a split boundary.
+    One connected-components run serves all three sections (label
+    propagation is the expensive part; the quality and split joins are
+    doc_id-keyed hash joins against the corpus)."""
     pairs = (
         verified_pairs_for_dir(spark, sf_dir)
         .filter(F.col("_jac_raw") >= JACCARD_THRESHOLD)
@@ -778,7 +781,39 @@ def dedup_clusters_sectioned(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("_lex"), 6).alias("keeper_lex_div"),
         )
     )
-    return clusters.unionByName(keepers, allowMissingColumns=True)
+
+    # Section ``leakage_safe_split`` (r7): train/val/test assignment for
+    # EVERY corpus doc, hashed on the doc's CLUSTER representative rather
+    # than its own id — so a near-dup cluster can never straddle a split
+    # boundary (the classic eval-leakage bug: a near-copy of a training
+    # document graded as held-out). Docs in no verified pair are their own
+    # singleton representative. 90/5/5 via the portable md5 fold, salted
+    # ("split:") so split assignment is independent of every other hash in
+    # the repo. Scale shape: one doc_id-keyed left join of the corpus
+    # against the (duplicate-set-sized, broadcastable) label relation +
+    # pure codegen hashing — no new shuffle beyond the join, and the CC
+    # labels are the same single run the other two sections share.
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    rep = docs.join(cc, on="doc_id", how="left").select(
+        "doc_id", F.coalesce("cluster_id", "doc_id").alias("cluster_id")
+    )
+    bucket = F.pmod(
+        md5_fold60(F.concat(F.lit("split:"), F.col("cluster_id").cast("string"))),
+        F.lit(100),
+    )
+    splits = rep.select(
+        F.lit("leakage_safe_split").alias("section"),
+        "doc_id",
+        "cluster_id",
+        F.when(bucket < 90, "train")
+        .when(bucket < 95, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    return (
+        clusters.unionByName(keepers, allowMissingColumns=True)
+        .unionByName(splits, allowMissingColumns=True)
+    )
 
 
 _CLUSTERS_RECURSIVE_CTES = f"""
@@ -825,6 +860,21 @@ ranked AS (
 SELECT cluster_id, doc_id AS keeper_doc_id, cluster_size,
        ROUND(lex, 6) AS keeper_lex_div
 FROM ranked WHERE rn = 1
+"""
+
+
+def _split_oracle() -> str:
+    """DuckDB twin of the ``leakage_safe_split`` section: same recursive-CTE
+    cluster labels, same salted md5-fold split hash on the representative."""
+    rep = "COALESCE(cc.cluster_id, d.doc_id)"
+    fold = sql_md5_fold60(f"'split:' || CAST({rep} AS VARCHAR)")
+    return _CLUSTERS_RECURSIVE_CTES.format(pair_ctes=minhash_pair_ctes('documents')) + f"""
+SELECT d.doc_id,
+       {rep} AS cluster_id,
+       CASE WHEN {fold} % 100 < 90 THEN 'train'
+            WHEN {fold} % 100 < 95 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents d LEFT JOIN cc ON d.doc_id = cc.doc_id
 """
 
 
@@ -1106,12 +1156,21 @@ def register_all(register) -> None:
     register("dedup_fingerprint", dedup_fingerprint, DEDUP_FINGERPRINT_ORACLE)
     register("dedup_ngram_jaccard", dedup_ngram_jaccard, DEDUP_NGRAM_JACCARD_ORACLE)
     register("dedup_minhash_lsh", dedup_minhash_lsh, _minhash_oracle())
-    from pyspark_coding_challenge_spark.plans.merge import merged_oracle
+    from pyspark_coding_challenge_spark.plans.merge import (
+        SECTION_REGISTRY,
+        merged_oracle,
+    )
 
-    # Custom merged fn (one CC run serves both sections), oracle composed
-    # exactly like register_merged's.
+    # Custom merged fn (one CC run serves all three sections), oracle
+    # composed exactly like register_merged's. SECTION_REGISTRY entry kept
+    # by hand (r7: custom-merged slugs were invisible to the bench's
+    # machine-checkable section counts).
+    SECTION_REGISTRY["dedup_clusters"] = [
+        "clusters", "quality_keepers", "leakage_safe_split",
+    ]
     register("dedup_clusters", dedup_clusters_sectioned, merged_oracle([
         ("clusters", _clusters_oracle()),
         ("quality_keepers", _quality_keepers_oracle()),
+        ("leakage_safe_split", _split_oracle()),
     ]))
     register("dedup_simhash", dedup_simhash, _simhash_oracle())

@@ -319,3 +319,62 @@ def test_quality_keeper_beats_min_id_keeper(spark, tmp_path):
     assert all(r.cluster_id == 10 for r in clusters)  # min-id labeling
     assert [(r.cluster_id, r.keeper_doc_id, r.cluster_size) for r in keepers] == [(10, 11, 2)]
     assert keepers[0].keeper_lex_div == 1.0           # the clean doc won
+
+
+def test_leakage_safe_split_invariants(spark):
+    """r7 section: (1) every corpus doc gets exactly one split in
+    {train,val,test}; (2) NO near-dup cluster straddles a split boundary —
+    the leakage guarantee the section exists for; (3) fractions are
+    plausibly 90/5/5 at corpus scale."""
+    from pyspark_coding_challenge_spark.llm.dedup import (
+        clear_pair_cache,
+        dedup_clusters_sectioned,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    rows = dedup_clusters_sectioned(spark, sf).collect()
+    clear_pair_cache(spark)
+    splits = [r for r in rows if r.section == "leakage_safe_split"]
+    clusters = [r for r in rows if r.section == "clusters"]
+
+    n_docs = spark.read.parquet(f"{sf}/documents.parquet").count()
+    assert len(splits) == n_docs
+    assert {r.split for r in splits} <= {"train", "val", "test"}
+    assert len({r.doc_id for r in splits}) == n_docs
+
+    by_doc = {r.doc_id: r.split for r in splits}
+    from collections import defaultdict
+
+    per_cluster = defaultdict(set)
+    for r in clusters:
+        per_cluster[r.cluster_id].add(by_doc[r.doc_id])
+    straddlers = {c: s for c, s in per_cluster.items() if len(s) > 1}
+    assert not straddlers, f"clusters straddle splits: {straddlers}"
+
+    frac_train = sum(1 for r in splits if r.split == "train") / n_docs
+    assert 0.8 < frac_train < 0.97  # hash-binomial wiggle around 0.90
+
+
+def test_leakage_safe_split_planted_pair_lands_together(spark, tmp_path):
+    from pyspark_coding_challenge_spark.llm.dedup import (
+        clear_pair_cache,
+        dedup_clusters_sectioned,
+    )
+
+    base = " ".join(f"w{i}" for i in range(40))
+    near = base + " extra"
+    df = spark.createDataFrame(
+        [(3, base, "en", "s", 0), (4, near, "en", "s", 0),
+         (9, " ".join(f"q{i}" for i in range(40)), "en", "s", 0)],
+        schema="doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+    df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    try:
+        rows = dedup_clusters_sectioned(spark, str(tmp_path)).collect()
+    finally:
+        clear_pair_cache(spark)
+    by_doc = {r.doc_id: r for r in rows if r.section == "leakage_safe_split"}
+    assert set(by_doc) == {3, 4, 9}
+    # the near-dup pair shares the representative AND therefore the split
+    assert by_doc[3].cluster_id == by_doc[4].cluster_id == 3
+    assert by_doc[3].split == by_doc[4].split
+    assert by_doc[9].cluster_id == 9  # singleton is its own representative
