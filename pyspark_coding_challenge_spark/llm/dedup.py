@@ -102,6 +102,70 @@ WHERE doc_id NOT IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))
 """
 
 
+def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Digest-based SNAPSHOT DIFF between two corpus versions — the
+    data-versioning primitive behind incremental training refreshes:
+    which docs were added, removed, or modified since the last snapshot
+    decides what re-enters the dedup/curation/embedding chain, instead of
+    reprocessing 100 TB per refresh.
+
+    The testdata ships one corpus, so the two versions are DETERMINISTIC
+    derivations both engines compute identically: version A (prior) drops
+    ``doc_id % 7 == 0``; version B (current) drops ``doc_id % 5 == 0`` and
+    uppercases ``doc_id % 11 == 0`` texts (the 'modified' population). A
+    real deployment passes two sf_dirs and skips the derivation.
+
+    Shape: per-side digest in the scan projection (md5 over the
+    null-coalesced text — a NULL text must not read as 'added'), then ONE
+    full-outer join keyed on doc_id; output is proportional to the CHURN,
+    not the corpus (unchanged docs are excluded, like singleton clusters
+    in ``dedup_clusters``). At scale both sides shuffle once on doc_id —
+    or zero times if snapshots are bucketed by doc_id
+    (``sources.writers.write_bucketed``)."""
+    d = read_table(spark, sf_dir, "documents")
+    a = d.filter(F.col("doc_id") % 7 != 0).select(
+        "doc_id", F.md5(F.coalesce("text", F.lit(""))).alias("digest_old")
+    )
+    mut = F.when(F.col("doc_id") % 11 == 0, F.upper("text")).otherwise(F.col("text"))
+    b = d.filter(F.col("doc_id") % 5 != 0).select(
+        "doc_id", F.md5(F.coalesce(mut, F.lit(""))).alias("digest_new")
+    )
+    change = (
+        F.when(F.col("digest_old").isNull(), "added")
+        .when(F.col("digest_new").isNull(), "removed")
+        .when(F.col("digest_old") != F.col("digest_new"), "modified")
+    )
+    return (
+        a.join(b, on="doc_id", how="full_outer")
+        .withColumn("change", change)
+        .filter(F.col("change").isNotNull())
+        .select("doc_id", "change", "digest_old", "digest_new")
+    )
+
+
+CORPUS_SNAPSHOT_DIFF_ORACLE = """
+WITH a AS (
+  SELECT doc_id, md5(COALESCE(text, '')) AS digest_old
+  FROM documents WHERE doc_id % 7 <> 0
+),
+b AS (
+  SELECT doc_id,
+         md5(COALESCE(CASE WHEN doc_id % 11 = 0 THEN upper(text) ELSE text END,
+                      '')) AS digest_new
+  FROM documents WHERE doc_id % 5 <> 0
+)
+SELECT doc_id,
+       CASE WHEN digest_old IS NULL THEN 'added'
+            WHEN digest_new IS NULL THEN 'removed'
+            WHEN digest_old <> digest_new THEN 'modified' END AS change,
+       digest_old, digest_new
+FROM a FULL OUTER JOIN b USING (doc_id)
+WHERE (CASE WHEN digest_old IS NULL THEN 'added'
+            WHEN digest_new IS NULL THEN 'removed'
+            WHEN digest_old <> digest_new THEN 'modified' END) IS NOT NULL
+"""
+
+
 # ---------------------------------------------------------------------------
 # fingerprint dedup (sorted distinct token set)
 # ---------------------------------------------------------------------------
@@ -1152,6 +1216,7 @@ def register_all(register) -> None:
         ("groups", dedup_exact, DEDUP_EXACT_ORACLE),
         ("survivors", dedup_exact_survivors, DEDUP_EXACT_SURVIVORS_ORACLE),
         ("incremental", dedup_incremental, _incremental_oracle()),
+        ("snapshot_diff", corpus_snapshot_diff, CORPUS_SNAPSHOT_DIFF_ORACLE),
     ])
     register("dedup_fingerprint", dedup_fingerprint, DEDUP_FINGERPRINT_ORACLE)
     register("dedup_ngram_jaccard", dedup_ngram_jaccard, DEDUP_NGRAM_JACCARD_ORACLE)

@@ -378,3 +378,35 @@ def test_leakage_safe_split_planted_pair_lands_together(spark, tmp_path):
     assert by_doc[3].cluster_id == by_doc[4].cluster_id == 3
     assert by_doc[3].split == by_doc[4].split
     assert by_doc[9].cluster_id == 9  # singleton is its own representative
+
+
+def test_snapshot_diff_classifies_planted_changes(spark, tmp_path):
+    """Planted doc_ids hit each diff class exactly: version A (prior)
+    drops doc_id%7==0 and B (current) drops doc_id%5==0 — so 7 is ADDED
+    (absent from prior), 5 is REMOVED (absent from current), 11 is
+    MODIFIED (in both, text uppercased in B), 1 unchanged (excluded),
+    35 in neither snapshot (absent)."""
+    from pyspark_coding_challenge_spark.llm.dedup import corpus_snapshot_diff
+
+    rows = [(i, f"text of doc {i}", "en", "s", 0) for i in (1, 5, 7, 11, 35)]
+    spark.createDataFrame(
+        rows, schema="doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    got = {r.doc_id: r for r in corpus_snapshot_diff(spark, str(tmp_path)).collect()}
+    assert set(got) == {5, 7, 11}
+    assert got[7].change == "added" and got[7].digest_old is None
+    assert got[5].change == "removed" and got[5].digest_new is None
+    assert got[11].change == "modified"
+    assert got[11].digest_old != got[11].digest_new
+
+
+def test_snapshot_diff_plan_is_one_join_no_cartesian(spark):
+    from pyspark_coding_challenge_spark.llm.dedup import corpus_snapshot_diff
+
+    plan = (
+        corpus_snapshot_diff(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "FullOuter" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan

@@ -229,3 +229,39 @@ def test_pngcodec_agrees_with_pil():
         with Image.open(io.BytesIO(payload)) as img:
             img.load()
             assert (img.width, img.height, len(img.getbands())) == (13, 6, channels)
+
+
+def test_pngcodec_fuzz_never_raises_uncontracted_errors():
+    """Byte-level fuzz: arbitrary mutations of a valid PNG (and arbitrary
+    garbage) must either decode or raise the two CONTRACTED error types —
+    ValueError (corrupt) / UnsupportedImageError (capability). Anything
+    else (struct.error, IndexError, zlib.error, MemoryError) escaping the
+    codec would crash the mapInPandas task instead of quarantining."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    base = pngcodec.encode_png(9, 7, 3)
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        pos=st.integers(min_value=0, max_value=len(base) - 1),
+        val=st.integers(min_value=0, max_value=255),
+        extra=st.binary(max_size=24),
+    )
+    def mutate_one(pos, val, extra):
+        payload = base[:pos] + bytes([val]) + base[pos + 1:] + extra
+        try:
+            pngcodec.decode_png(payload)
+        except (ValueError, NotImplementedError):
+            pass  # both contracted (UnsupportedImageError is a NotImplementedError)
+
+    @settings(max_examples=200, deadline=None)
+    @given(payload=st.binary(max_size=64))
+    def garbage(payload):
+        try:
+            pngcodec.decode_png(payload)
+        except (ValueError, NotImplementedError):
+            pass
+
+    mutate_one()
+    garbage()
