@@ -50,6 +50,7 @@ PAIRS_NAME = "verified_pairs"
 SPANS_NAME = "shared_spans"
 CENTROIDS_NAME = "ivf_centroids"
 SPINE_NAME = "token_spine"
+SIGNALS_NAME = "doc_signals"
 
 ENV_ARTIFACT_DIR = "SPARK_GRAFT_ARTIFACT_DIR"
 
@@ -127,6 +128,25 @@ def _spine_params() -> dict:
     return {"tokenizer": "n_tokens_col/whitespace", "cols": "doc_id,source,n_tokens"}
 
 
+def _signals_params() -> dict:
+    # the fused signal relation's semantics depend on the marker and
+    # stopword vocabularies — digest them so editing either invalidates
+    # stale artifacts instead of silently serving old h_*/n_stop columns
+    import hashlib
+
+    from pyspark_coding_challenge_spark.llm import text as T
+
+    markers = ";".join(
+        f"{lg}:{','.join(sorted(T.LANG_MARKERS[lg]))}" for lg in sorted(T.LANG_MARKERS)
+    )
+    return {
+        "contract": "shared_doc_signals/v1",
+        "langs_md5": hashlib.md5(markers.encode()).hexdigest()[:12],
+        "stopwords_md5": hashlib.md5(
+            ",".join(sorted(T.STOPWORDS)).encode()).hexdigest()[:12],
+    }
+
+
 # ---------------------------------------------------------------------------
 # env-knob seeding (builders call these on cache miss, under their lock)
 # ---------------------------------------------------------------------------
@@ -200,6 +220,11 @@ def centroids_from_env(spark: SparkSession, sf_dir: str) -> DataFrame | None:
 
 def spine_from_env(spark: SparkSession, sf_dir: str) -> DataFrame | None:
     return _from_env(spark, sf_dir, SPINE_NAME, _spine_params(),
+                     spread_key="doc_id")
+
+
+def signals_from_env(spark: SparkSession, sf_dir: str) -> DataFrame | None:
+    return _from_env(spark, sf_dir, SIGNALS_NAME, _signals_params(),
                      spread_key="doc_id")
 
 
@@ -365,14 +390,57 @@ def load_spine(spark: SparkSession, sf_dir: str, artifact_dir: str,
     return df
 
 
+# ---------------------------------------------------------------------------
+# fused per-doc signal relation
+# ---------------------------------------------------------------------------
+
+def materialize_signals(spark: SparkSession, sf_dir: str,
+                        artifact_dir: str) -> str:
+    """The 15-column fused per-doc signal relation (token/stopword/marker/
+    2-gram counts) — the dominant text-side cold cost: every cold session
+    re-tokenizes the whole corpus to rebuild it, which at 100 TB is a full
+    corpus pass per restart."""
+    from pyspark_coding_challenge_spark.llm.text import shared_doc_signals_for_dir
+
+    path = os.path.join(artifact_dir, SIGNALS_NAME)
+    if _loaded_from(spark, sf_dir, SIGNALS_NAME) == os.path.abspath(path):
+        return path
+    df = shared_doc_signals_for_dir(spark, sf_dir)
+    if _loaded_from(spark, sf_dir, SIGNALS_NAME) == os.path.abspath(path):
+        return path  # builder env-seeded from this path — see materialize_pairs
+    df.write.mode("overwrite").parquet(path)
+    _write_meta(path, sf_dir, _signals_params())
+    return path
+
+
+def load_signals(spark: SparkSession, sf_dir: str, artifact_dir: str,
+                 install: bool = True) -> DataFrame:
+    from pyspark_coding_challenge_spark.llm import text as T
+
+    path = os.path.join(artifact_dir, SIGNALS_NAME)
+    _check_meta(path, sf_dir, _signals_params())
+    df = _spread(spark.read.parquet(path), "doc_id")
+    if install:
+        key = (spark.sparkContext.applicationId, sf_dir)
+        with T._TEXT_CACHE_LOCK:  # r6 advisory — see load_pairs
+            old = T._DOC_SIGNALS_CACHE.get(key)
+            if old is not None:
+                old.unpersist()
+            df = df.persist()
+            T._DOC_SIGNALS_CACHE[key] = df
+            _mark_loaded(spark, sf_dir, SIGNALS_NAME, path)
+    return df
+
+
 def materialize_all(spark: SparkSession, sf_dir: str, artifact_dir: str) -> dict:
-    """One-call production entry: land all four artifacts. Returns
+    """One-call production entry: land all five artifacts. Returns
     name -> path."""
     return {
         PAIRS_NAME: materialize_pairs(spark, sf_dir, artifact_dir),
         SPANS_NAME: materialize_spans(spark, sf_dir, artifact_dir),
         CENTROIDS_NAME: materialize_ivf_centroids(spark, sf_dir, artifact_dir),
         SPINE_NAME: materialize_spine(spark, sf_dir, artifact_dir),
+        SIGNALS_NAME: materialize_signals(spark, sf_dir, artifact_dir),
     }
 
 
@@ -382,4 +450,5 @@ def load_all(spark: SparkSession, sf_dir: str, artifact_dir: str) -> dict:
         SPANS_NAME: load_spans(spark, sf_dir, artifact_dir),
         CENTROIDS_NAME: load_ivf_centroids(spark, sf_dir, artifact_dir),
         SPINE_NAME: load_spine(spark, sf_dir, artifact_dir),
+        SIGNALS_NAME: load_signals(spark, sf_dir, artifact_dir),
     }

@@ -96,6 +96,12 @@ def _doc_signals_locked(spark, sf_dir, key):
     cached = _DOC_SIGNALS_CACHE.get(key)
     if cached is not None:
         return cached
+    from pyspark_coding_challenge_spark.llm import artifacts
+
+    seeded = artifacts.signals_from_env(spark, sf_dir)
+    if seeded is not None:
+        _DOC_SIGNALS_CACHE[key] = seeded
+        return seeded
     d = read_table(spark, sf_dir, "documents")
     langs = list(LANG_MARKERS)
     quoted = ", ".join(f"'{s}'" for s in STOPWORDS)

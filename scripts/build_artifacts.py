@@ -8,8 +8,9 @@ spine as parquet artifacts a later job loads with ``load_all``/
 Usage:
     python scripts/build_artifacts.py <sf_dir> <artifact_dir> [names...]
 
-``names`` defaults to all four (verified_pairs shared_spans ivf_centroids
-token_spine). Exits non-zero on unknown names before any Spark work.
+``names`` defaults to all five (verified_pairs shared_spans ivf_centroids
+token_spine doc_signals). Exits non-zero on unknown names before any
+Spark work.
 """
 
 from __future__ import annotations
@@ -31,6 +32,7 @@ def main() -> None:
         A.SPANS_NAME: A.materialize_spans,
         A.CENTROIDS_NAME: A.materialize_ivf_centroids,
         A.SPINE_NAME: A.materialize_spine,
+        A.SIGNALS_NAME: A.materialize_signals,
     }
     names = sys.argv[3:] or list(builders)
     unknown = [n for n in names if n not in builders]

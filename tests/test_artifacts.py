@@ -281,6 +281,35 @@ def test_rematerialize_with_env_knob_is_noop_not_destructive(spark, tmp_path, mo
     clear_pair_cache(spark)
 
 
+def test_signals_artifact_env_seed_and_round_trip(spark, tmp_path, monkeypatch):
+    """r7: the 15-column fused signal relation seeds from the artifact dir
+    (plan reads skinny parquet, not documents) and its consumers —
+    text_lang_id here — are bit-identical."""
+    from pyspark_coding_challenge_spark.llm.text import (
+        clear_doc_signals_cache,
+        shared_doc_signals_for_dir,
+        text_lang_id,
+    )
+
+    expected = sorted(tuple(r) for r in text_lang_id(spark, SF_DIR).collect())
+    A.materialize_signals(spark, SF_DIR, str(tmp_path))
+    clear_doc_signals_cache(spark)
+    monkeypatch.setenv(A.ENV_ARTIFACT_DIR, str(tmp_path))
+    plan = (
+        shared_doc_signals_for_dir(spark, SF_DIR)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "documents.parquet" not in plan, plan
+    assert sorted(tuple(r) for r in text_lang_id(spark, SF_DIR).collect()) \
+        == expected
+    clear_doc_signals_cache(spark)
+    # explicit load_* API too
+    A.load_signals(spark, SF_DIR, str(tmp_path))
+    assert sorted(tuple(r) for r in text_lang_id(spark, SF_DIR).collect()) \
+        == expected
+    clear_doc_signals_cache(spark)
+
+
 def test_spine_artifact_round_trip(spark, tmp_path):
     from pyspark_coding_challenge_spark.llm.text import (
         clear_token_spine_cache,
