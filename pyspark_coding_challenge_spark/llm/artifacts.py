@@ -76,6 +76,23 @@ def _mark_loaded(spark: SparkSession, sf_dir: str, name: str, path: str) -> None
     )
 
 
+def invalidate_loaded(spark: SparkSession | None = None,
+                      name: str | None = None) -> int:
+    """Forget which artifact paths seeded this session's caches (all
+    sessions / all artifact names unless narrowed). The owning modules'
+    ``clear_*_cache`` functions call this (r7 review finding): after a
+    cache clear nothing reads the artifact path anymore, so a subsequent
+    ``materialize_*`` must REBUILD rather than hit the read-your-own-writes
+    no-op and silently keep a stale artifact."""
+    app = spark.sparkContext.applicationId if spark is not None else None
+    dropped = 0
+    for key in list(_LOADED_FROM):
+        if (app is None or key[0] == app) and (name is None or key[2] == name):
+            del _LOADED_FROM[key]
+            dropped += 1
+    return dropped
+
+
 def _write_meta(path: str, sf_dir: str, params: dict) -> None:
     with open(os.path.join(path, _META_FILE), "w") as f:
         json.dump({"sf_dir": os.path.abspath(sf_dir), "params": params}, f)
@@ -140,10 +157,14 @@ def _signals_params() -> dict:
         f"{lg}:{','.join(sorted(T.LANG_MARKERS[lg]))}" for lg in sorted(T.LANG_MARKERS)
     )
     return {
-        "contract": "shared_doc_signals/v1",
+        # bump when the column EXPRESSIONS change shape (the digested
+        # vocab/regex inputs below cover the data-dependent knobs; the
+        # version string covers everything else, e.g. the 2-gram spec)
+        "contract": "shared_doc_signals/v1+adjacent-2gram",
         "langs_md5": hashlib.md5(markers.encode()).hexdigest()[:12],
         "stopwords_md5": hashlib.md5(
             ",".join(sorted(T.STOPWORDS)).encode()).hexdigest()[:12],
+        "bpe_regex": T.BPE_TOKEN_REGEX,
     }
 
 

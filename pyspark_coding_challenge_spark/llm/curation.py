@@ -553,18 +553,18 @@ def register_all(register) -> None:
 
     from pyspark_coding_challenge_spark.plans.merge import SECTION_REGISTRY
 
-    # custom-merged: record sections by hand so the bench's per-slug
-    # section counts stay machine-checkable (r7 bookkeeping fix)
-    SECTION_REGISTRY["llm_corpus_curation"] = [
-        "curated", "clusters", "decontam", "source_quantile_cut",
+    # custom-merged: ONE parts list feeds both SECTION_REGISTRY and the
+    # oracle so the bench's per-slug section counts can't drift from the
+    # registered sections (r7 review finding)
+    curation_parts = [
+        ("curated", _curation_oracle()),
+        ("clusters", _clusters_oracle()),
+        ("decontam", _decontam_oracle()),
+        ("source_quantile_cut", _source_quantile_oracle()),
     ]
+    SECTION_REGISTRY["llm_corpus_curation"] = [n for n, _ in curation_parts]
     register(
         "llm_corpus_curation",
         _with_quantile_cut,
-        merged_oracle([
-            ("curated", _curation_oracle()),
-            ("clusters", _clusters_oracle()),
-            ("decontam", _decontam_oracle()),
-            ("source_quantile_cut", _source_quantile_oracle()),
-        ]),
+        merged_oracle(curation_parts),
     )

@@ -522,6 +522,8 @@ def clear_pair_cache(spark: SparkSession | None = None) -> int:
     given session's. Returns how many entries were released. Use when an
     sf_dir's data is rewritten mid-session (staleness) or to free storage
     memory in a long-lived driver after dedup work finishes."""
+    from pyspark_coding_challenge_spark.llm import artifacts
+
     released = 0
     app = spark.sparkContext.applicationId if spark is not None else None
     for key in list(_VERIFIED_PAIRS_CACHE):
@@ -532,6 +534,8 @@ def clear_pair_cache(spark: SparkSession | None = None) -> int:
                 pass  # session already stopped; the entry is dead either way
             del _VERIFIED_PAIRS_CACHE[key]
             released += 1
+    # a later materialize must rebuild, not no-op on the stale seed path
+    artifacts.invalidate_loaded(spark, artifacts.PAIRS_NAME)
     return released
 
 
@@ -1227,15 +1231,16 @@ def register_all(register) -> None:
     )
 
     # Custom merged fn (one CC run serves all three sections), oracle
-    # composed exactly like register_merged's. SECTION_REGISTRY entry kept
-    # by hand (r7: custom-merged slugs were invisible to the bench's
-    # machine-checkable section counts).
-    SECTION_REGISTRY["dedup_clusters"] = [
-        "clusters", "quality_keepers", "leakage_safe_split",
-    ]
-    register("dedup_clusters", dedup_clusters_sectioned, merged_oracle([
+    # composed exactly like register_merged's. ONE parts list feeds both
+    # SECTION_REGISTRY and the oracle (r7 review finding: a hand-copied
+    # section list would drift the next time a section is added — the
+    # exact under-reporting bug this entry fixed).
+    cluster_parts = [
         ("clusters", _clusters_oracle()),
         ("quality_keepers", _quality_keepers_oracle()),
         ("leakage_safe_split", _split_oracle()),
-    ]))
+    ]
+    SECTION_REGISTRY["dedup_clusters"] = [n for n, _ in cluster_parts]
+    register("dedup_clusters", dedup_clusters_sectioned,
+             merged_oracle(cluster_parts))
     register("dedup_simhash", dedup_simhash, _simhash_oracle())

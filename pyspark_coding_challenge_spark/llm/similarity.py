@@ -367,6 +367,10 @@ def clear_centroid_cache(spark: SparkSession | None = None) -> int:
         if app is None or key[0] == app:
             del _IVF_CENTROID_CACHE[key]
             released += 1
+    from pyspark_coding_challenge_spark.llm import artifacts
+
+    # a later materialize must rebuild, not no-op on the stale seed path
+    artifacts.invalidate_loaded(spark, artifacts.CENTROIDS_NAME)
     return released
 
 

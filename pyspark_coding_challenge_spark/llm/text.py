@@ -29,6 +29,13 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 }
 STOPWORDS = ("the", "a", "of", "and", "is", "to", "in")
 
+# BPE-ish pre-tokenizer pattern (letter runs / digit runs / single other
+# chars) — ONE constant shared by the fused signals scan, the token-count
+# section's SQL oracle, and the doc_signals artifact's provenance digest:
+# editing it here invalidates persisted artifacts instead of silently
+# serving stale bpe_tok columns (r7 review finding).
+BPE_TOKEN_REGEX = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
 
 def _marker_hits(lang: str, toks_expr: str = "split(lower(text), ' ')") -> F.Column:
     """Per-language marker-token count. Pass ``toks_expr`` to count over an
@@ -131,7 +138,7 @@ def _doc_signals_locked(spark, sf_dir, key):
         F.expr("size(_toks)").alias("n_tok"),
         F.expr(f"size(filter(_toks, t -> t IN ({quoted})))").alias("n_stop"),
         F.expr("size(array_distinct(_toks))").alias("n_uniq"),
-        F.expr("size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))")
+        F.expr(f"size(regexp_extract_all(text, '{BPE_TOKEN_REGEX}', 0))")
         .alias("bpe_tok"),
         *[_marker_hits(lg, "_toks").alias(f"h_{lg}") for lg in langs],
         F.expr("size(_grams)").alias("n_gram"),
@@ -187,6 +194,10 @@ def clear_token_spine_cache(spark: SparkSession | None = None) -> int:
                 pass  # session already stopped; the entry is dead either way
             del _TOKEN_SPINE_CACHE[key]
             released += 1
+    from pyspark_coding_challenge_spark.llm import artifacts
+
+    # a later materialize must rebuild, not no-op on the stale seed path
+    artifacts.invalidate_loaded(spark, artifacts.SPINE_NAME)
     return released
 
 
@@ -203,6 +214,10 @@ def clear_doc_signals_cache(spark: SparkSession | None = None) -> int:
                 pass  # session already stopped; the entry is dead either way
             del _DOC_SIGNALS_CACHE[key]
             released += 1
+    from pyspark_coding_challenge_spark.llm import artifacts
+
+    # a later materialize must rebuild, not no-op on the stale seed path
+    artifacts.invalidate_loaded(spark, artifacts.SIGNALS_NAME)
     return released
 
 
@@ -322,10 +337,10 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-TEXT_TOKEN_COUNT_ORACLE = """
+TEXT_TOKEN_COUNT_ORACLE = f"""
 SELECT doc_id,
        CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_tokens,
-       CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INTEGER) AS bpe_ish_tokens,
+       CAST(len(regexp_extract_all(text, '{BPE_TOKEN_REGEX}')) AS INTEGER) AS bpe_ish_tokens,
        CAST(length(text) AS INTEGER) AS chars
 FROM documents
 """
@@ -676,6 +691,10 @@ def clear_span_cache(spark: SparkSession | None = None) -> int:
                 pass  # session already stopped; the entry is dead either way
             del _SHARED_SPANS_CACHE[key]
             released += 1
+    from pyspark_coding_challenge_spark.llm import artifacts
+
+    # a later materialize must rebuild, not no-op on the stale seed path
+    artifacts.invalidate_loaded(spark, artifacts.SPANS_NAME)
     return released
 
 

@@ -310,6 +310,33 @@ def test_signals_artifact_env_seed_and_round_trip(spark, tmp_path, monkeypatch):
     clear_doc_signals_cache(spark)
 
 
+def test_rematerialize_after_cache_clear_rebuilds(spark, tmp_path, monkeypatch):
+    """r7 review finding: clear_pair_cache must also forget the artifact
+    seed path — after a clear nothing reads the artifact, so a subsequent
+    materialize must REBUILD (refreshing the artifact) rather than no-op
+    on the stale read-your-own-writes guard."""
+    import os
+
+    from pyspark_coding_challenge_spark.llm.dedup import (
+        clear_pair_cache,
+        verified_pairs_for_dir,
+    )
+
+    A.materialize_pairs(spark, SF_DIR, str(tmp_path))
+    clear_pair_cache(spark)
+    monkeypatch.setenv(A.ENV_ARTIFACT_DIR, str(tmp_path))
+    verified_pairs_for_dir(spark, SF_DIR)  # seeds from the artifact
+    clear_pair_cache(spark)  # drops the cache AND the seed-path record
+    monkeypatch.delenv(A.ENV_ARTIFACT_DIR)
+    before = os.path.getmtime(os.path.join(str(tmp_path), A.PAIRS_NAME,
+                                           A._META_FILE))
+    A.materialize_pairs(spark, SF_DIR, str(tmp_path))  # must rebuild
+    after = os.path.getmtime(os.path.join(str(tmp_path), A.PAIRS_NAME,
+                                          A._META_FILE))
+    assert after > before, "materialize no-opped on a stale seed record"
+    clear_pair_cache(spark)
+
+
 def test_spine_artifact_round_trip(spark, tmp_path):
     from pyspark_coding_challenge_spark.llm.text import (
         clear_token_spine_cache,

@@ -332,8 +332,10 @@ def test_leakage_safe_split_invariants(spark):
     )
 
     sf = "/root/testdata/sf0.01"
-    rows = dedup_clusters_sectioned(spark, sf).collect()
-    clear_pair_cache(spark)
+    try:
+        rows = dedup_clusters_sectioned(spark, sf).collect()
+    finally:
+        clear_pair_cache(spark)
     splits = [r for r in rows if r.section == "leakage_safe_split"]
     clusters = [r for r in rows if r.section == "clusters"]
 
