@@ -1,40 +1,70 @@
 #!/usr/bin/env python
 """CLI for the cross-session artifact builder (llm/artifacts.py): land the
-verified pair graph, shared-span relation, trained IVF quantizer, and token
-spine as parquet artifacts a later job loads with ``load_all``/
-``load_pairs``/... — or, with ``SPARK_GRAFT_ARTIFACT_DIR`` pointing at
-``artifact_dir``, that every ``*_for_dir`` builder seeds from automatically.
+verified pair graph, banded index, shared-span relation, trained IVF
+quantizer, token spine, and fused doc signals as parquet artifacts a later
+job loads with ``load_all``/``load_pairs``/... — or, with
+``SPARK_GRAFT_ARTIFACT_DIR`` pointing at ``artifact_dir``, that every
+``*_for_dir`` builder seeds from automatically.
 
 Usage:
     python scripts/build_artifacts.py <sf_dir> <artifact_dir> [names...]
+    python scripts/build_artifacts.py --incremental <old_sf_dir> <new_sf_dir> <artifact_dir>
 
-``names`` defaults to all five (verified_pairs shared_spans ivf_centroids
-token_spine doc_signals). Exits non-zero on unknown names before any
-Spark work.
+``names`` defaults to all six (verified_pairs banded_index shared_spans
+ivf_centroids token_spine doc_signals). Exits non-zero on unknown names
+before any Spark work.
+
+``--incremental`` patches the pair-graph + banded-index artifacts from the
+snapshot diff between the two corpus dirs instead of rebuilding them from
+the whole corpus (``artifacts.update_pairs_incremental``): the stored
+artifacts' lineage digest must match the OLD corpus, else it falls back to
+a warned full rebuild from the NEW corpus. The other four artifacts are
+corpus-derived relations with no incremental formulation yet — rebuild
+them with the plain mode when the corpus changes.
 """
 
 from __future__ import annotations
 
+import json
 import os
 import sys
 
 
 def main() -> None:
-    if len(sys.argv) < 3:
-        print(__doc__, file=sys.stderr)
-        raise SystemExit(2)
-    sf_dir, artifact_dir = sys.argv[1], sys.argv[2]
+    argv = sys.argv[1:]
+    incremental = "--incremental" in argv
+    args = [a for a in argv if not a.startswith("-")]
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from pyspark_coding_challenge_spark.llm import artifacts as A
 
+    if incremental:
+        if len(args) != 3:
+            print(__doc__, file=sys.stderr)
+            raise SystemExit(2)
+        old_sf, new_sf, artifact_dir = args
+        from pyspark_coding_challenge_spark.session import get_spark
+
+        spark = get_spark(app_name="build_artifacts_incremental")
+        spark.sparkContext.setLogLevel("ERROR")
+        summary = A.update_pairs_incremental(spark, old_sf, new_sf, artifact_dir)
+        print(json.dumps(summary))
+        spark.stop()
+        return
+
+    if len(args) < 2:
+        print(__doc__, file=sys.stderr)
+        raise SystemExit(2)
+    sf_dir, artifact_dir = args[0], args[1]
+
     builders = {
         A.PAIRS_NAME: A.materialize_pairs,
+        A.BANDS_NAME: A.materialize_bands,
         A.SPANS_NAME: A.materialize_spans,
         A.CENTROIDS_NAME: A.materialize_ivf_centroids,
         A.SPINE_NAME: A.materialize_spine,
         A.SIGNALS_NAME: A.materialize_signals,
     }
-    names = sys.argv[3:] or list(builders)
+    names = args[2:] or list(builders)
     unknown = [n for n in names if n not in builders]
     if unknown:
         print(f"unknown artifact names: {unknown}; choose from {list(builders)}",

@@ -412,3 +412,88 @@ def test_snapshot_diff_plan_is_one_join_no_cartesian(spark):
     assert "FullOuter" in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# incremental refresh (r8): patch == full recompute
+# ---------------------------------------------------------------------------
+
+
+def _norm_pairs(df):
+    return sorted(
+        (r.doc_a, r.doc_b, round(r.jaccard, 6)) for r in df.collect()
+    )
+
+
+def test_incremental_update_matches_full_recompute_on_planted_churn(spark):
+    """Every churn class exercised against planted near-dup structure:
+    a modified doc that GAINS a near-dup partner, a removed doc whose old
+    pairs must vanish, an added doc near-identical to a survivor, and an
+    untouched near-dup pair that must carry over verbatim. The patched
+    (bands, pairs) must equal the full recompute on the new corpus."""
+    base = BASE
+    old_rows = [
+        (1, base), (2, base + " extra"),            # untouched near-dup pair
+        (3, "totally different words entirely here for doc three " * 2),
+        (4, base + " tail"),                        # will be REMOVED
+        (5, "unrelated content about ships and harbors in the north sea"),
+    ]
+    new_rows = [
+        (1, base), (2, base + " extra"),
+        (3, base + " mutated"),                     # MODIFIED: now near base
+        (5, "unrelated content about ships and harbors in the north sea"),
+        (6, base + " appended"),                    # ADDED near-dup of 1/2
+    ]
+    old = spark.createDataFrame(old_rows, schema=DOC_SCHEMA)
+    new = spark.createDataFrame(new_rows, schema=DOC_SCHEMA)
+
+    diff = D.snapshot_diff(old, new).select("doc_id", "change")
+    assert {r.doc_id: r.change for r in diff.collect()} == {
+        3: "modified", 4: "removed", 6: "added"
+    }
+    old_ranked = D.ranked_band_relation(old)
+    old_pairs = D.verify_jaccard(old, D.lsh_candidate_pairs(old, ranked=old_ranked))
+    bands, pairs = D.incremental_dedup_update(
+        new, diff, old_pairs, old_ranked.select("doc_id", "band", "bucket")
+    )
+    full_pairs = D.verify_jaccard(new, D.lsh_candidate_pairs(new))
+    assert _norm_pairs(pairs) == _norm_pairs(full_pairs)
+    assert sorted(map(tuple, bands.collect())) == sorted(
+        map(tuple, D._band_buckets(new).collect())
+    )
+    # the planted structure actually fired: added + modified docs pair up
+    got = dict(
+        ((a, b), j) for a, b, j in _norm_pairs(pairs)
+    )
+    assert any(6 in k for k in got), "added doc found no near-dup"
+    assert any(3 in k for k in got), "modified doc found no near-dup"
+    assert all(4 not in k for k in got), "removed doc still in pair graph"
+
+
+def test_incremental_update_empty_churn_is_identity(spark):
+    """Zero churn -> the patch is a no-op: pairs and bands pass through."""
+    docs = _docs(spark, [BASE, BASE + " extra", "unrelated filler words here"])
+    ranked = D.ranked_band_relation(docs)
+    old_pairs = D.verify_jaccard(docs, D.lsh_candidate_pairs(docs, ranked=ranked))
+    diff = spark.createDataFrame([], schema="doc_id BIGINT, change STRING")
+    bands, pairs = D.incremental_dedup_update(
+        docs, diff, old_pairs, ranked.select("doc_id", "band", "bucket")
+    )
+    assert _norm_pairs(pairs) == _norm_pairs(old_pairs)
+    assert bands.count() == ranked.count()
+
+
+def test_incremental_section_matches_spark_full_recompute(spark):
+    """The registered section (deterministic old/new derivation) equals the
+    full Spark chain over the derived NEW corpus — the in-process twin of
+    the DuckDB oracle gate."""
+    sf = "/root/testdata/sf0.001"
+    from pyspark_coding_challenge_spark.sources.readers import read_table
+
+    got = D.dedup_minhash_incremental(spark, sf)
+    _, new = D.snapshot_versions(read_table(spark, sf, "documents"))
+    full = (
+        D.verify_jaccard(new, D.lsh_candidate_pairs(new))
+        .filter(F.col("_jac_raw") >= D.JACCARD_THRESHOLD)
+    )
+    assert _norm_pairs(got) == _norm_pairs(full)
