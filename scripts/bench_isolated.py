@@ -22,12 +22,25 @@ Per slug both numbers are recorded:
 Usage: ``python scripts/bench_isolated.py [round_number]`` (writes
 ``BENCH_isolated_r{N}.json`` at the repo root when a round number is given,
 else prints to stdout only).
+
+Paired A/B mode (r8 judge item #2): ``--ab <git-ref>`` (or env
+``SPARK_GRAFT_AB_REF``) checks the given ref out into a throwaway git
+worktree and, PER SLUG, runs fresh processes in ABBA order — current,
+prior, prior, current — inside one time window, so slow machine drift
+cancels to first order in the paired ratio. The builder's r7 record shows
+same-code totals drifting 56.9 → 65.1 s within a day; interleaving is the
+only way ``vs_prev`` separates a real regression from ambient state.
+Same-code slugs are the built-in control: their paired ratio must sit at
+~1.00. Slugs whose registered section count differs between the trees are
+flagged ``scope_changed`` (the ratio then measures scope, not regression);
+slugs absent from the prior tree run the standard solo protocol.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
 import subprocess
 import sys
 
@@ -55,6 +68,7 @@ R4_PROSE_ANCHORS = {
 _CHILD = """
 import json, sys, time
 slug, sf_dir, cpus = sys.argv[1], sys.argv[2], sys.argv[3]
+n_runs = int(sys.argv[4]) if len(sys.argv) > 4 else 3
 from pyspark_coding_challenge_spark import registry
 from pyspark_coding_challenge_spark.session import get_spark
 spark = get_spark(app_name="bench_iso_" + slug, master="local[" + cpus + "]")
@@ -65,21 +79,92 @@ def run_once():
     fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
     return round(time.perf_counter() - t0, 3)
 cold = run_once()
-runs = [run_once() for _ in range(3)]
+runs = [run_once() for _ in range(n_runs)]
 print("ISO_RESULT " + json.dumps({"slug": slug, "cold": cold,
                                   "runs": runs, "best": min(runs)}))
 """
 
+_DUMP_SECTIONS = """
+import json
+from pyspark_coding_challenge_spark import registry
+from pyspark_coding_challenge_spark.plans.merge import SECTION_REGISTRY
+print("SECTIONS_JSON " + json.dumps({
+    slug: len(SECTION_REGISTRY.get(slug, [slug]))
+    for slug in registry.queries()
+}))
+"""
+
+AB_TREE = "/tmp/spark_graft_ab_tree"
+
+
+def _run_child(slug: str, sf_dir: str, cpus: str, cwd: str,
+               n_runs: int = 3) -> dict | None:
+    proc = subprocess.run(
+        [sys.executable, "-c", _CHILD, slug, sf_dir, cpus, str(n_runs)],
+        capture_output=True, text=True, cwd=cwd, check=False,
+    )
+    line = next(
+        (ln for ln in proc.stdout.splitlines() if ln.startswith("ISO_RESULT ")),
+        None,
+    )
+    if line is None:
+        return {"error": (proc.stderr or "no output")[-500:]}
+    return json.loads(line[len("ISO_RESULT "):])
+
+
+def _setup_ab_tree(repo_root: str, ref: str) -> dict:
+    """Throwaway detached worktree at ``ref`` + its registry's section
+    counts (queried in-tree, so a prior round's registry shape is the one
+    that actually ran there)."""
+    shutil.rmtree(AB_TREE, ignore_errors=True)
+    subprocess.run(["git", "worktree", "prune"], cwd=repo_root, check=False,
+                   capture_output=True)
+    proc = subprocess.run(
+        ["git", "worktree", "add", "--detach", AB_TREE, ref],
+        cwd=repo_root, capture_output=True, text=True, check=False,
+    )
+    if proc.returncode != 0:
+        raise SystemExit(f"git worktree add {ref} failed: {proc.stderr[-500:]}")
+    dump = subprocess.run(
+        [sys.executable, "-c", _DUMP_SECTIONS],
+        capture_output=True, text=True, cwd=AB_TREE, check=False,
+    )
+    line = next(
+        (ln for ln in dump.stdout.splitlines()
+         if ln.startswith("SECTIONS_JSON ")),
+        None,
+    )
+    if line is None:
+        raise SystemExit(
+            f"prior tree registry dump failed: {dump.stderr[-500:]}")
+    return json.loads(line[len("SECTIONS_JSON "):])
+
+
+def _teardown_ab_tree(repo_root: str) -> None:
+    subprocess.run(["git", "worktree", "remove", "--force", AB_TREE],
+                   cwd=repo_root, check=False, capture_output=True)
+    shutil.rmtree(AB_TREE, ignore_errors=True)
+
 
 def main() -> None:
+    argv = sys.argv[1:]
+    ab_ref = os.environ.get("SPARK_GRAFT_AB_REF")
+    if "--ab" in argv:
+        i = argv.index("--ab")
+        if i + 1 >= len(argv):
+            print("--ab requires a git ref", file=sys.stderr)
+            raise SystemExit(2)
+        ab_ref = argv[i + 1]
+        del argv[i:i + 2]
+    args = [a for a in argv if not a.startswith("-")]
     # validate the round argument BEFORE the multi-minute bench runs: a
     # typo like 'r5' must not crash after the work and lose the artifact
     rnd = None
-    if len(sys.argv) > 1:
+    if args:
         try:
-            rnd = int(sys.argv[1])
+            rnd = int(args[0])
         except ValueError:
-            print(f"round argument must be an integer, got {sys.argv[1]!r}",
+            print(f"round argument must be an integer, got {args[0]!r}",
                   file=sys.stderr)
             raise SystemExit(2)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -139,34 +224,70 @@ def main() -> None:
                     )
                 break
 
+    ab_sections: dict = {}
+    if ab_ref:
+        ab_sections = _setup_ab_tree(repo_root, ab_ref)
+
     slugs: dict[str, dict] = {}
-    for slug in all_slugs:
-        proc = subprocess.run(
-            [sys.executable, "-c", _CHILD, slug, sf_dir, cpus],
-            capture_output=True,
-            text=True,
-            cwd=repo_root,
-            check=False,
-        )
-        line = next(
-            (ln for ln in proc.stdout.splitlines() if ln.startswith("ISO_RESULT ")),
-            None,
-        )
-        if line is None:
-            slugs[slug] = {"error": (proc.stderr or "no output")[-500:]}
-            print(f"{slug}: FAILED", file=sys.stderr)
-            continue
-        rec = json.loads(line[len("ISO_RESULT "):])
-        entry: dict = {"cold": rec["cold"], "runs": rec["runs"], "best": rec["best"]}
-        if slug in R4_PROSE_ANCHORS and anchor_protocol:
-            entry["r4_best"] = R4_PROSE_ANCHORS[slug]
-            entry["vs_r4"] = round(rec["best"] / R4_PROSE_ANCHORS[slug], 3)
-        prev_best = prev.get(slug, {}).get("best")
-        if prev_best:
-            entry["prev_best"] = prev_best
-            entry["vs_prev"] = round(rec["best"] / prev_best, 3)
-        slugs[slug] = entry
-        print(f"{slug}: cold={rec['cold']} best={rec['best']}", file=sys.stderr)
+    try:
+        for slug in all_slugs:
+            if ab_ref and slug in ab_sections:
+                # ABBA within one window: drift that is monotone across the
+                # four children cancels in the paired ratio
+                recs = {"cur": [], "prev": []}
+                failed = None
+                for tree in ("cur", "prev", "prev", "cur"):
+                    cwd = repo_root if tree == "cur" else AB_TREE
+                    rec = _run_child(slug, sf_dir, cpus, cwd, n_runs=2)
+                    if rec is None or "error" in rec:
+                        failed = (rec or {}).get("error", "no output")
+                        break
+                    recs[tree].append(rec)
+                if failed is not None:
+                    slugs[slug] = {"error": failed}
+                    print(f"{slug}: FAILED ({failed[:120]})", file=sys.stderr)
+                    continue
+                cur_runs = [t for r in recs["cur"] for t in r["runs"]]
+                prev_runs = [t for r in recs["prev"] for t in r["runs"]]
+                entry = {
+                    "cold": recs["cur"][0]["cold"],
+                    "runs": cur_runs,
+                    "best": min(cur_runs),
+                    "ab": {
+                        "prev_cold": recs["prev"][0]["cold"],
+                        "prev_runs": prev_runs,
+                        "prev_best": min(prev_runs),
+                        "paired_ratio": round(
+                            min(cur_runs) / min(prev_runs), 3),
+                        "scope_changed": (
+                            section_counts.get(slug, 1) != ab_sections[slug]),
+                    },
+                }
+            else:
+                rec = _run_child(slug, sf_dir, cpus, repo_root)
+                if rec is None or "error" in rec:
+                    slugs[slug] = {"error": (rec or {}).get("error", "no output")}
+                    print(f"{slug}: FAILED", file=sys.stderr)
+                    continue
+                entry = {"cold": rec["cold"], "runs": rec["runs"],
+                         "best": rec["best"]}
+            if slug in R4_PROSE_ANCHORS and anchor_protocol:
+                entry["r4_best"] = R4_PROSE_ANCHORS[slug]
+                entry["vs_r4"] = round(entry["best"] / R4_PROSE_ANCHORS[slug], 3)
+            prev_best = prev.get(slug, {}).get("best")
+            if prev_best:
+                entry["prev_best"] = prev_best
+                entry["vs_prev"] = round(entry["best"] / prev_best, 3)
+            slugs[slug] = entry
+            extra = ""
+            if "ab" in entry:
+                extra = (f" paired={entry['ab']['paired_ratio']}"
+                         f" (prev_best={entry['ab']['prev_best']})")
+            print(f"{slug}: cold={entry['cold']} best={entry['best']}{extra}",
+                  file=sys.stderr)
+    finally:
+        if ab_ref:
+            _teardown_ab_tree(repo_root)
 
     for slug, entry in slugs.items():
         if "error" not in entry:
@@ -174,7 +295,13 @@ def main() -> None:
 
     out = {
         "metric": "isolated_best_of_3",
-        "protocol": "fresh process per slug; 1 cold run then best-of-3",
+        "protocol": (
+            "fresh process per slug; 1 cold run then best-of-3"
+            + (f"; paired A/B vs {ab_ref}: per slug 4 fresh processes in "
+               "ABBA tree order (cur,prev,prev,cur), each cold + 2 timed, "
+               "best over each tree's 4 timed runs" if ab_ref else "")
+        ),
+        "ab_ref": ab_ref,
         "sf": sf_dir,
         "cpus": cpus,
         "slugs": slugs,
