@@ -314,10 +314,23 @@ def bands_from_env(spark: SparkSession, sf_dir: str) -> DataFrame | None:
 # verified near-dup pair graph
 # ---------------------------------------------------------------------------
 
-def materialize_pairs(spark: SparkSession, sf_dir: str, artifact_dir: str) -> str:
+def materialize_pairs(spark: SparkSession, sf_dir: str, artifact_dir: str,
+                      digest: dict | None = None) -> str:
     """Build (or reuse the session cache of) the verified pair graph and
     land it as parquet. Pairs-only (two ids + two doubles), so the artifact
-    is orders of magnitude smaller than the corpus. Returns the path."""
+    is orders of magnitude smaller than the corpus. Returns the path.
+
+    ``digest``: precomputed ``corpus_digest(spark, sf_dir)`` — pass it when
+    landing several lineage-carrying artifacts of the same corpus
+    (``materialize_all``, the full-rebuild fallback) so the digest scan
+    runs once, not once per artifact (r8 review finding).
+
+    Crash-window note (applies to every materialize_*): ``mode("overwrite")``
+    removes the whole directory INCLUDING the old meta sidecar before any
+    write (execution-verified), so a crash between the parquet write and
+    ``_write_meta`` leaves parquet-without-meta — ``_check_meta`` then
+    fails loudly and the artifact rebuilds; stale-meta-over-new-bytes
+    cannot occur."""
     from pyspark_coding_challenge_spark.llm.dedup import verified_pairs_for_dir
 
     path = os.path.join(artifact_dir, PAIRS_NAME)
@@ -332,7 +345,7 @@ def materialize_pairs(spark: SparkSession, sf_dir: str, artifact_dir: str) -> st
         return path
     df.write.mode("overwrite").parquet(path)
     _write_meta(path, sf_dir, _pairs_params(),
-                lineage={"snapshot": corpus_digest(spark, sf_dir),
+                lineage={"snapshot": digest or corpus_digest(spark, sf_dir),
                          "patched_from": None})
     return path
 
@@ -341,12 +354,14 @@ def materialize_pairs(spark: SparkSession, sf_dir: str, artifact_dir: str) -> st
 # banded index (the incremental-refresh join target)
 # ---------------------------------------------------------------------------
 
-def materialize_bands(spark: SparkSession, sf_dir: str, artifact_dir: str) -> str:
+def materialize_bands(spark: SparkSession, sf_dir: str, artifact_dir: str,
+                      digest: dict | None = None) -> str:
     """Land the (doc_id, band, bucket) banded index — the relation a churn
     shard band-joins against at refresh time (``update_pairs_incremental``).
     Shares the session's one banding pass with the pair-graph build
     (``dedup.banded_index_for_dir``), so materializing both costs one
-    shingle->minhash chain. Thin: N_BANDS rows of three ints per doc."""
+    shingle->minhash chain. Thin: N_BANDS rows of three ints per doc.
+    ``digest``: see ``materialize_pairs``."""
     from pyspark_coding_challenge_spark.llm.dedup import banded_index_for_dir
 
     path = os.path.join(artifact_dir, BANDS_NAME)
@@ -357,7 +372,7 @@ def materialize_bands(spark: SparkSession, sf_dir: str, artifact_dir: str) -> st
         return path  # builder env-seeded from this path — see materialize_pairs
     df.select("doc_id", "band", "bucket").write.mode("overwrite").parquet(path)
     _write_meta(path, sf_dir, _bands_params(),
-                lineage={"snapshot": corpus_digest(spark, sf_dir),
+                lineage={"snapshot": digest or corpus_digest(spark, sf_dir),
                          "patched_from": None})
     return path
 
@@ -368,8 +383,6 @@ def load_bands(spark: SparkSession, sf_dir: str, artifact_dir: str,
     ``dedup._BANDED_INDEX_CACHE`` with the re-ranked relation (the ranking
     window is one shuffle of the thin rows — the artifact stores bucket
     membership only, since ``_rn`` is derivable and cap-dependent)."""
-    from pyspark.sql.window import Window
-
     from pyspark_coding_challenge_spark.llm import dedup as D
 
     path = os.path.join(artifact_dir, BANDS_NAME)
@@ -379,8 +392,7 @@ def load_bands(spark: SparkSession, sf_dir: str, artifact_dir: str,
         return df
     key = (spark.sparkContext.applicationId, sf_dir)
     with D._PAIRS_LOCK:
-        w = Window.partitionBy("band", "bucket").orderBy("doc_id")
-        ranked = df.withColumn("_rn", F.row_number().over(w)).localCheckpoint()
+        ranked = D.rerank_bands(df)  # the one chunk-rank definition
         # prior entry (if any) was a localCheckpoint — dropping the handle
         # releases it via the ContextCleaner
         D._BANDED_INDEX_CACHE[key] = ranked
@@ -570,10 +582,12 @@ def load_signals(spark: SparkSession, sf_dir: str, artifact_dir: str,
 def materialize_all(spark: SparkSession, sf_dir: str, artifact_dir: str) -> dict:
     """One-call production entry: land all six artifacts. Returns
     name -> path. Pairs before bands: the pair build populates the shared
-    banded-index session cache, so bands is a free write."""
+    banded-index session cache, so bands is a free write. One digest scan
+    serves both lineage-carrying artifacts (r8 review finding)."""
+    digest = corpus_digest(spark, sf_dir)
     return {
-        PAIRS_NAME: materialize_pairs(spark, sf_dir, artifact_dir),
-        BANDS_NAME: materialize_bands(spark, sf_dir, artifact_dir),
+        PAIRS_NAME: materialize_pairs(spark, sf_dir, artifact_dir, digest),
+        BANDS_NAME: materialize_bands(spark, sf_dir, artifact_dir, digest),
         SPANS_NAME: materialize_spans(spark, sf_dir, artifact_dir),
         CENTROIDS_NAME: materialize_ivf_centroids(spark, sf_dir, artifact_dir),
         SPINE_NAME: materialize_spine(spark, sf_dir, artifact_dir),
@@ -643,11 +657,22 @@ def update_pairs_incremental(spark: SparkSession, old_sf_dir: str,
             f"cannot patch incrementally ({reason}); full rebuild from "
             f"{new_sf_dir}"
         )
+        # this session may hold pair/band caches (or _loaded_from records)
+        # reading the very paths the rebuild overwrites — for old_sf_dir
+        # as much as new_sf_dir; drop them all BEFORE rebuilding or later
+        # consumers read deleted/rewritten files (r8 review finding — the
+        # incremental branch below already did this)
+        from pyspark_coding_challenge_spark.llm.dedup import clear_pair_cache
+
+        clear_pair_cache(spark)
+        new_digest = corpus_digest(spark, new_sf_dir)
         return {
             "mode": "full_rebuild",
             "reason": reason,
-            PAIRS_NAME: materialize_pairs(spark, new_sf_dir, artifact_dir),
-            BANDS_NAME: materialize_bands(spark, new_sf_dir, artifact_dir),
+            PAIRS_NAME: materialize_pairs(spark, new_sf_dir, artifact_dir,
+                                          new_digest),
+            BANDS_NAME: materialize_bands(spark, new_sf_dir, artifact_dir,
+                                          new_digest),
         }
 
     old_docs = read_table(spark, old_sf_dir, "documents")

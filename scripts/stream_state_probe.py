@@ -107,11 +107,13 @@ def build_events(spark) -> str:
     return out
 
 
-def _drive(spark, stream, slug: str) -> tuple[list[dict], int]:
+def _drive(spark, stream, slug: str) -> tuple[list[dict], int, str, str]:
     """availableNow to an append parquet sink; return (per-batch state-op
-    metrics from the query's progress events, total emitted rows). The
-    emitted total is each operator's own no-eviction baseline — a store
-    that never evicted would hold ~every emitted key/window at the end."""
+    metrics from the query's progress events, total emitted rows, sink
+    path, checkpoint path — the last two for reconciliation reads and the
+    state data source). The emitted total is each operator's own
+    no-eviction baseline — a store that never evicted would hold ~every
+    emitted key/window at the end."""
     sink = f"{WORK}/{slug}/sink"
     ck = f"{WORK}/{slug}/ck"
     shutil.rmtree(f"{WORK}/{slug}", ignore_errors=True)
@@ -156,15 +158,25 @@ HOT_USER = 777_777_777
 
 def build_skew_events(spark) -> str:
     """The streaming twin of the batch skew corpus: FACTOR x events rows,
-    90% of them reassigned to ONE user while event_ids stay distinct and
-    timestamps keep their original span — so the interval join must buffer
-    90% of in-horizon rows under a single key, which hashes to a single
-    state partition. Written time-ordered like build_events."""
+    with 90% of VIEW rows reassigned to ONE user while event_ids stay
+    distinct and timestamps keep their original span — the interval join
+    must then buffer ~90% of in-horizon view rows under a single key,
+    which hashes to a single state partition. Only the view (buffered/
+    left) side is made hot ON PURPOSE: hot views + hot purchases would
+    also make the MATCH COUNT quadratic in the hot key's density (~10^7-8
+    output rows at this replay — measured, it ran for 25+ minutes before
+    being killed), drowning the state measurement in output I/O that has
+    nothing to do with state skew. Skewing one side isolates the probed
+    axis: per-partition buffered state. Written time-ordered like
+    build_events."""
     from pyspark.sql import functions as F
 
     import time
 
-    out = f"{WORK}/events_skew_x{FACTOR}"
+    # recipe-versioned dir: the corpus recipe changed once already (both-
+    # sides-hot -> views-hot) and a .complete marker from a killed run of
+    # the OLD recipe would be silently reused otherwise (r8 review finding)
+    out = f"{WORK}/events_skew_viewhot_x{FACTOR}"
     if os.path.exists(f"{out}/.complete"):
         return out
     shutil.rmtree(out, ignore_errors=True)
@@ -173,8 +185,10 @@ def build_skew_events(spark) -> str:
         base.select(
             (F.col("event_id") + i * 100_000_000).alias("event_id"),
             "ts",
-            F.when(F.col("event_id") % 10 < 9, F.lit(HOT_USER))
-            .otherwise(F.col("user_id") + i * 10_000_000).alias("user_id"),
+            F.when(
+                (F.col("event_type") == "view") & (F.col("event_id") % 10 < 9),
+                F.lit(HOT_USER),
+            ).otherwise(F.col("user_id") + i * 10_000_000).alias("user_id"),
             "event_type", "value", "props",
         )
         for i in range(FACTOR)
@@ -261,11 +275,12 @@ def _skew_probe(spark, provider: str | None, rnd) -> None:
     result: dict = {
         "state_store_provider": provider or "hdfs-default",
         "protocol": (
-            f"sf0.1 events x{FACTOR} with 90% of rows reassigned to ONE "
-            f"user ({hot_rows}/{total_rows} rows), {N_FILES} time-ordered "
-            "files consumed 1/trigger; per-batch stateOperators totals plus "
-            "per-PARTITION state distribution at the peak batch via the "
-            "state data source"
+            f"sf0.1 events x{FACTOR} with 90% of VIEW rows reassigned to "
+            f"ONE user ({hot_rows}/{total_rows} rows; one-sided so match "
+            f"count stays non-quadratic — see build_skew_events), "
+            f"{N_FILES} time-ordered files consumed 1/trigger; per-batch "
+            "stateOperators totals plus per-PARTITION state distribution "
+            "at the peak batch via the state data source"
         ),
         "watermark": WATERMARK_DELAY,
         "hot_user_rows": hot_rows,

@@ -497,3 +497,36 @@ def test_incremental_section_matches_spark_full_recompute(spark):
         .filter(F.col("_jac_raw") >= D.JACCARD_THRESHOLD)
     )
     assert _norm_pairs(got) == _norm_pairs(full)
+
+
+def test_incremental_update_keeps_split_mega_bucket_connected(spark):
+    """r8 review finding: removing the chunk-overlap member of an over-cap
+    bucket took its cross-chunk links with it — the patched graph would
+    disconnect a cluster the full recompute keeps connected. The repair
+    chains every touched over-cap bucket's survivors consecutively."""
+    # 6 IDENTICAL docs share every band bucket; cap=2 splits that bucket
+    # into chunks {1,2},{3,4},{5,6} linked only via overlap members 2 and 4
+    texts = [(i, BASE) for i in range(1, 7)]
+    old = spark.createDataFrame(texts, schema=DOC_SCHEMA)
+    new = old.filter(F.col("doc_id") != 4)  # remove an overlap member
+
+    ranked = D.ranked_band_relation(old)
+    old_pairs = D.verify_jaccard(
+        old, D.lsh_candidate_pairs(old, ranked=ranked, max_bucket=2))
+    diff = D.snapshot_diff(old, new).select("doc_id", "change")
+    assert {r.doc_id for r in diff.collect()} == {4}
+    _, patched = D.incremental_dedup_update(
+        new, diff, old_pairs, ranked.select("doc_id", "band", "bucket"),
+        max_bucket=2,
+    )
+    edges = patched.filter(F.col("_jac_raw") >= D.JACCARD_THRESHOLD) \
+        .select("doc_a", "doc_b")
+    labels = {r.node: r.label for r in D.connected_components(edges).collect()}
+    assert set(labels) == {1, 2, 3, 5, 6}
+    assert len(set(labels.values())) == 1, (
+        f"patched graph split the bucket into {labels}"
+    )
+    # no duplicate pair rows either (chain pairs between survivors must not
+    # re-emit pairs the old graph already holds)
+    pairs = [(r.doc_a, r.doc_b) for r in patched.collect()]
+    assert len(pairs) == len(set(pairs))
