@@ -153,6 +153,56 @@ def _drive(spark, stream, slug: str) -> tuple[list[dict], int, str, str]:
     return series, emitted, sink, ck
 
 
+LATE_BUCKET = 7  # the time bucket the out-of-order variant withholds
+
+
+def build_events_late(spark) -> str:
+    """Same 10x corpus as build_events, but time bucket ``LATE_BUCKET`` is
+    written LAST (latest mod-time => delivered last by the file source):
+    by then the watermark sits near max(ts), so that bucket's rows are
+    genuinely late and its views/purchases are dropped before joining —
+    the regime where the stream legitimately diverges from the batch
+    backfill. Chronological replay measures that budget at ZERO (verified:
+    each file spans ~2 days >> the 2h interval + 1h delay, so matches
+    complete before eviction); this variant measures it under disorder."""
+    from pyspark.sql import functions as F
+
+    import time
+
+    out = f"{WORK}/events_late_x{FACTOR}"
+    if os.path.exists(f"{out}/.complete"):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    base = spark.read.parquet(f"{BASE_SF}/events.parquet")
+    parts = [
+        base.select(
+            (F.col("event_id") + i * 100_000_000).alias("event_id"),
+            "ts",
+            (F.col("user_id") + i * 10_000_000).alias("user_id"),
+            "event_type", "value", "props",
+        )
+        for i in range(FACTOR)
+    ]
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    lo, hi = df.agg(F.min(epoch), F.max(epoch)).collect()[0]
+    span = max(1, hi - lo + 1)
+    bucketed = df.withColumn(
+        "_b", ((epoch - F.lit(lo)) * N_FILES / F.lit(span)).cast("int")
+    ).persist()
+    bucketed.count()
+    order = [i for i in range(N_FILES) if i != LATE_BUCKET] + [LATE_BUCKET]
+    for i in order:
+        bucketed.filter(F.col("_b") == i).drop("_b").coalesce(1) \
+            .write.mode("append").parquet(out)
+        time.sleep(0.3)
+    bucketed.unpersist()
+    open(f"{out}/.complete", "w").close()
+    return out
+
+
 HOT_USER = 777_777_777
 
 
@@ -524,6 +574,76 @@ def main() -> None:
     assert spurious_n == 0, (
         f"stream-stream join emitted {spurious_n} pairs the batch backfill "
         "does not contain — eviction must only ever DROP matches"
+    )
+
+    # Out-of-order replay: withhold one middle time bucket until the end —
+    # its rows arrive with the watermark already near max(ts) and are
+    # dropped as late, so the late-data budget is non-trivially measured
+    # (in-order replay measures it at exactly 0; both regimes recorded).
+    late_dir = build_events_late(spark)
+    late_schema = spark.read.parquet(late_dir).schema
+
+    def late_src():
+        raw = (
+            spark.readStream.schema(late_schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(late_dir)
+        )
+        return canonicalize_ts(raw, "ts")
+
+    l_views = (
+        late_src().filter(F.col("event_type") == "view")
+        .select(F.col("user_id").alias("v_user"),
+                F.col("event_id").alias("view_id"),
+                F.col("ts").alias("v_ts"))
+        .withWatermark("v_ts", WATERMARK_DELAY)
+    )
+    l_purch = (
+        late_src().filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"),
+                F.col("event_id").alias("purchase_id"),
+                F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", WATERMARK_DELAY)
+    )
+    l_join = l_views.join(
+        l_purch,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 2 HOURS")),
+        "inner",
+    ).select("v_user", "view_id", "purchase_id")
+    _, l_emitted, l_sink, _ = _drive(spark, l_join, "ss_join_late")
+    l_all = spark.read.parquet(late_dir)
+    l_backfill = l_all.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("event_id").alias("view_id"),
+        F.col("ts").cast("timestamp").alias("v_ts")).join(
+        l_all.filter(F.col("event_type") == "purchase").select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").cast("timestamp").alias("p_ts")),
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 2 HOURS")),
+        "inner",
+    ).select("view_id", "purchase_id")
+    l_pairs = (
+        spark.read.parquet(l_sink).select("view_id", "purchase_id")
+        if l_emitted else
+        spark.createDataFrame([], "view_id LONG, purchase_id LONG")
+    )
+    lb_n = l_backfill.count()
+    l_spurious = l_pairs.exceptAll(l_backfill).count()
+    l_dropped = l_backfill.exceptAll(l_pairs).count()
+    result["reconciliation_out_of_order"] = {
+        "held_back_bucket": LATE_BUCKET,
+        "backfill_pairs": lb_n,
+        "emitted_pairs": l_emitted,
+        "dropped_late_pairs": l_dropped,
+        "spurious_pairs": l_spurious,
+        "late_drop_fraction": round(l_dropped / lb_n, 4) if lb_n else None,
+    }
+    assert l_spurious == 0, (
+        f"out-of-order replay emitted {l_spurious} pairs outside the backfill"
     )
 
     # Per-operator no-eviction baseline (review finding r6): the dedup
