@@ -583,8 +583,15 @@ def materialize_all(spark: SparkSession, sf_dir: str, artifact_dir: str) -> dict
     """One-call production entry: land all six artifacts. Returns
     name -> path. Pairs before bands: the pair build populates the shared
     banded-index session cache, so bands is a free write. One digest scan
-    serves both lineage-carrying artifacts (r8 review finding)."""
-    digest = corpus_digest(spark, sf_dir)
+    serves both lineage-carrying artifacts — and none runs when both
+    no-op on their _loaded_from guard (r8 review findings)."""
+    digest = None
+    if not all(
+        _loaded_from(spark, sf_dir, n)
+        == os.path.abspath(os.path.join(artifact_dir, n))
+        for n in (PAIRS_NAME, BANDS_NAME)
+    ):
+        digest = corpus_digest(spark, sf_dir)
     return {
         PAIRS_NAME: materialize_pairs(spark, sf_dir, artifact_dir, digest),
         BANDS_NAME: materialize_bands(spark, sf_dir, artifact_dir, digest),
@@ -665,6 +672,19 @@ def update_pairs_incremental(spark: SparkSession, old_sf_dir: str,
         from pyspark_coding_challenge_spark.llm.dedup import clear_pair_cache
 
         clear_pair_cache(spark)
+        # ALSO delete the stale meta sidecars: if SPARK_GRAFT_ARTIFACT_DIR
+        # points at this artifact_dir and the stale meta happens to pass
+        # the sf_dir+params check for new_sf_dir (env seeding never sees
+        # the lineage digest that just FAILED), the builder would seed
+        # from the stale bytes and materialize_* would no-op on its
+        # _loaded_from guard — "full rebuild" would silently keep the
+        # stale artifact (r8 review finding). No meta => no env seed, and
+        # a crash after this point leaves loudly-invalid artifacts, never
+        # silently-stale ones.
+        for p in (pairs_path, bands_path):
+            meta_file = os.path.join(p, _META_FILE)
+            if os.path.exists(meta_file):
+                os.remove(meta_file)
         new_digest = corpus_digest(spark, new_sf_dir)
         return {
             "mode": "full_rebuild",

@@ -661,19 +661,26 @@ def incremental_dedup_update(new_docs: DataFrame, diff: DataFrame,
     unchanged docs carry over verbatim, and every pair with at least one
     churned endpoint is regenerated (modified docs are removed+added).
     The one divergence class is the mega-bucket chunk split
-    (``max_bucket``): a bucket ABOVE the cap is chunked by id-rank in the
-    full recompute, and ranks shift when churn lands in the bucket — the
-    patched pair LIST can differ from the full recompute's. The guarantee
-    CC consumes — every member of a bucket stays transitively linked — is
-    restored explicitly: churn can delete the chunk-overlap member whose
-    pairs were a split bucket's only cross-chunk links (r8 review
-    finding), so for every OVER-CAP bucket touched by churn this adds a
-    consecutive-survivor CHAIN of candidate pairs (one lag window over
-    the bucket's members, O(size) pairs, verified like any candidate; a
-    true mega-bucket is near-identical text, so chain pairs verify at
-    jaccard ~1 and CC stitches the chunks). Under the cap (every corpus
-    the oracles run on) no chain fires and the results are
-    hash-identical to the full recompute.
+    (``max_bucket``). Pair LOSS is only possible in a bucket that lost a
+    member AND was over the cap in the OLD index (chunk-limited old
+    pairs; an under-cap bucket's old pairs are all-pairs, whose survivors
+    still form all-pairs, and added-only churn loses nothing since ``ds``
+    pairs each delta doc with every member). Those buckets are REPAIRED
+    (r8 review findings — the first formulation gated on the new size
+    alone and silently disconnected a cap+1 bucket whose overlap doc was
+    removed): shrunk to <= cap regenerates the bucket's full candidate
+    set (bounded, restoring EXACT full-recompute parity — the full chain
+    emits all-pairs there too); still > cap gets a consecutive-survivor
+    CHAIN (O(size)) restoring the transitive linkage CC consumes (a true
+    mega-bucket is near-identical text, so chain pairs verify at
+    jaccard ~1). Buckets over the cap with no loss keep a SUPERSET of the
+    full recompute's chunk-limited candidates — the documented over-cap
+    divergence, connectivity preserved. Buckets never over the cap (every
+    corpus the oracles run on) are hash-identical to the full recompute.
+    Repair detection is one bounded churn-proportional ``limit(1)``
+    action, so the common no-mega-bucket patch plan carries zero repair
+    stages — but it makes THIS FUNCTION EAGER, like the
+    ``delta_bands.localCheckpoint()`` it already contains.
 
     Scale shape: two anti-joins keyed by doc_id (output ∝ stored relations),
     one band-bucket equi-join of the churn's bands against the stored index
@@ -726,46 +733,74 @@ def incremental_dedup_update(new_docs: DataFrame, diff: DataFrame,
         )
     )
 
-    # connectivity repair for chunk-split mega-buckets: a removed chunk-
-    # overlap member takes the only cross-chunk links of an over-cap
-    # bucket with it, so chain every touched over-cap bucket's members
-    # consecutively (see docstring). `touched` = buckets holding churn on
-    # either side (delta docs now, or gone docs then — the latter read
-    # from the OLD index, the only record of where removed docs banded).
+    # Repair for chunk-split mega-buckets. Pair LOSS is only possible in a
+    # bucket that (a) lost a member and (b) was over the cap in the OLD
+    # index (its old pairs were chunk-limited, so a removed chunk-overlap
+    # member can take a bucket's only cross-chunk links with it — r8
+    # review findings; an under-cap bucket's old pairs are all-pairs, and
+    # survivors of an all-pairs set still form all-pairs; delta-only
+    # buckets lose nothing and ds pairs each delta doc with EVERY member).
+    # Detection is ONE bounded churn-proportional probe (2 small stages,
+    # limit(1) action — same disclosed-bounded-action class as the CC
+    # convergence scalar): in the overwhelmingly common no-mega-bucket
+    # case the repair contributes ZERO stages to the patched plan (the
+    # first formulation's always-on repair branches added ~7 shuffles and
+    # doubled the section's steady-state wall).
     new_bands_all = surviving_bands.unionByName(
         delta_bands.select(id_col, "band", "bucket")
     )
-    touched = (
-        delta_bands.select("band", "bucket")
-        .unionByName(
-            old_bands.select(id_col, "band", "bucket")
-            .join(gone, on=id_col, how="left_semi")
-            .select("band", "bucket")
-        )
+    gone_buckets = (
+        old_bands.select(id_col, "band", "bucket")
+        .join(gone, on=id_col, how="left_semi")
+        .select("band", "bucket")
         .distinct()
     )
-    overcap = (
-        new_bands_all.groupBy("band", "bucket")
-        .agg(F.count("*").alias("_n"))
-        .filter(F.col("_n") > max_bucket)
+    overfull = (
+        old_bands.select(id_col, "band", "bucket")
+        .join(gone_buckets, on=["band", "bucket"], how="left_semi")
+        .groupBy("band", "bucket")
+        .agg(F.count("*").alias("_n_old"))
+        .filter(F.col("_n_old") > max_bucket)
         .select("band", "bucket")
-        .join(touched, on=["band", "bucket"], how="left_semi")
     )
-    cw = Window.partitionBy("band", "bucket").orderBy(id_col)
-    chain = (
-        new_bands_all.join(overcap, on=["band", "bucket"], how="left_semi")
-        .withColumn("_prev", F.lag(id_col).over(cw))
-        .filter(F.col("_prev").isNotNull())
-        .select(F.col("_prev").alias("doc_a"), F.col(id_col).alias("doc_b"))
-    )
-    cand = (
-        dd.unionByName(ds).unionByName(chain).distinct()
-        # chain pairs between two SURVIVORS may already sit in the old
-        # graph — emitting them twice would double rows; dd/ds pairs always
-        # have a churned endpoint so this anti-join is a no-op for them
-        .join(surviving_pairs.select("doc_a", "doc_b"),
-              on=["doc_a", "doc_b"], how="left_anti")
-    )
+    repair = []
+    if overfull.limit(1).count() > 0:
+        om = new_bands_all.join(overfull, on=["band", "bucket"], how="left_semi")
+        ow = Window.partitionBy("band", "bucket")
+        sized = om.withColumn("_n_new", F.count("*").over(ow))
+        # shrunk to <= cap: regenerate the bucket's FULL candidate set
+        # (<= cap members, bounded) — restores exact full-recompute
+        # parity, since the full chain would emit all-pairs there too
+        sm = sized.filter(F.col("_n_new") <= max_bucket)
+        shrunk_pairs = (
+            sm.select("band", "bucket", F.col(id_col).alias("doc_a"))
+            .join(sm.select("band", "bucket", F.col(id_col).alias("doc_b")),
+                  on=["band", "bucket"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+        )
+        # still > cap: parity is impossible anyway (rank shifts re-chunk
+        # it — the documented divergence); a consecutive-survivor chain
+        # (O(size)) restores the transitive linkage CC consumes
+        cw = Window.partitionBy("band", "bucket").orderBy(id_col)
+        chain = (
+            sized.filter(F.col("_n_new") > max_bucket)
+            .withColumn("_prev", F.lag(id_col).over(cw))
+            .filter(F.col("_prev").isNotNull())
+            .select(F.col("_prev").alias("doc_a"), F.col(id_col).alias("doc_b"))
+        )
+        # repair pairs between two SURVIVORS may already sit in the old
+        # graph — emitting them twice would double rows (dd/ds pairs
+        # always have a churned endpoint, so only repair pairs need this)
+        repair = [
+            shrunk_pairs.unionByName(chain)
+            .join(surviving_pairs.select("doc_a", "doc_b"),
+                  on=["doc_a", "doc_b"], how="left_anti")
+        ]
+    cand = dd.unionByName(ds)
+    for extra in repair:
+        cand = cand.unionByName(extra)
+    cand = cand.distinct()
 
     # verify only docs that actually appear in a fresh candidate pair — the
     # semi-join keeps the shingle explode off the unchanged corpus

@@ -58,25 +58,38 @@ BASE_SF = "/root/testdata/sf0.1"
 WORK = "/tmp/spark_graft_stream_probe"
 
 
-def build_events(spark) -> str:
-    """10x events: replicate with disjoint user_ids (10x key cardinality),
-    timestamps kept — eviction pressure scales with keys-per-horizon, which
-    is the quantity being probed. Written time-ordered in N_FILES files so
-    the file source's batches advance the watermark monotonically."""
+def _build_replicated_events(spark, out: str, user_expr=None,
+                             write_order=None) -> str:
+    """ONE corpus-builder for all three probe corpora (r8 review finding:
+    this recipe existed as three hand-copies): replicate events FACTOR x
+    on disjoint event_ids, apply ``user_expr`` (a function of the
+    replica-shifted columns; default = disjoint user_ids), bucket by time
+    into N_FILES files and write them in ``write_order`` (default
+    chronological).
+
+    Time buckets written SEQUENTIALLY: FileStreamSource orders batches by
+    file modification time, so ascending mod-times give chronological
+    replay — the watermark then advances batch over batch instead of
+    jumping to max on an arbitrarily-ordered file and late-dropping the
+    rest (which would make 'bounded state' trivially true for the wrong
+    reason). A non-default ``write_order`` is exactly how the
+    out-of-order variant manufactures genuinely late data."""
     from pyspark.sql import functions as F
 
     import time
 
-    out = f"{WORK}/events_x{FACTOR}"
     if os.path.exists(f"{out}/.complete"):
         return out
     shutil.rmtree(out, ignore_errors=True)
     base = spark.read.parquet(f"{BASE_SF}/events.parquet")
+    if user_expr is None:
+        def user_expr(i):
+            return F.col("user_id") + i * 10_000_000
     parts = [
         base.select(
             (F.col("event_id") + i * 100_000_000).alias("event_id"),
             "ts",
-            (F.col("user_id") + i * 10_000_000).alias("user_id"),
+            user_expr(i).alias("user_id"),
             "event_type", "value", "props",
         )
         for i in range(FACTOR)
@@ -84,12 +97,6 @@ def build_events(spark) -> str:
     df = parts[0]
     for p in parts[1:]:
         df = df.unionByName(p)
-    # Time buckets written SEQUENTIALLY: FileStreamSource orders batches by
-    # file modification time, so ascending mod-times give chronological
-    # replay — the watermark then advances batch over batch instead of
-    # jumping to max on an arbitrarily-ordered file and late-dropping the
-    # rest (which would make 'bounded state' trivially true for the wrong
-    # reason).
     # TIMESTAMP_NTZ cannot cast to long directly; go through TIMESTAMP
     epoch = F.col("ts").cast("timestamp").cast("long")
     lo, hi = df.agg(F.min(epoch), F.max(epoch)).collect()[0]
@@ -98,13 +105,107 @@ def build_events(spark) -> str:
         "_b", ((epoch - F.lit(lo)) * N_FILES / F.lit(span)).cast("int")
     ).persist()
     bucketed.count()
-    for i in range(N_FILES):
+    for i in (write_order or range(N_FILES)):
         bucketed.filter(F.col("_b") == i).drop("_b").coalesce(1) \
             .write.mode("append").parquet(out)
         time.sleep(0.3)
     bucketed.unpersist()
     open(f"{out}/.complete", "w").close()
     return out
+
+
+def build_events(spark) -> str:
+    """10x events: replicate with disjoint user_ids (10x key cardinality),
+    timestamps kept — eviction pressure scales with keys-per-horizon, which
+    is the quantity being probed."""
+    return _build_replicated_events(spark, f"{WORK}/events_x{FACTOR}")
+
+
+def _interval_join(src):
+    """The probed stream-stream interval join (same shape as
+    streaming.windows.streaming_stream_stream_join): purchases matched to
+    same-user views at most 2h earlier, both sides watermarked. ONE
+    definition serves the in-order, out-of-order, and skew replays — the
+    reconciliation counts are meaningless if a stream drifts from its own
+    backfill."""
+    from pyspark.sql import functions as F
+
+    views = (
+        src().filter(F.col("event_type") == "view")
+        .select(F.col("user_id").alias("v_user"),
+                F.col("event_id").alias("view_id"),
+                F.col("ts").alias("v_ts"))
+        .withWatermark("v_ts", _WM_DELAY())
+    )
+    purchases = (
+        src().filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"),
+                F.col("event_id").alias("purchase_id"),
+                F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", _WM_DELAY())
+    )
+    return views.join(
+        purchases,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 2 HOURS")),
+        "inner",
+    ).select("v_user", "view_id", "purchase_id")
+
+
+def _WM_DELAY() -> str:
+    from pyspark_coding_challenge_spark.streaming.windows import WATERMARK_DELAY
+
+    return WATERMARK_DELAY
+
+
+def _batch_backfill(spark, ev_dir: str):
+    """The batch twin of ``_interval_join`` over the full corpus — the
+    ground truth a production consumer reconciles the stream against."""
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(ev_dir)
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("event_id").alias("view_id"),
+        F.col("ts").cast("timestamp").alias("v_ts"))
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").cast("timestamp").alias("p_ts"))
+    return views.join(
+        purchases,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 2 HOURS")),
+        "inner",
+    ).select("view_id", "purchase_id")
+
+
+def _reconcile(spark, ev_dir: str, sink: str, emitted: int, **extra) -> dict:
+    """emitted-vs-backfill pair accounting; asserts the hard invariant
+    (emitted ⊆ backfill — eviction may only ever DROP matches)."""
+    backfill = _batch_backfill(spark, ev_dir)
+    pairs = (
+        spark.read.parquet(sink).select("view_id", "purchase_id")
+        if emitted else
+        spark.createDataFrame([], "view_id LONG, purchase_id LONG")
+    )
+    n = backfill.count()
+    spurious = pairs.exceptAll(backfill).count()
+    dropped = backfill.exceptAll(pairs).count()
+    rec = {
+        **extra,
+        "backfill_pairs": n,
+        "emitted_pairs": emitted,
+        "dropped_late_pairs": dropped,
+        "spurious_pairs": spurious,
+        "late_drop_fraction": round(dropped / n, 4) if n else None,
+    }
+    assert spurious == 0, (
+        f"stream-stream join emitted {spurious} pairs the batch backfill "
+        "does not contain — eviction must only ever DROP matches"
+    )
+    return rec
 
 
 def _drive(spark, stream, slug: str) -> tuple[list[dict], int, str, str]:
@@ -165,42 +266,9 @@ def build_events_late(spark) -> str:
     backfill. Chronological replay measures that budget at ZERO (verified:
     each file spans ~2 days >> the 2h interval + 1h delay, so matches
     complete before eviction); this variant measures it under disorder."""
-    from pyspark.sql import functions as F
-
-    import time
-
-    out = f"{WORK}/events_late_x{FACTOR}"
-    if os.path.exists(f"{out}/.complete"):
-        return out
-    shutil.rmtree(out, ignore_errors=True)
-    base = spark.read.parquet(f"{BASE_SF}/events.parquet")
-    parts = [
-        base.select(
-            (F.col("event_id") + i * 100_000_000).alias("event_id"),
-            "ts",
-            (F.col("user_id") + i * 10_000_000).alias("user_id"),
-            "event_type", "value", "props",
-        )
-        for i in range(FACTOR)
-    ]
-    df = parts[0]
-    for p in parts[1:]:
-        df = df.unionByName(p)
-    epoch = F.col("ts").cast("timestamp").cast("long")
-    lo, hi = df.agg(F.min(epoch), F.max(epoch)).collect()[0]
-    span = max(1, hi - lo + 1)
-    bucketed = df.withColumn(
-        "_b", ((epoch - F.lit(lo)) * N_FILES / F.lit(span)).cast("int")
-    ).persist()
-    bucketed.count()
     order = [i for i in range(N_FILES) if i != LATE_BUCKET] + [LATE_BUCKET]
-    for i in order:
-        bucketed.filter(F.col("_b") == i).drop("_b").coalesce(1) \
-            .write.mode("append").parquet(out)
-        time.sleep(0.3)
-    bucketed.unpersist()
-    open(f"{out}/.complete", "w").close()
-    return out
+    return _build_replicated_events(
+        spark, f"{WORK}/events_late_x{FACTOR}", write_order=order)
 
 
 HOT_USER = 777_777_777
@@ -221,45 +289,17 @@ def build_skew_events(spark) -> str:
     build_events."""
     from pyspark.sql import functions as F
 
-    import time
+    def hot_views(i):
+        return F.when(
+            (F.col("event_type") == "view") & (F.col("event_id") % 10 < 9),
+            F.lit(HOT_USER),
+        ).otherwise(F.col("user_id") + i * 10_000_000)
 
     # recipe-versioned dir: the corpus recipe changed once already (both-
     # sides-hot -> views-hot) and a .complete marker from a killed run of
     # the OLD recipe would be silently reused otherwise (r8 review finding)
-    out = f"{WORK}/events_skew_viewhot_x{FACTOR}"
-    if os.path.exists(f"{out}/.complete"):
-        return out
-    shutil.rmtree(out, ignore_errors=True)
-    base = spark.read.parquet(f"{BASE_SF}/events.parquet")
-    parts = [
-        base.select(
-            (F.col("event_id") + i * 100_000_000).alias("event_id"),
-            "ts",
-            F.when(
-                (F.col("event_type") == "view") & (F.col("event_id") % 10 < 9),
-                F.lit(HOT_USER),
-            ).otherwise(F.col("user_id") + i * 10_000_000).alias("user_id"),
-            "event_type", "value", "props",
-        )
-        for i in range(FACTOR)
-    ]
-    df = parts[0]
-    for p in parts[1:]:
-        df = df.unionByName(p)
-    epoch = F.col("ts").cast("timestamp").cast("long")
-    lo, hi = df.agg(F.min(epoch), F.max(epoch)).collect()[0]
-    span = max(1, hi - lo + 1)
-    bucketed = df.withColumn(
-        "_b", ((epoch - F.lit(lo)) * N_FILES / F.lit(span)).cast("int")
-    ).persist()
-    bucketed.count()
-    for i in range(N_FILES):
-        bucketed.filter(F.col("_b") == i).drop("_b").coalesce(1) \
-            .write.mode("append").parquet(out)
-        time.sleep(0.3)
-    bucketed.unpersist()
-    open(f"{out}/.complete", "w").close()
-    return out
+    return _build_replicated_events(
+        spark, f"{WORK}/events_skew_viewhot_x{FACTOR}", user_expr=hot_views)
 
 
 def _state_partition_distribution(spark, ck: str, batch_id=None,
@@ -357,28 +397,8 @@ def _skew_probe(spark, provider: str | None, rnd) -> None:
     except Exception as exc:  # record, don't lose the series
         result["stateful_dedup"]["statestore_error"] = str(exc)[:300]
 
-    views = (
-        src().filter(F.col("event_type") == "view")
-        .select(F.col("user_id").alias("v_user"),
-                F.col("event_id").alias("view_id"),
-                F.col("ts").alias("v_ts"))
-        .withWatermark("v_ts", WATERMARK_DELAY)
-    )
-    purchases = (
-        src().filter(F.col("event_type") == "purchase")
-        .select(F.col("user_id").alias("p_user"),
-                F.col("event_id").alias("purchase_id"),
-                F.col("ts").alias("p_ts"))
-        .withWatermark("p_ts", WATERMARK_DELAY)
-    )
-    ss_join = views.join(
-        purchases,
-        (F.col("v_user") == F.col("p_user"))
-        & (F.col("p_ts") >= F.col("v_ts"))
-        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 2 HOURS")),
-        "inner",
-    ).select("v_user", "view_id", "purchase_id")
-    j_series, j_emitted, _, j_ck = _drive(spark, ss_join, "skew_ss_join")
+    j_series, j_emitted, _, j_ck = _drive(
+        spark, _interval_join(src), "skew_ss_join")
     jpeaks = [s["state_rows_total"] for s in j_series] or [0]
     no_evict = spark.read.parquet(ev_dir).filter(
         F.col("event_type").isin("view", "purchase")).count()
@@ -504,28 +524,8 @@ def main() -> None:
     # joined to purchases at most 2h later); the interval bound + the two
     # watermarks must evict views at wm-2h and purchases at wm, so state
     # plateaus at O(rows within one horizon), never O(all rows replayed).
-    views = (
-        src().filter(F.col("event_type") == "view")
-        .select(F.col("user_id").alias("v_user"),
-                F.col("event_id").alias("view_id"),
-                F.col("ts").alias("v_ts"))
-        .withWatermark("v_ts", WATERMARK_DELAY)
-    )
-    purchases = (
-        src().filter(F.col("event_type") == "purchase")
-        .select(F.col("user_id").alias("p_user"),
-                F.col("event_id").alias("purchase_id"),
-                F.col("ts").alias("p_ts"))
-        .withWatermark("p_ts", WATERMARK_DELAY)
-    )
-    ss_join = views.join(
-        purchases,
-        (F.col("v_user") == F.col("p_user"))
-        & (F.col("p_ts") >= F.col("v_ts"))
-        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 2 HOURS")),
-        "inner",
-    ).select("v_user", "view_id", "purchase_id")
-    join_series, join_emitted, join_sink, _ = _drive(spark, ss_join, "ss_join")
+    join_series, join_emitted, join_sink, _ = _drive(
+        spark, _interval_join(src), "ss_join")
     result["operators"]["stream_stream_join"] = join_series
     # no-eviction baseline: a join that never evicted would end holding
     # every view + purchase row replayed through it
@@ -538,43 +538,11 @@ def main() -> None:
 
     # Multi-batch reconciliation vs batch backfill (r8 judge #4): the
     # 16-batch replay spans weeks >> the 1h watermark, so cross-batch
-    # eviction genuinely applies. emitted ⊆ backfill is a hard invariant
-    # (eviction can only drop matches); the difference is the measured
-    # late-data budget a production consumer reconciles with a backfill.
-    ev_all = spark.read.parquet(ev_dir)
-    bf_views = ev_all.filter(F.col("event_type") == "view").select(
-        F.col("user_id").alias("v_user"), F.col("event_id").alias("view_id"),
-        F.col("ts").cast("timestamp").alias("v_ts"))
-    bf_purch = ev_all.filter(F.col("event_type") == "purchase").select(
-        F.col("user_id").alias("p_user"), F.col("event_id").alias("purchase_id"),
-        F.col("ts").cast("timestamp").alias("p_ts"))
-    backfill = bf_views.join(
-        bf_purch,
-        (F.col("v_user") == F.col("p_user"))
-        & (F.col("p_ts") >= F.col("v_ts"))
-        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 2 HOURS")),
-        "inner",
-    ).select("view_id", "purchase_id")
-    emitted_pairs = (
-        spark.read.parquet(join_sink).select("view_id", "purchase_id")
-        if join_emitted else
-        spark.createDataFrame([], "view_id LONG, purchase_id LONG")
-    )
-    backfill_n = backfill.count()
-    spurious_n = emitted_pairs.exceptAll(backfill).count()
-    dropped_late_n = backfill.exceptAll(emitted_pairs).count()
-    result["reconciliation"] = {
-        "backfill_pairs": backfill_n,
-        "emitted_pairs": join_emitted,
-        "dropped_late_pairs": dropped_late_n,
-        "spurious_pairs": spurious_n,
-        "late_drop_fraction": round(dropped_late_n / backfill_n, 4)
-        if backfill_n else None,
-    }
-    assert spurious_n == 0, (
-        f"stream-stream join emitted {spurious_n} pairs the batch backfill "
-        "does not contain — eviction must only ever DROP matches"
-    )
+    # eviction genuinely applies; the stream, its backfill, and the
+    # reconciliation accounting all come from the shared helpers so a
+    # predicate drift between them is impossible.
+    result["reconciliation"] = _reconcile(
+        spark, ev_dir, join_sink, join_emitted)
 
     # Out-of-order replay: withhold one middle time bucket until the end —
     # its rows arrive with the watermark already near max(ts) and are
@@ -591,60 +559,10 @@ def main() -> None:
         )
         return canonicalize_ts(raw, "ts")
 
-    l_views = (
-        late_src().filter(F.col("event_type") == "view")
-        .select(F.col("user_id").alias("v_user"),
-                F.col("event_id").alias("view_id"),
-                F.col("ts").alias("v_ts"))
-        .withWatermark("v_ts", WATERMARK_DELAY)
-    )
-    l_purch = (
-        late_src().filter(F.col("event_type") == "purchase")
-        .select(F.col("user_id").alias("p_user"),
-                F.col("event_id").alias("purchase_id"),
-                F.col("ts").alias("p_ts"))
-        .withWatermark("p_ts", WATERMARK_DELAY)
-    )
-    l_join = l_views.join(
-        l_purch,
-        (F.col("v_user") == F.col("p_user"))
-        & (F.col("p_ts") >= F.col("v_ts"))
-        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 2 HOURS")),
-        "inner",
-    ).select("v_user", "view_id", "purchase_id")
-    _, l_emitted, l_sink, _ = _drive(spark, l_join, "ss_join_late")
-    l_all = spark.read.parquet(late_dir)
-    l_backfill = l_all.filter(F.col("event_type") == "view").select(
-        F.col("user_id").alias("v_user"), F.col("event_id").alias("view_id"),
-        F.col("ts").cast("timestamp").alias("v_ts")).join(
-        l_all.filter(F.col("event_type") == "purchase").select(
-            F.col("user_id").alias("p_user"),
-            F.col("event_id").alias("purchase_id"),
-            F.col("ts").cast("timestamp").alias("p_ts")),
-        (F.col("v_user") == F.col("p_user"))
-        & (F.col("p_ts") >= F.col("v_ts"))
-        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 2 HOURS")),
-        "inner",
-    ).select("view_id", "purchase_id")
-    l_pairs = (
-        spark.read.parquet(l_sink).select("view_id", "purchase_id")
-        if l_emitted else
-        spark.createDataFrame([], "view_id LONG, purchase_id LONG")
-    )
-    lb_n = l_backfill.count()
-    l_spurious = l_pairs.exceptAll(l_backfill).count()
-    l_dropped = l_backfill.exceptAll(l_pairs).count()
-    result["reconciliation_out_of_order"] = {
-        "held_back_bucket": LATE_BUCKET,
-        "backfill_pairs": lb_n,
-        "emitted_pairs": l_emitted,
-        "dropped_late_pairs": l_dropped,
-        "spurious_pairs": l_spurious,
-        "late_drop_fraction": round(l_dropped / lb_n, 4) if lb_n else None,
-    }
-    assert l_spurious == 0, (
-        f"out-of-order replay emitted {l_spurious} pairs outside the backfill"
-    )
+    _, l_emitted, l_sink, _ = _drive(
+        spark, _interval_join(late_src), "ss_join_late")
+    result["reconciliation_out_of_order"] = _reconcile(
+        spark, late_dir, l_sink, l_emitted, held_back_bucket=LATE_BUCKET)
 
     # Per-operator no-eviction baseline (review finding r6): the dedup
     # store's is the distinct key count; the session store's is its OWN

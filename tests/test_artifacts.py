@@ -558,3 +558,34 @@ def test_stale_lineage_rebuild_in_fresh_session(spark, tmp_path):
     A.load_pairs(spark, new_dir, art)
     A.load_bands(spark, new_dir, art)
     D.clear_pair_cache(spark)
+
+
+def test_full_rebuild_not_defeated_by_env_seeding(spark, tmp_path, monkeypatch):
+    """r8 second-review finding: with SPARK_GRAFT_ARTIFACT_DIR pointing at
+    the artifact dir, a lineage-failed 'full rebuild' could env-seed from
+    the STALE bytes (env checks sf_dir+params only, never lineage) and
+    no-op on the _loaded_from guard — silently keeping the stale artifact.
+    The fix deletes the stale meta sidecars first, so the rebuild is real."""
+    from pyspark_coding_challenge_spark.llm import dedup as D
+
+    _, new_dir = _write_versions(spark, tmp_path)
+    art = str(tmp_path / "art")
+    A.materialize_pairs(spark, new_dir, art)
+    A.materialize_bands(spark, new_dir, art)
+    good_lineage = A._read_meta(os.path.join(art, A.PAIRS_NAME))["lineage"]
+    for name in (A.PAIRS_NAME, A.BANDS_NAME):
+        meta_path = os.path.join(art, name, "_artifact_meta.json")
+        with open(meta_path) as f:
+            meta = json.load(f)
+        meta["lineage"]["snapshot"] = {"fold_sum": "9", "n_docs": 9}
+        with open(meta_path, "w") as f:
+            json.dump(meta, f)
+    D.clear_pair_cache(spark)
+    monkeypatch.setenv(A.ENV_ARTIFACT_DIR, art)
+    summary = A.update_pairs_incremental(spark, new_dir, new_dir, art)
+    assert summary["mode"] == "full_rebuild"
+    rebuilt = A._read_meta(os.path.join(art, A.PAIRS_NAME))["lineage"]
+    assert rebuilt["snapshot"] == good_lineage["snapshot"], (
+        "stale artifact survived the full rebuild"
+    )
+    D.clear_pair_cache(spark)

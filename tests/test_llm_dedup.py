@@ -530,3 +530,24 @@ def test_incremental_update_keeps_split_mega_bucket_connected(spark):
     # re-emit pairs the old graph already holds)
     pairs = [(r.doc_a, r.doc_b) for r in patched.collect()]
     assert len(pairs) == len(set(pairs))
+
+
+def test_incremental_update_repairs_bucket_shrunk_under_cap(spark):
+    """r8 second-review finding: with cap=2, an old bucket {1,2,3} has only
+    chunk pairs (1,2),(2,3); removing overlap doc 2 must yield the full
+    recompute's candidate set for the now-under-cap bucket — pair (1,3) —
+    not an empty graph."""
+    old = spark.createDataFrame([(i, BASE) for i in (1, 2, 3)], schema=DOC_SCHEMA)
+    new = old.filter(F.col("doc_id") != 2)
+    ranked = D.ranked_band_relation(old)
+    old_pairs = D.verify_jaccard(
+        old, D.lsh_candidate_pairs(old, ranked=ranked, max_bucket=2))
+    assert {(r.doc_a, r.doc_b) for r in old_pairs.collect()} == {(1, 2), (2, 3)}
+    diff = D.snapshot_diff(old, new).select("doc_id", "change")
+    _, patched = D.incremental_dedup_update(
+        new, diff, old_pairs, ranked.select("doc_id", "band", "bucket"),
+        max_bucket=2,
+    )
+    full = D.verify_jaccard(new, D.lsh_candidate_pairs(new, max_bucket=2))
+    assert _norm_pairs(patched) == _norm_pairs(full)
+    assert {(r.doc_a, r.doc_b) for r in patched.collect()} == {(1, 3)}
