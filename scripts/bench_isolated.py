@@ -297,6 +297,37 @@ def main() -> None:
         if "error" not in entry:
             entry["sections"] = section_counts.get(slug, 1)
 
+    ab_summary = None
+    if ab_ref:
+        # the drift-cancellation claim is aggregate, not per-slug: a
+        # sub-second slug's best-of-2 is JIT-noise-dominated (observed
+        # paired ratios 0.5-1.5 on unchanged 0.3s slugs), so the control
+        # statistic is the MEDIAN over scope-unchanged slugs, overall and
+        # restricted to slugs with >= 1s prev_best where noise amortizes
+        controls = [
+            e["ab"]["paired_ratio"] for e in slugs.values()
+            if "ab" in e and not e["ab"]["scope_changed"]
+        ]
+        heavy = [
+            e["ab"]["paired_ratio"] for e in slugs.values()
+            if "ab" in e and not e["ab"]["scope_changed"]
+            and e["ab"]["prev_best"] >= 1.0
+        ]
+
+        def _median(xs):
+            xs = sorted(xs)
+            n = len(xs)
+            if not n:
+                return None
+            return round((xs[n // 2] + xs[(n - 1) // 2]) / 2, 3)
+
+        ab_summary = {
+            "control_slugs": len(controls),
+            "median_paired_ratio": _median(controls),
+            "heavy_control_slugs": len(heavy),
+            "median_paired_ratio_ge_1s": _median(heavy),
+        }
+
     out = {
         "metric": "isolated_best_of_3",
         "protocol": (
@@ -308,6 +339,7 @@ def main() -> None:
                if ab_ref else "")
         ),
         "ab_ref": ab_ref,
+        "ab_summary": ab_summary,
         "sf": sf_dir,
         "cpus": cpus,
         "slugs": slugs,
