@@ -551,3 +551,71 @@ def test_incremental_update_repairs_bucket_shrunk_under_cap(spark):
     full = D.verify_jaccard(new, D.lsh_candidate_pairs(new, max_bucket=2))
     assert _norm_pairs(patched) == _norm_pairs(full)
     assert {(r.doc_a, r.doc_b) for r in patched.collect()} == {(1, 3)}
+
+
+def _cc_labels(spark, edges):
+    df = spark.createDataFrame(edges, schema="doc_a BIGINT, doc_b BIGINT")
+    return {r.node: r.label for r in D.connected_components(df).collect()}
+
+
+def _incr_labels(spark, old_edges, new_edges):
+    oe = spark.createDataFrame(old_edges, schema="doc_a BIGINT, doc_b BIGINT")
+    ne = spark.createDataFrame(new_edges, schema="doc_a BIGINT, doc_b BIGINT")
+    old_cc = D.connected_components(oe)
+    got = D.incremental_cc_update(old_cc, oe, ne)
+    return {r.node: r.label for r in got.collect()}
+
+
+def test_incremental_cc_merge_split_and_untouched(spark):
+    """One edge diff exercising every topology change at once: component
+    {1,2,3} splits (bridge 2-3 removed), components {10,11} and {20,21}
+    merge (edge 11-20 added), component {30,31} is untouched and must
+    keep its labels without relabeling, and a brand-new node pair {40,41}
+    appears."""
+    old = [(1, 2), (2, 3), (10, 11), (20, 21), (30, 31)]
+    new = [(1, 2), (10, 11), (20, 21), (11, 20), (30, 31), (40, 41)]
+    assert _incr_labels(spark, old, new) == _cc_labels(spark, new)
+
+
+def test_incremental_cc_node_loses_all_edges(spark):
+    """A node whose every edge vanished must drop out of the labeling,
+    exactly like the full recompute (CC labels only nodes with >=1 edge)."""
+    old = [(1, 2), (2, 3), (5, 6)]
+    new = [(1, 2), (5, 6)]  # node 3 lost its only edge
+    got = _incr_labels(spark, old, new)
+    assert got == _cc_labels(spark, new)
+    assert 3 not in got
+
+
+def test_incremental_cc_empty_diff_is_identity(spark):
+    old = [(1, 2), (2, 3), (7, 9)]
+    assert _incr_labels(spark, old, old) == _cc_labels(spark, old)
+
+
+def test_clusters_incremental_section_matches_full_relabeling(spark):
+    """The registered section's label patch equals a from-scratch CC over
+    the patched graph (the in-process twin of its DuckDB oracle)."""
+    from pyspark.sql import functions as F2
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r.doc_id, r.cluster_id, r.cluster_size, r.is_keeper)
+        for r in D.dedup_clusters_incremental(spark, sf).collect()
+    }
+    new_edges = D._incr_patched_pairs(spark, sf).filter(
+        F2.col("_jac_raw") >= D.JACCARD_THRESHOLD
+    ).select("doc_a", "doc_b")
+    full = D.connected_components(new_edges)
+    from pyspark.sql.window import Window as W2
+
+    w = W2.partitionBy("cluster_id")
+    exp = {
+        (r.doc_id, r.cluster_id, r.cluster_size, r.is_keeper)
+        for r in full.select(
+            F2.col("node").alias("doc_id"), F2.col("label").alias("cluster_id")
+        ).withColumn("cluster_size", F2.count("*").over(w))
+        .withColumn("is_keeper",
+                    (F2.col("doc_id") == F2.col("cluster_id")).cast("int"))
+        .collect()
+    }
+    assert got == exp
