@@ -116,6 +116,17 @@ def snapshot_versions(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
     return old, new
 
 
+# THE DuckDB rendering of snapshot_versions' derivation — one definition
+# (r8 review finding: three oracles hand-copied it; a future modulus or
+# mutation change must land in exactly one place or an oracle silently
+# tests a stale derivation)
+_SQL_MUTATED_TEXT = "CASE WHEN doc_id % 11 = 0 THEN upper(text) ELSE text END"
+_SQL_NEWDOCS_CTE = f"""newdocs AS (
+  SELECT doc_id, {_SQL_MUTATED_TEXT} AS text
+  FROM documents WHERE doc_id % 5 <> 0
+)"""
+
+
 def snapshot_diff(old_docs: DataFrame, new_docs: DataFrame,
                   id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Digest-based SNAPSHOT DIFF between two corpus versions — the
@@ -158,16 +169,14 @@ def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_diff(old, new)
 
 
-CORPUS_SNAPSHOT_DIFF_ORACLE = """
+CORPUS_SNAPSHOT_DIFF_ORACLE = f"""
 WITH a AS (
   SELECT doc_id, md5(COALESCE(text, '')) AS digest_old
   FROM documents WHERE doc_id % 7 <> 0
 ),
+{_SQL_NEWDOCS_CTE},
 b AS (
-  SELECT doc_id,
-         md5(COALESCE(CASE WHEN doc_id % 11 = 0 THEN upper(text) ELSE text END,
-                      '')) AS digest_new
-  FROM documents WHERE doc_id % 5 <> 0
+  SELECT doc_id, md5(COALESCE(text, '')) AS digest_new FROM newdocs
 )
 SELECT doc_id,
        CASE WHEN digest_old IS NULL THEN 'added'
@@ -819,6 +828,16 @@ def incremental_dedup_update(new_docs: DataFrame, diff: DataFrame,
     return new_bands_all, surviving_pairs.unionByName(fresh_pairs)
 
 
+def _threshold_edges(pairs: DataFrame) -> DataFrame:
+    """THE near-dup edge derivation (unrounded-ratio threshold) — one
+    definition shared by the old-CC build and both consumers of the
+    patched graph, so the patch's old_cc/old_edges consistency contract
+    cannot drift (r8 review finding)."""
+    return pairs.filter(F.col("_jac_raw") >= JACCARD_THRESHOLD).select(
+        "doc_a", "doc_b"
+    )
+
+
 def _incr_old_state(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     """The derived PRIOR snapshot's banded index + pair graph — the STORED
     state a refresh starts from (in deployment: the parquet artifacts;
@@ -827,19 +846,25 @@ def _incr_old_state(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFr
     relation; rebuilding them per invocation would time the artifact BUILD
     inside every refresh, which is exactly what the incremental path
     exists to avoid. Both are localCheckpoints (eager, pinned — each is
-    consumed by 2+ patch branches)."""
+    consumed by 2+ patch branches).
+
+    Built OUTSIDE the cache lock (all three _incr caches do this, r8
+    review finding): the build is multi-job eager work, and holding the
+    module-wide lock through it would block unrelated cache hits for its
+    whole duration; a racing duplicate build loses at setdefault and its
+    checkpoints are reclaimed by the ContextCleaner."""
     key = (spark.sparkContext.applicationId, sf_dir)
     with _PAIRS_LOCK:
         cached = _INCR_OLD_CACHE.get(key)
-        if cached is None:
-            old, _ = snapshot_versions(read_table(spark, sf_dir, "documents"))
-            old_ranked = ranked_band_relation(old)
-            old_pairs = verify_jaccard(
-                old, lsh_candidate_pairs(old, ranked=old_ranked)
-            ).localCheckpoint()
-            cached = (old_ranked, old_pairs)
-            _INCR_OLD_CACHE[key] = cached
-    return cached
+    if cached is not None:
+        return cached
+    old, _ = snapshot_versions(read_table(spark, sf_dir, "documents"))
+    old_ranked = ranked_band_relation(old)
+    old_pairs = verify_jaccard(
+        old, lsh_candidate_pairs(old, ranked=old_ranked)
+    ).localCheckpoint()
+    with _PAIRS_LOCK:
+        return _INCR_OLD_CACHE.setdefault(key, (old_ranked, old_pairs))
 
 
 def _incr_patched_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -853,21 +878,21 @@ def _incr_patched_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     with _PAIRS_LOCK:
         cached = _INCR_PATCHED_CACHE.get(key)
-        if cached is None:
-            old_ranked, old_pairs = _incr_old_state(spark, sf_dir)
-            old, new = snapshot_versions(read_table(spark, sf_dir, "documents"))
-            # pin: the diff feeds `gone` (3 anti-joins) + `delta_ids`
-            # inside the patch — unpinned, the digest full-outer join
-            # would re-run per branch (the artifact updater's trap)
-            diff = snapshot_diff(old, new).select("doc_id", "change") \
-                .localCheckpoint()
-            _, patched = incremental_dedup_update(
-                new, diff, old_pairs,
-                old_ranked.select("doc_id", "band", "bucket"),
-            )
-            cached = patched.localCheckpoint()
-            _INCR_PATCHED_CACHE[key] = cached
-    return cached
+    if cached is not None:
+        return cached
+    old_ranked, old_pairs = _incr_old_state(spark, sf_dir)
+    old, new = snapshot_versions(read_table(spark, sf_dir, "documents"))
+    # pin: the diff feeds `gone` (3 anti-joins) + `delta_ids` inside the
+    # patch — unpinned, the digest full-outer join would re-run per
+    # branch (the artifact updater's trap)
+    diff = snapshot_diff(old, new).select("doc_id", "change").localCheckpoint()
+    _, patched = incremental_dedup_update(
+        new, diff, old_pairs,
+        old_ranked.select("doc_id", "band", "bucket"),
+    )
+    built = patched.localCheckpoint()
+    with _PAIRS_LOCK:
+        return _INCR_PATCHED_CACHE.setdefault(key, built)
 
 
 def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -889,11 +914,7 @@ def _minhash_incremental_oracle() -> str:
     incremental Spark path must hash-match this exactly (same md5-fold
     hashes, same permutation literals — see ``_minhash_oracle``)."""
     return f"""
-WITH newdocs AS (
-  SELECT doc_id,
-         CASE WHEN doc_id % 11 = 0 THEN upper(text) ELSE text END AS text
-  FROM documents WHERE doc_id % 5 <> 0
-),
+WITH {_SQL_NEWDOCS_CTE},
 {minhash_pair_ctes('newdocs')}
 SELECT doc_a, doc_b, ROUND(jac, 6) AS jaccard
 FROM verified WHERE jac >= {JACCARD_THRESHOLD}
@@ -1155,7 +1176,9 @@ def incremental_cc_update(old_cc: DataFrame, old_edges: DataFrame,
             touched_nodes.join(old_cc, on="node", how="left_anti")
         )
         .distinct()
-        .localCheckpoint()  # consumed by two joins below
+        # single consumer (the sub_edges semi-join), and
+        # connected_components persists its edge input before fanning out
+        # — no checkpoint needed here (r8 review finding)
     )
     # every new edge with an affected endpoint has BOTH endpoints affected
     # (closure argument above) — one semi-join suffices
@@ -1196,21 +1219,11 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared per-session materialization (``verified_pairs_for_dir``) — this
     slug pays CC cost only when ``dedup_minhash_lsh`` ran first.
     """
-    pairs = (
-        verified_pairs_for_dir(spark, sf_dir)
-        # threshold on the UNROUNDED ratio, same as the sectioned twin and
-        # the recursive-CTE oracle — round(x,6) can differ between engines
-        # at a boundary and must never decide edge membership
-        .filter(F.col("_jac_raw") >= JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b")
-    )
-    cc = connected_components(pairs)
-    w = Window.partitionBy("cluster_id")
-    return (
-        cc.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
-        .withColumn("cluster_size", F.count("*").over(w))
-        .withColumn("is_keeper", (F.col("doc_id") == F.col("cluster_id")).cast("int"))
-    )
+    # threshold on the UNROUNDED ratio (_threshold_edges), same as the
+    # sectioned twin and the recursive-CTE oracle — round(x,6) can differ
+    # between engines at a boundary and must never decide edge membership
+    pairs = _threshold_edges(verified_pairs_for_dir(spark, sf_dir))
+    return _cluster_shape(connected_components(pairs))
 
 
 def dedup_clusters_sectioned(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1226,19 +1239,14 @@ def dedup_clusters_sectioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     One connected-components run serves all three sections (label
     propagation is the expensive part; the quality and split joins are
     doc_id-keyed hash joins against the corpus)."""
-    pairs = (
-        verified_pairs_for_dir(spark, sf_dir)
-        .filter(F.col("_jac_raw") >= JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b")
-    )
-    cc = connected_components(pairs).select(
+    pairs = _threshold_edges(verified_pairs_for_dir(spark, sf_dir))
+    labeled = connected_components(pairs)
+    cc = labeled.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )
     w = Window.partitionBy("cluster_id")
-    clusters = (
-        cc.withColumn("cluster_size", F.count("*").over(w))
-        .withColumn("is_keeper", (F.col("doc_id") == F.col("cluster_id")).cast("int"))
-        .select(F.lit("clusters").alias("section"), "*")
+    clusters = _cluster_shape(labeled).select(
+        F.lit("clusters").alias("section"), "*"
     )
     from pyspark_coding_challenge_spark.llm.text import lexical_diversity
 
@@ -1306,18 +1314,31 @@ def dedup_clusters_sectioned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _incr_old_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The derived prior snapshot's CC labels — the stored cluster state an
-    incremental refresh patches; session-cached (CC is iterative/eager)."""
+    incremental refresh patches; session-cached. Built OUTSIDE the lock
+    (see ``_incr_old_state``): CC is an iterative multi-job loop with a
+    per-round driver action, the worst possible work to hold a
+    module-wide lock through (r8 review finding)."""
     key = (spark.sparkContext.applicationId, sf_dir)
     with _PAIRS_LOCK:
         cached = _INCR_OLD_CC_CACHE.get(key)
-        if cached is None:
-            _, old_pairs = _incr_old_state(spark, sf_dir)
-            edges = old_pairs.filter(
-                F.col("_jac_raw") >= JACCARD_THRESHOLD
-            ).select("doc_a", "doc_b")
-            cached = connected_components(edges)
-            _INCR_OLD_CC_CACHE[key] = cached
-    return cached
+    if cached is not None:
+        return cached
+    built = connected_components(
+        _threshold_edges(_incr_old_state(spark, sf_dir)[1])
+    )
+    with _PAIRS_LOCK:
+        return _INCR_OLD_CC_CACHE.setdefault(key, built)
+
+
+def _cluster_shape(cc: DataFrame) -> DataFrame:
+    """(doc_id, cluster_id, cluster_size, is_keeper) from (node, label) —
+    the one output-shaping definition all cluster sections share."""
+    w = Window.partitionBy("cluster_id")
+    return (
+        cc.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+        .withColumn("cluster_size", F.count("*").over(w))
+        .withColumn("is_keeper", (F.col("doc_id") == F.col("cluster_id")).cast("int"))
+    )
 
 
 def dedup_clusters_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1332,32 +1353,18 @@ def dedup_clusters_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     snapshot, so the hash gate proves patched labels == full relabeling.
     Output shape matches the ``clusters`` section (doc_id, cluster_id,
     cluster_size, is_keeper) over the NEW corpus's near-dup graph."""
-    old_pairs = _incr_old_state(spark, sf_dir)[1]
-    old_edges = old_pairs.filter(
-        F.col("_jac_raw") >= JACCARD_THRESHOLD
-    ).select("doc_a", "doc_b")
-    new_edges = _incr_patched_pairs(spark, sf_dir).filter(
-        F.col("_jac_raw") >= JACCARD_THRESHOLD
-    ).select("doc_a", "doc_b")
-    cc = incremental_cc_update(_incr_old_cc(spark, sf_dir), old_edges, new_edges)
-    w = Window.partitionBy("cluster_id")
-    return (
-        cc.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
-        .withColumn("cluster_size", F.count("*").over(w))
-        .withColumn("is_keeper", (F.col("doc_id") == F.col("cluster_id")).cast("int"))
+    old_edges = _threshold_edges(_incr_old_state(spark, sf_dir)[1])
+    new_edges = _threshold_edges(_incr_patched_pairs(spark, sf_dir))
+    return _cluster_shape(
+        incremental_cc_update(_incr_old_cc(spark, sf_dir), old_edges, new_edges)
     )
 
 
 def _clusters_incremental_oracle() -> str:
     """Full-relabeling DuckDB oracle over the derived NEW snapshot — the
     incremental label patch must hash-match a from-scratch CC."""
-    newdocs = """newdocs AS (
-  SELECT doc_id,
-         CASE WHEN doc_id % 11 = 0 THEN upper(text) ELSE text END AS text
-  FROM documents WHERE doc_id % 5 <> 0
-)"""
     return _CLUSTERS_RECURSIVE_CTES.format(
-        pair_ctes=newdocs + ",\n" + minhash_pair_ctes("newdocs")
+        pair_ctes=_SQL_NEWDOCS_CTE + ",\n" + minhash_pair_ctes("newdocs")
     ) + """
 SELECT doc_id, cluster_id,
        count(*) OVER (PARTITION BY cluster_id) AS cluster_size,

@@ -562,8 +562,12 @@ def _incr_labels(spark, old_edges, new_edges):
     oe = spark.createDataFrame(old_edges, schema="doc_a BIGINT, doc_b BIGINT")
     ne = spark.createDataFrame(new_edges, schema="doc_a BIGINT, doc_b BIGINT")
     old_cc = D.connected_components(oe)
-    got = D.incremental_cc_update(old_cc, oe, ne)
-    return {r.node: r.label for r in got.collect()}
+    rows = D.incremental_cc_update(old_cc, oe, ne).collect()
+    labels = {r.node: r.label for r in rows}
+    # untouched/relabeled must be DISJOINT: a duplicate node row would be
+    # silently collapsed by the dict and inflate window counts downstream
+    assert len(rows) == len(labels), "incremental_cc_update emitted a node twice"
+    return labels
 
 
 def test_incremental_cc_merge_split_and_untouched(spark):
