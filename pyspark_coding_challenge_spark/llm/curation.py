@@ -37,11 +37,13 @@ from pyspark.sql import functions as F
 from pyspark_coding_challenge_spark.llm.dedup import (
     JACCARD_THRESHOLD,
     connected_components,
-    lsh_candidate_pairs,
     minhash_pair_ctes,
-    verify_jaccard,
 )
-from pyspark_coding_challenge_spark.llm.text import sql_lexical_diversity
+from pyspark_coding_challenge_spark.llm.text import (
+    n_tokens_col,
+    sql_lexical_diversity,
+    sql_n_tokens,
+)
 from pyspark_coding_challenge_spark.sources.readers import read_table
 
 MIN_WORDS = 5     # quality gate: at least 5 whitespace tokens
@@ -49,7 +51,7 @@ MIN_CHARS = 20    # and at least 20 characters
 
 
 def _kept_and_pairs(docs: DataFrame,
-                    shared_pairs: DataFrame | None = None) -> tuple[DataFrame, DataFrame]:
+                    shared_pairs: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Quality-filter + exact-dedup ``docs`` -> ``kept``, then obtain the
     verified near-dup pairs WITHIN kept -> ``near`` (doc_a < doc_b). Both
     are checkpointed: ``kept`` feeds four consumers (shingling twice, the
@@ -73,10 +75,11 @@ def _kept_and_pairs(docs: DataFrame,
     already probabilistic recall; the cap is the same documented recall
     trade, and ``lsh_oversized_buckets`` is the audit for where it binds.
     No test-scale bucket approaches the cap, so the driver hashes are
-    unaffected.) When ``shared_pairs`` is None the chain is computed over
-    ``kept`` directly — the standalone shape."""
+    unaffected.)"""
     q = docs.filter(
-        (F.size(F.split(F.col("text"), " ")) >= MIN_WORDS)
+        # THE tokenization contract (text.n_tokens_col) — inlining the
+        # split here drifted once already (r8 review finding)
+        (n_tokens_col("text") >= MIN_WORDS)
         & (F.length("text") >= MIN_CHARS)
     )
     keepers = (
@@ -85,15 +88,12 @@ def _kept_and_pairs(docs: DataFrame,
         .select("doc_id")
     )
     kept = q.join(keepers, on="doc_id", how="left_semi").localCheckpoint()
-    if shared_pairs is not None:
-        ids = kept.select("doc_id")
-        verified = shared_pairs.join(
-            ids.select(F.col("doc_id").alias("doc_a")), on="doc_a", how="left_semi"
-        ).join(
-            ids.select(F.col("doc_id").alias("doc_b")), on="doc_b", how="left_semi"
-        )
-    else:
-        verified = verify_jaccard(kept, lsh_candidate_pairs(kept))
+    ids = kept.select("doc_id")
+    verified = shared_pairs.join(
+        ids.select(F.col("doc_id").alias("doc_a")), on="doc_a", how="left_semi"
+    ).join(
+        ids.select(F.col("doc_id").alias("doc_b")), on="doc_b", how="left_semi"
+    )
     near = (
         verified.filter(F.col("_jac_raw") >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b")
@@ -109,25 +109,9 @@ def _curated(kept: DataFrame, near: DataFrame) -> DataFrame:
         .select(
             "doc_id",
             "source",
-            F.size(F.split(F.col("text"), " ")).cast("int").alias("token_cnt"),
+            n_tokens_col("text").alias("token_cnt"),
             F.length("text").cast("int").alias("char_len"),
         )
-    )
-
-
-def curate_corpus(docs: DataFrame,
-                  shared_pairs: DataFrame | None = None) -> DataFrame:
-    """The curation chain over a (doc_id, text, source) relation; returns
-    surviving docs with exact token/char counts."""
-    return _curated(*_kept_and_pairs(docs, shared_pairs))
-
-
-def llm_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark_coding_challenge_spark.llm.dedup import verified_pairs_for_dir
-
-    return curate_corpus(
-        read_table(spark, sf_dir, "documents"),
-        shared_pairs=verified_pairs_for_dir(spark, sf_dir),
     )
 
 
@@ -402,7 +386,7 @@ GROUP BY tr.doc_id
 
 _SQL_KEPT_CTES = f"""q AS (
   SELECT doc_id, text, source FROM documents
-  WHERE len(string_split(text, ' ')) >= {MIN_WORDS} AND length(text) >= {MIN_CHARS}
+  WHERE {sql_n_tokens('text')} >= {MIN_WORDS} AND length(text) >= {MIN_CHARS}
 ),
 keep1 AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(text)),
 kept AS (SELECT q.* FROM q JOIN keep1 USING (doc_id))"""
@@ -414,7 +398,7 @@ WITH {_SQL_KEPT_CTES},
 {minhash_pair_ctes('kept')},
 drops AS (SELECT DISTINCT doc_b AS doc_id FROM verified WHERE jac >= {JACCARD_THRESHOLD})
 SELECT doc_id, source,
-       CAST(len(string_split(text, ' ')) AS INTEGER) AS token_cnt,
+       {sql_n_tokens('text')} AS token_cnt,
        CAST(length(text) AS INTEGER) AS char_len
 FROM kept WHERE doc_id NOT IN (SELECT doc_id FROM drops)
 """
@@ -481,10 +465,20 @@ def source_quantile_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (same ints, same IEEE division), so the corpus tokenize pass is the
     # shared one — this operator re-tokenizes nothing (r6 review finding).
     sig = shared_doc_signals_for_dir(spark, sf_dir)
+    # _lex_raw is the DISPLAYED ratio (NULL for a NULL text, matching the
+    # oracle); _lex is the ORDERING/SHARDING value with NULL mapped to
+    # -inf so it sorts exactly where both engines put NULL under DESC
+    # (NULLS LAST) AND the shard stays monotone in the rank order — a
+    # NULL predicate in with_range_shard's filter() would otherwise drop
+    # the row into shard 0 while ranking last, breaking
+    # sharded_row_number's monotonicity contract (r8 review finding;
+    # latent — current fixtures have no NULL text).
+    raw = F.col("n_uniq").cast("double") / F.col("n_tok")
     scored = (
         sig.select(
             "doc_id", "source",
-            (F.col("n_uniq").cast("double") / F.col("n_tok")).alias("_lex"),
+            raw.alias("_lex_raw"),
+            F.coalesce(raw, F.lit(float("-inf"))).alias("_lex"),
         )
         .withColumn("_neg_lex", -F.col("_lex"))
         .localCheckpoint()
@@ -505,7 +499,7 @@ def source_quantile_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id",
         "source",
-        F.round(F.col("_lex"), 6).alias("lex_div"),
+        F.round(F.col("_lex_raw"), 6).alias("lex_div"),
         F.col("src_rank").cast("int").alias("src_rank"),
         "n_source",
         # bigint math: int32 rank * 10000 overflows past ~214k rows/source
@@ -538,7 +532,10 @@ FROM ranked
 
 
 def register_all(register) -> None:
-    from pyspark_coding_challenge_spark.plans.merge import merged_oracle
+    from pyspark_coding_challenge_spark.plans.merge import (
+        SECTION_REGISTRY,
+        merged_oracle,
+    )
 
     # Curation chain + transitive clusters ride one slug (driver 50-slot
     # cap). Custom merged fn (not register_merged) so both sections share
@@ -550,8 +547,6 @@ def register_all(register) -> None:
             F.lit("source_quantile_cut").alias("section"), "*"
         )
         return base.unionByName(cut, allowMissingColumns=True)
-
-    from pyspark_coding_challenge_spark.plans.merge import SECTION_REGISTRY
 
     # custom-merged: ONE parts list feeds both SECTION_REGISTRY and the
     # oracle so the bench's per-slug section counts can't drift from the

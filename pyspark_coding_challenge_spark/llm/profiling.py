@@ -85,9 +85,18 @@ def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
       consistently across a 100 TB multi-job pipeline (every job that
       samples "10%" sees the SAME documents).
     * section ``stratified``: per-source top-K by hash order — exact-size
-      per-stratum samples without a shuffle-heavy orderBy: one window over
-      the stratum key, rank by (hash, doc_id).
+      per-stratum samples, rank by (hash, doc_id). The rank is the
+      two-level SHARDED row_number (``operators.prefix``, sharded on the
+      hash — uniform, so shards stay balanced): a single per-source window
+      would funnel each source's whole row set through one task, the exact
+      serialization batch_plan/token_budget were already migrated off
+      (r8 review finding — this sample was the one left behind).
     """
+    from pyspark_coding_challenge_spark.operators.prefix import (
+        sharded_row_number,
+        with_range_shard,
+    )
+
     d = read_table(spark, sf_dir, "documents")
     h = md5_fold60(F.col("doc_id").cast("string"))
     uniform = (
@@ -99,10 +108,18 @@ def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("int").alias("stratum_rank"),
         )
     )
-    w = Window.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc())
+    ranked = sharded_row_number(
+        with_range_shard(
+            d.select("doc_id", "source", h.alias("_h")),
+            "_h",
+            cache_key=("sample_stratified_h", sf_dir),
+        ),
+        ["source"],
+        [F.col("_h").asc(), F.col("doc_id").asc()],
+        "rn",
+    )
     stratified = (
-        d.select("doc_id", "source", F.row_number().over(w).alias("rn"))
-        .filter(F.col("rn") <= STRATUM_K)
+        ranked.filter(F.col("rn") <= STRATUM_K)
         .select(
             F.lit("stratified").alias("sample_kind"),
             "doc_id",

@@ -75,3 +75,32 @@ def test_source_quantile_cut_keeps_top_fraction_per_source(spark, tmp_path):
     assert [got[d].keep for d in (5, 6, 7, 8)] == [1, 1, 1, 0]
     # singleton source keeps its only doc
     assert (got[9].src_rank, got[9].n_source, got[9].keep) == (1, 1, 1)
+
+
+def test_source_quantile_cut_null_text_ranks_last(spark, tmp_path):
+    """r8 review finding (latent): a NULL text yields a NULL lexical
+    diversity, which must rank LAST within its source (both engines'
+    DESC NULLS LAST) — and the range shard must stay monotone with that
+    order (an unfixed NULL predicate dropped the row into shard 0,
+    shifting every other doc's rank by one). lex_div stays NULL in the
+    output, matching the oracle."""
+    from pyspark_coding_challenge_spark.llm.curation import source_quantile_cut
+    from pyspark_coding_challenge_spark.llm.text import (
+        clear_doc_signals_cache,
+    )
+
+    rows = [
+        (1, "a b c d", "A", 0), (2, "a a b c", "A", 0),
+        (3, None, "A", 0),      # NULL text — must rank 4th of 4
+        (4, "a a b b", "A", 0),
+    ]
+    df = spark.createDataFrame(
+        [(d, t, "en", s, n) for d, t, s, n in rows],
+        schema="doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+    df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    clear_doc_signals_cache(spark)
+    got = {r.doc_id: r for r in source_quantile_cut(spark, str(tmp_path)).collect()}
+    assert [got[d].src_rank for d in (1, 2, 4, 3)] == [1, 2, 3, 4]
+    assert got[3].lex_div is None
+    assert [got[d].keep for d in (1, 2, 4, 3)] == [1, 1, 1, 0]
+    clear_doc_signals_cache(spark)
