@@ -85,18 +85,18 @@ def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
       consistently across a 100 TB multi-job pipeline (every job that
       samples "10%" sees the SAME documents).
     * section ``stratified``: per-source top-K by hash order — exact-size
-      per-stratum samples, rank by (hash, doc_id). The rank is the
-      two-level SHARDED row_number (``operators.prefix``, sharded on the
-      hash — uniform, so shards stay balanced): a single per-source window
-      would funnel each source's whole row set through one task, the exact
-      serialization batch_plan/token_budget were already migrated off
-      (r8 review finding — this sample was the one left behind).
+      per-stratum samples via one window + rank filter. NOT migrated to
+      the sharded row_number (an r8 review pass proposed it, and the
+      plan-quality gate caught the proposal as a regression): because a
+      rank LIMIT follows this window, Spark 4's WindowGroupLimit pushdown
+      keeps only K rows per stratum on each MAP task before the shuffle —
+      the exchange carries O(strata x K) and the per-source task sorts
+      O(K x map_tasks) rows, strictly better than sharding (which
+      shuffles the whole corpus to shards plus a quantile pass). The
+      sharded form is for rank/cumsum outputs with NO limit
+      (batch_plan/token_budget), where nothing can be pushed down —
+      gated by tests/test_plan_quality.py (WindowGroupLimit + Partial).
     """
-    from pyspark_coding_challenge_spark.operators.prefix import (
-        sharded_row_number,
-        with_range_shard,
-    )
-
     d = read_table(spark, sf_dir, "documents")
     h = md5_fold60(F.col("doc_id").cast("string"))
     uniform = (
@@ -108,18 +108,10 @@ def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("int").alias("stratum_rank"),
         )
     )
-    ranked = sharded_row_number(
-        with_range_shard(
-            d.select("doc_id", "source", h.alias("_h")),
-            "_h",
-            cache_key=("sample_stratified_h", sf_dir),
-        ),
-        ["source"],
-        [F.col("_h").asc(), F.col("doc_id").asc()],
-        "rn",
-    )
+    w = Window.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc())
     stratified = (
-        ranked.filter(F.col("rn") <= STRATUM_K)
+        d.select("doc_id", "source", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= STRATUM_K)
         .select(
             F.lit("stratified").alias("sample_kind"),
             "doc_id",
