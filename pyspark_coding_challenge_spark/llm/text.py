@@ -99,23 +99,18 @@ def shared_doc_signals_for_dir(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _doc_signals_locked(spark, sf_dir, key)
 
 
-def _doc_signals_locked(spark, sf_dir, key):
-    cached = _DOC_SIGNALS_CACHE.get(key)
-    if cached is not None:
-        return cached
-    from pyspark_coding_challenge_spark.llm import artifacts
-
-    seeded = artifacts.signals_from_env(spark, sf_dir)
-    if seeded is not None:
-        _DOC_SIGNALS_CACHE[key] = seeded
-        return seeded
-    d = read_table(spark, sf_dir, "documents")
+def doc_signals_relation(docs: DataFrame) -> DataFrame:
+    """The fused per-doc signal computation over an arbitrary (doc_id,
+    lang, source, text) relation — extracted from the session builder so
+    the incremental artifact refresh (``artifacts.update_text_incremental``)
+    can run it over the CHURN docs alone (signals are per-doc, so a churn
+    patch is delete-gone + append-these)."""
     langs = list(LANG_MARKERS)
     quoted = ", ".join(f"'{s}'" for s in STOPWORDS)
     # _toks/_grams are materialized multi-use aliases — same CollapseProject
     # trap as text_repetition's original formulation: inlined, the split
     # would re-run once per consumer expression.
-    t = d.withColumn("_toks", F.split(F.lower("text"), " ")).withColumn(
+    t = docs.withColumn("_toks", F.split(F.lower("text"), " ")).withColumn(
         "_grams",
         F.expr(
             "CASE WHEN size(_toks) >= 2 THEN "
@@ -124,7 +119,7 @@ def _doc_signals_locked(spark, sf_dir, key):
             "ELSE CAST(array() AS ARRAY<STRING>) END"
         ),
     )
-    sig = t.select(
+    return t.select(
         "doc_id",
         "lang",
         # source rides along (one short string per doc) so the sharded
@@ -143,7 +138,21 @@ def _doc_signals_locked(spark, sf_dir, key):
         *[_marker_hits(lg, "_toks").alias(f"h_{lg}") for lg in langs],
         F.expr("size(_grams)").alias("n_gram"),
         F.expr("size(array_distinct(_grams))").alias("n_uniq_gram"),
-    ).persist()
+    )
+
+
+def _doc_signals_locked(spark, sf_dir, key):
+    cached = _DOC_SIGNALS_CACHE.get(key)
+    if cached is not None:
+        return cached
+    from pyspark_coding_challenge_spark.llm import artifacts
+
+    seeded = artifacts.signals_from_env(spark, sf_dir)
+    if seeded is not None:
+        _DOC_SIGNALS_CACHE[key] = seeded
+        return seeded
+    d = read_table(spark, sf_dir, "documents")
+    sig = doc_signals_relation(d).persist()
     _DOC_SIGNALS_CACHE[key] = sig
     return sig
 
@@ -175,11 +184,15 @@ def shared_token_spine_for_dir(spark: SparkSession, sf_dir: str) -> DataFrame:
         spine = artifacts.spine_from_env(spark, sf_dir)
         if spine is None:
             d = read_table(spark, sf_dir, "documents")
-            spine = d.select(
-                "doc_id", "source", n_tokens_col().alias("n_tokens")
-            ).persist()
+            spine = token_spine_relation(d).persist()
         _TOKEN_SPINE_CACHE[key] = spine
         return spine
+
+
+def token_spine_relation(docs: DataFrame) -> DataFrame:
+    """The 3-column token spine over an arbitrary docs relation — extracted
+    so the incremental artifact refresh can compute CHURN rows alone."""
+    return docs.select("doc_id", "source", n_tokens_col().alias("n_tokens"))
 
 
 def clear_token_spine_cache(spark: SparkSession | None = None) -> int:
@@ -634,8 +647,49 @@ def shared_span_starts_for_dir(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _shared_spans_locked(spark, sf_dir, key)
 
 
-def _shared_spans_locked(spark, sf_dir, key):
+def span_pos_relation(docs: DataFrame) -> DataFrame:
+    """(doc_id, i, h) — every SPAN_K-token window's start position and
+    portable hash, for an arbitrary docs relation. This is the PER-DOC part
+    of the shared-span computation (the tokenize + gram explode + hash —
+    the compute-dominant cost), extracted so the incremental refresh can
+    run it over the churn alone and patch the stored ``span_pos_index``
+    artifact by delete-gone + append-these. Sharedness (a cross-doc
+    property) is derived from the patched index by ``shared_from_pos`` —
+    a thin-int aggregate, orders cheaper than re-tokenizing text."""
     from pyspark_coding_challenge_spark.llm.dedup import md5_fold60, _with_tokens
+
+    k = SPAN_K
+    t = _with_tokens(docs).select("doc_id", "_toks", F.size("_toks").alias("_n"))
+    gram = F.concat_ws(
+        " ", *[F.expr(f"element_at(_toks, i + {j})") for j in range(k)]
+    )
+    return (
+        t.select(
+            "doc_id",
+            F.explode(
+                F.expr(f"CASE WHEN _n >= {k} THEN sequence(1, _n - {k - 1}) "
+                       "ELSE CAST(array() AS ARRAY<INT>) END")
+            ).alias("i"),
+            "_toks",
+        )
+        .select("doc_id", "i", md5_fold60(gram).alias("h"))
+    )
+
+
+def shared_from_pos(pos: DataFrame) -> DataFrame:
+    """(doc_id, i) shared-span starts from a (doc_id, i, h) position index:
+    a span is shared iff its hash occurs in >= 2 distinct docs (skew-safe
+    min!=max aggregate — no distinct-count shuffle of doc lists)."""
+    freq = (
+        pos.groupBy("h")
+        .agg(F.min("doc_id").alias("_mn"), F.max("doc_id").alias("_mx"))
+        .filter(F.col("_mn") != F.col("_mx"))
+        .select("h")
+    )
+    return pos.join(freq, on="h").select("doc_id", "i")
+
+
+def _shared_spans_locked(spark, sf_dir, key):
     from pyspark_coding_challenge_spark.sources.readers import rebalance_for_compute
 
     cached = _SHARED_SPANS_CACHE.get(key)
@@ -647,30 +701,8 @@ def _shared_spans_locked(spark, sf_dir, key):
     if seeded is not None:
         _SHARED_SPANS_CACHE[key] = seeded
         return seeded
-    k = SPAN_K
     d = rebalance_for_compute(read_table(spark, sf_dir, "documents"), "doc_id")
-    t = _with_tokens(d).select("doc_id", "_toks", F.size("_toks").alias("_n"))
-    gram = F.concat_ws(
-        " ", *[F.expr(f"element_at(_toks, i + {j})") for j in range(k)]
-    )
-    pos = (
-        t.select(
-            "doc_id",
-            F.explode(
-                F.expr(f"CASE WHEN _n >= {k} THEN sequence(1, _n - {k - 1}) "
-                       "ELSE CAST(array() AS ARRAY<INT>) END")
-            ).alias("i"),
-            "_toks",
-        )
-        .select("doc_id", "i", md5_fold60(gram).alias("h"))
-    )
-    freq = (
-        pos.groupBy("h")
-        .agg(F.min("doc_id").alias("_mn"), F.max("doc_id").alias("_mx"))
-        .filter(F.col("_mn") != F.col("_mx"))
-        .select("h")
-    )
-    shared = pos.join(freq, on="h").select("doc_id", "i").persist()
+    shared = shared_from_pos(span_pos_relation(d)).persist()
     _SHARED_SPANS_CACHE[key] = shared
     return shared
 

@@ -243,7 +243,12 @@ def main() -> None:
                 failed = None
                 for tree in order:
                     cwd = repo_root if tree == "cur" else AB_TREE
-                    rec = _run_child(slug, sf_dir, cpus, cwd, n_runs=2)
+                    # n_runs=3 on BOTH trees (r9 advisor finding: the r8 AB
+                    # runs used best-of-2 but recorded it in the same
+                    # 'best' field later rounds read as prev_best under the
+                    # 'isolated_best_of_3' metric — mixing best-of-2
+                    # against best-of-3 baselines biases vs_prev upward)
+                    rec = _run_child(slug, sf_dir, cpus, cwd, n_runs=3)
                     if rec is None or "error" in rec:
                         failed = (rec or {}).get("error", "no output")
                         break
@@ -333,8 +338,8 @@ def main() -> None:
         "protocol": (
             "fresh process per slug; 1 cold run then best-of-3"
             + (f"; paired A/B vs {ab_ref}: per slug one fresh process per "
-               "tree back-to-back (cold + 2 timed each), tree order "
-               "alternating by slug index (AB/BA) so monotone drift "
+               "tree back-to-back (cold + 3 timed each, both trees), tree "
+               "order alternating by slug index (AB/BA) so monotone drift "
                "centers the same-code control ratio at ~1.00"
                if ab_ref else "")
         ),

@@ -10,17 +10,20 @@ Usage:
     python scripts/build_artifacts.py <sf_dir> <artifact_dir> [names...]
     python scripts/build_artifacts.py --incremental <old_sf_dir> <new_sf_dir> <artifact_dir>
 
-``names`` defaults to all six (verified_pairs banded_index shared_spans
-ivf_centroids token_spine doc_signals). Exits non-zero on unknown names
-before any Spark work.
+``names`` defaults to all (verified_pairs banded_index cc_labels
+doc_digests shared_spans ivf_centroids token_spine doc_signals). Exits
+non-zero on unknown names before any Spark work.
 
-``--incremental`` patches the pair-graph + banded-index artifacts from the
-snapshot diff between the two corpus dirs instead of rebuilding them from
-the whole corpus (``artifacts.update_pairs_incremental``): the stored
-artifacts' lineage digest must match the OLD corpus, else it falls back to
-a warned full rebuild from the NEW corpus. The other four artifacts are
-corpus-derived relations with no incremental formulation yet — rebuild
-them with the plain mode when the corpus changes.
+``--incremental`` patches the dedup-side artifacts (pair graph, banded
+index, CC labels, per-doc digests) from the snapshot diff between the two
+corpus dirs instead of rebuilding them from the whole corpus
+(``artifacts.update_pairs_incremental``): the stored artifacts' lineage
+digest must match the OLD corpus, else it falls back to a warned full
+rebuild from the NEW corpus. With a stored ``doc_digests`` artifact the
+old corpus dir is never read — only its digests are. The text-side
+artifacts (doc_signals, token_spine, shared_spans via the span-position
+index) are patched by ``artifacts.update_text_incremental`` in the same
+invocation.
 """
 
 from __future__ import annotations
@@ -46,7 +49,7 @@ def main() -> None:
 
         spark = get_spark(app_name="build_artifacts_incremental")
         spark.sparkContext.setLogLevel("ERROR")
-        summary = A.update_pairs_incremental(spark, old_sf, new_sf, artifact_dir)
+        summary = A.update_all_incremental(spark, old_sf, new_sf, artifact_dir)
         print(json.dumps(summary))
         spark.stop()
         return
@@ -59,6 +62,9 @@ def main() -> None:
     builders = {
         A.PAIRS_NAME: A.materialize_pairs,
         A.BANDS_NAME: A.materialize_bands,
+        A.CC_NAME: A.materialize_cc_labels,
+        A.DIGESTS_NAME: A.materialize_doc_digests,
+        A.SPANPOS_NAME: A.materialize_span_pos,
         A.SPANS_NAME: A.materialize_spans,
         A.CENTROIDS_NAME: A.materialize_ivf_centroids,
         A.SPINE_NAME: A.materialize_spine,

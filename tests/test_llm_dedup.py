@@ -453,7 +453,7 @@ def test_incremental_update_matches_full_recompute_on_planted_churn(spark):
     }
     old_ranked = D.ranked_band_relation(old)
     old_pairs = D.verify_jaccard(old, D.lsh_candidate_pairs(old, ranked=old_ranked))
-    bands, pairs = D.incremental_dedup_update(
+    bands, pairs, _fresh = D.incremental_dedup_update(
         new, diff, old_pairs, old_ranked.select("doc_id", "band", "bucket")
     )
     full_pairs = D.verify_jaccard(new, D.lsh_candidate_pairs(new))
@@ -476,7 +476,7 @@ def test_incremental_update_empty_churn_is_identity(spark):
     ranked = D.ranked_band_relation(docs)
     old_pairs = D.verify_jaccard(docs, D.lsh_candidate_pairs(docs, ranked=ranked))
     diff = spark.createDataFrame([], schema="doc_id BIGINT, change STRING")
-    bands, pairs = D.incremental_dedup_update(
+    bands, pairs, _fresh = D.incremental_dedup_update(
         docs, diff, old_pairs, ranked.select("doc_id", "band", "bucket")
     )
     assert _norm_pairs(pairs) == _norm_pairs(old_pairs)
@@ -515,7 +515,7 @@ def test_incremental_update_keeps_split_mega_bucket_connected(spark):
         old, D.lsh_candidate_pairs(old, ranked=ranked, max_bucket=2))
     diff = D.snapshot_diff(old, new).select("doc_id", "change")
     assert {r.doc_id for r in diff.collect()} == {4}
-    _, patched = D.incremental_dedup_update(
+    _, patched, _fresh = D.incremental_dedup_update(
         new, diff, old_pairs, ranked.select("doc_id", "band", "bucket"),
         max_bucket=2,
     )
@@ -526,10 +526,47 @@ def test_incremental_update_keeps_split_mega_bucket_connected(spark):
     assert len(set(labels.values())) == 1, (
         f"patched graph split the bucket into {labels}"
     )
-    # no duplicate pair rows either (chain pairs between survivors must not
+    # no duplicate pair rows either (repair pairs between survivors must not
     # re-emit pairs the old graph already holds)
     pairs = [(r.doc_a, r.doc_b) for r in patched.collect()]
     assert len(pairs) == len(set(pairs))
+    # r9: removal-only churn adds no ds/dd extras, so the regenerated
+    # chunk set makes the patch EXACTLY the full recompute here
+    full = D.verify_jaccard(new, D.lsh_candidate_pairs(new, max_bucket=2))
+    assert _norm_pairs(patched) == _norm_pairs(full)
+
+
+def test_incremental_update_added_only_churn_overfull_bucket_superset(spark):
+    """r9 advisor finding: added-only churn into an over-cap bucket shifts
+    survivors' ranks, so the full recompute's re-chunking emits a
+    cross-chunk pair between two UNCHANGED docs — cap=2, old bucket
+    {2,3,4}, add doc 1 -> full emits (2,4) — that neither the surviving
+    pairs nor the churn candidates contained. The repair gate now fires on
+    buckets that GAINED members too and regenerates the new-rank chunked
+    candidate set, so every full-recompute pair is present (the documented
+    invariant: patched is a superset of full, never a loss)."""
+    old = spark.createDataFrame([(i, BASE) for i in (2, 3, 4)], schema=DOC_SCHEMA)
+    new = spark.createDataFrame([(i, BASE) for i in (1, 2, 3, 4)], schema=DOC_SCHEMA)
+    ranked = D.ranked_band_relation(old)
+    old_pairs = D.verify_jaccard(
+        old, D.lsh_candidate_pairs(old, ranked=ranked, max_bucket=2))
+    diff = D.snapshot_diff(old, new).select("doc_id", "change")
+    assert {(r.doc_id, r.change) for r in diff.collect()} == {(1, "added")}
+    _, patched, _fresh = D.incremental_dedup_update(
+        new, diff, old_pairs, ranked.select("doc_id", "band", "bucket"),
+        max_bucket=2,
+    )
+    full = set(_norm_pairs(
+        D.verify_jaccard(new, D.lsh_candidate_pairs(new, max_bucket=2))
+    ))
+    got = set(_norm_pairs(patched))
+    # the full chain's cross-chunk survivor pair exists and would be LOST
+    # without the gained-member repair gate
+    assert any((a, b) == (2, 4) for a, b, _ in full)
+    assert got >= full, f"patch lost full-recompute pairs: {full - got}"
+    # no duplicate pair rows
+    rows = [(r.doc_a, r.doc_b) for r in patched.collect()]
+    assert len(rows) == len(set(rows))
 
 
 def test_incremental_update_repairs_bucket_shrunk_under_cap(spark):
@@ -544,7 +581,7 @@ def test_incremental_update_repairs_bucket_shrunk_under_cap(spark):
         old, D.lsh_candidate_pairs(old, ranked=ranked, max_bucket=2))
     assert {(r.doc_a, r.doc_b) for r in old_pairs.collect()} == {(1, 2), (2, 3)}
     diff = D.snapshot_diff(old, new).select("doc_id", "change")
-    _, patched = D.incremental_dedup_update(
+    _, patched, _fresh = D.incremental_dedup_update(
         new, diff, old_pairs, ranked.select("doc_id", "band", "bucket"),
         max_bucket=2,
     )
