@@ -555,11 +555,14 @@ def materialize_doc_digests(spark: SparkSession, sf_dir: str,
     from pyspark_coding_challenge_spark.sources.readers import read_table
 
     path = os.path.join(artifact_dir, DIGESTS_NAME)
+    digest = digest or corpus_digest(spark, sf_dir)
+    # idempotence guard — same rationale as materialize_span_pos
+    if _lineage_gate(path, sf_dir, _digests_params(), digest) is None:
+        return path
     df = doc_digest_relation(read_table(spark, sf_dir, "documents"))
     df.write.mode("overwrite").parquet(path)
     _write_meta(path, sf_dir, _digests_params(),
-                lineage={"snapshot": digest or corpus_digest(spark, sf_dir),
-                         "patched_from": None})
+                lineage={"snapshot": digest, "patched_from": None})
     return path
 
 
@@ -587,11 +590,16 @@ def materialize_span_pos(spark: SparkSession, sf_dir: str, artifact_dir: str,
     )
 
     path = os.path.join(artifact_dir, SPANPOS_NAME)
+    digest = digest or corpus_digest(spark, sf_dir)
+    # idempotence guard (r9 review finding): a stored index whose lineage
+    # already matches THIS corpus digest is provably current — skip the
+    # full tokenize+gram+hash rebuild (the most expensive text-side pass)
+    if _lineage_gate(path, sf_dir, _spanpos_params(), digest) is None:
+        return path
     d = rebalance_for_compute(read_table(spark, sf_dir, "documents"), "doc_id")
     span_pos_relation(d).write.mode("overwrite").parquet(path)
     _write_meta(path, sf_dir, _spanpos_params(),
-                lineage={"snapshot": digest or corpus_digest(spark, sf_dir),
-                         "patched_from": None})
+                lineage={"snapshot": digest, "patched_from": None})
     return path
 
 
@@ -794,15 +802,25 @@ def materialize_all(spark: SparkSession, sf_dir: str, artifact_dir: str) -> dict
 def load_all(spark: SparkSession, sf_dir: str, artifact_dir: str) -> dict:
     # doc_digests has no session-cache consumer (it is refresh-time state
     # for update_pairs_incremental), so it is not loaded here
-    return {
+    out = {
         PAIRS_NAME: load_pairs(spark, sf_dir, artifact_dir),
         BANDS_NAME: load_bands(spark, sf_dir, artifact_dir),
-        CC_NAME: load_cc_labels(spark, sf_dir, artifact_dir),
         SPANS_NAME: load_spans(spark, sf_dir, artifact_dir),
         CENTROIDS_NAME: load_ivf_centroids(spark, sf_dir, artifact_dir),
         SPINE_NAME: load_spine(spark, sf_dir, artifact_dir),
         SIGNALS_NAME: load_signals(spark, sf_dir, artifact_dir),
     }
+    # cc_labels is the one artifact newer than the others — a pre-r9
+    # artifact dir (all six older artifacts present and valid) must not
+    # fail the whole load; the cluster consumers then just rebuild labels
+    # from the loaded pair graph (r9 review finding)
+    try:
+        out[CC_NAME] = load_cc_labels(spark, sf_dir, artifact_dir)
+    except ValueError as exc:
+        warnings.warn(f"cc_labels not loaded ({exc}); cluster labels will "
+                      "be recomputed from the loaded pair graph")
+        out[CC_NAME] = None
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -1040,13 +1058,11 @@ def update_pairs_incremental(spark: SparkSession, old_sf_dir: str,
                 )
                 .distinct()
             )
-            # pin the fresh edges (churn-proportional): the known-diff is
-            # consumed by two plan branches inside the CC patch, and the
-            # lazy fresh-verify plan would otherwise re-run per branch
-            added = D._threshold_edges(fresh_pairs).localCheckpoint()
+            # fresh_pairs is pinned inside the patch, so thresholding it
+            # here is a cheap filter over the checkpoint, not a re-verify
             labels = D.incremental_cc_update(
                 old_cc, old_edges, new_edges,
-                known_added=added,
+                known_added=D._threshold_edges(fresh_pairs),
                 known_removed=removed,
             )
     labels = labels.localCheckpoint()

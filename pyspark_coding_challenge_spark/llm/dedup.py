@@ -771,6 +771,19 @@ def incremental_dedup_update(
     (AQE-skew-splittable, never all-pairs), and a verify kernel over fresh
     candidates only — the shingle explode, the dominant full-rebuild cost,
     runs over churn docs plus their candidate partners alone."""
+    # Broadcast discipline (r9, measured in SCALE_PROBE_INCR_r9): every
+    # churn-proportional relation below (gone/delta ids, the delta bands,
+    # the touched-bucket set, the ids-needed set) is EXPLICITLY
+    # broadcast-hinted into its join against a stored corpus-proportional
+    # relation. The churn relations descend from localCheckpoints, whose
+    # size statistics Catalyst treats as unknown — without the hints every
+    # anti/semi/equi join below SHUFFLES the stored index (N_BANDS rows
+    # per corpus doc) per refresh, which was the probe's dominant linear
+    # term. With them, the stored relations are scanned (parallel, no
+    # exchange) and only churn-sized data moves. Contract note: the
+    # incremental path assumes churn << corpus (a refresh whose churn
+    # rivals the corpus should full-rebuild — the artifacts updater's
+    # lineage gate is the entry point that decides).
     gone = (
         diff.filter(F.col("change").isin("removed", "modified"))
         .select(id_col)
@@ -784,16 +797,18 @@ def incremental_dedup_update(
     # was computed over texts the diff certifies unchanged)
     surviving_pairs = (
         old_pairs
-        .join(gone.withColumnRenamed(id_col, "doc_a"), on="doc_a", how="left_anti")
-        .join(gone.withColumnRenamed(id_col, "doc_b"), on="doc_b", how="left_anti")
+        .join(F.broadcast(gone.withColumnRenamed(id_col, "doc_a")),
+              on="doc_a", how="left_anti")
+        .join(F.broadcast(gone.withColumnRenamed(id_col, "doc_b")),
+              on="doc_b", how="left_anti")
     )
     surviving_bands = (
         old_bands.select(id_col, "band", "bucket")
-        .join(gone, on=id_col, how="left_anti")
+        .join(F.broadcast(gone), on=id_col, how="left_anti")
     )
 
     # shingle->minhash->band ONLY the churn
-    delta_docs = new_docs.join(delta_ids, on=id_col, how="left_semi")
+    delta_docs = new_docs.join(F.broadcast(delta_ids), on=id_col, how="left_semi")
     delta_bands = _band_buckets(delta_docs, id_col, text_col).localCheckpoint()
 
     # fresh candidates: churn-vs-churn and churn-vs-surviving, within a band
@@ -806,9 +821,11 @@ def incremental_dedup_update(
         .select("doc_a", "doc_b")
     )
     ds = (
-        delta_bands.select(F.col(id_col).alias("_delta"), "band", "bucket")
+        surviving_bands.select(F.col(id_col).alias("_kept"), "band", "bucket")
         .join(
-            surviving_bands.select(F.col(id_col).alias("_kept"), "band", "bucket"),
+            F.broadcast(
+                delta_bands.select(F.col(id_col).alias("_delta"), "band", "bucket")
+            ),
             on=["band", "bucket"],
         )
         .select(
@@ -843,14 +860,15 @@ def incremental_dedup_update(
     )
     touched_buckets = (
         old_bands.select(id_col, "band", "bucket")
-        .join(gone, on=id_col, how="left_semi")
+        .join(F.broadcast(gone), on=id_col, how="left_semi")
         .select("band", "bucket")
         .unionByName(delta_bands.select("band", "bucket"))
         .distinct()
     )
     overfull = (
         old_bands.select(id_col, "band", "bucket")
-        .join(touched_buckets, on=["band", "bucket"], how="left_semi")
+        .join(F.broadcast(touched_buckets), on=["band", "bucket"],
+              how="left_semi")
         .groupBy("band", "bucket")
         .agg(F.count("*").alias("_n_old"))
         .filter(F.col("_n_old") > max_bucket)
@@ -858,7 +876,8 @@ def incremental_dedup_update(
     )
     repair = []
     if overfull.limit(1).count() > 0:
-        om = new_bands_all.join(overfull, on=["band", "bucket"], how="left_semi")
+        om = new_bands_all.join(F.broadcast(overfull),
+                                on=["band", "bucket"], how="left_semi")
         # repair pairs between two SURVIVORS may already sit in the old
         # graph — emitting them twice would double rows (dd/ds pairs
         # always have a churned endpoint, so only repair pairs need this)
@@ -879,8 +898,16 @@ def incremental_dedup_update(
         .unionByName(cand.select(F.col("doc_b").alias(id_col)))
         .distinct()
     )
-    docs_needed = new_docs.join(ids_needed, on=id_col, how="left_semi")
-    fresh_pairs = verify_jaccard(docs_needed, cand, id_col, text_col)
+    docs_needed = new_docs.join(F.broadcast(ids_needed), on=id_col,
+                                how="left_semi")
+    # pin the fresh pairs HERE (eager, like the rest of this function): the
+    # caller consumes them twice — inside the returned union AND standalone
+    # (the CC patch's known_added) — and without the checkpoint the whole
+    # churn verify chain, the dominant patch cost, executed once per
+    # consumer (r9 review finding: the refresh paid the verify kernel
+    # twice).
+    fresh_pairs = verify_jaccard(docs_needed, cand, id_col, text_col) \
+        .localCheckpoint()
 
     return new_bands_all, surviving_pairs.unionByName(fresh_pairs), fresh_pairs
 
@@ -951,7 +978,8 @@ def _incr_patched_state(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, Da
         new, diff, old_pairs,
         old_ranked.select("doc_id", "band", "bucket"),
     )
-    built = (diff, patched.localCheckpoint(), fresh.localCheckpoint())
+    # fresh is already a localCheckpoint (pinned inside the patch)
+    built = (diff, patched.localCheckpoint(), fresh)
     with _PAIRS_LOCK:
         return _INCR_PATCHED_CACHE.setdefault(key, built)
 
@@ -1247,22 +1275,36 @@ def incremental_cc_update(old_cc: DataFrame, old_edges: DataFrame,
         added = ne.join(oe, on=["doc_a", "doc_b"], how="left_anti")
         removed = oe.join(ne, on=["doc_a", "doc_b"], how="left_anti")
     changed = added.unionByName(removed)
+    # touched/affected relations are churn-proportional by the affected-
+    # component argument above; broadcast-hint them into every join
+    # against the graph-proportional label/edge relations (r9 — the
+    # checkpoint-descended sides carry no size stats, so Catalyst would
+    # otherwise shuffle the whole graph per join)
     touched_nodes = (
         changed.select(F.col("doc_a").alias("node"))
         .unionByName(changed.select(F.col("doc_b").alias("node")))
         .distinct()
     )
     affected_labels = (
-        old_cc.join(touched_nodes, on="node", how="left_semi")
+        old_cc.join(F.broadcast(touched_nodes), on="node", how="left_semi")
         .select("label")
         .distinct()
     )
-    affected_nodes = (
-        old_cc.join(affected_labels, on="label", how="left_semi")
+    # brand-new nodes = touched nodes with no old label. Formulated as a
+    # graph SCAN (broadcast-semi projecting the matched subset) plus a
+    # small-vs-small anti-join — the direct touched-anti-old_cc would
+    # shuffle the whole label relation (anti-joins can only broadcast
+    # their right side, and old_cc is the big one).
+    matched_touched = (
+        old_cc.join(F.broadcast(touched_nodes), on="node", how="left_semi")
         .select("node")
-        # brand-new nodes (added docs) have no old label but ARE affected
+    )
+    affected_nodes = (
+        old_cc.join(F.broadcast(affected_labels), on="label", how="left_semi")
+        .select("node")
         .unionByName(
-            touched_nodes.join(old_cc, on="node", how="left_anti")
+            touched_nodes.join(F.broadcast(matched_touched),
+                               on="node", how="left_anti")
         )
         .distinct()
         # single consumer (the sub_edges semi-join), and
@@ -1272,11 +1314,12 @@ def incremental_cc_update(old_cc: DataFrame, old_edges: DataFrame,
     # every new edge with an affected endpoint has BOTH endpoints affected
     # (closure argument above) — one semi-join suffices
     sub_edges = ne.join(
-        affected_nodes.withColumnRenamed("node", "doc_a"),
+        F.broadcast(affected_nodes.withColumnRenamed("node", "doc_a")),
         on="doc_a", how="left_semi",
     )
     relabeled = connected_components(sub_edges)
-    untouched = old_cc.join(affected_labels, on="label", how="left_anti")
+    untouched = old_cc.join(F.broadcast(affected_labels),
+                            on="label", how="left_anti")
     return untouched.select("node", "label").unionByName(relabeled)
 
 

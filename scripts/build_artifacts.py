@@ -70,7 +70,7 @@ def main() -> None:
         A.SPINE_NAME: A.materialize_spine,
         A.SIGNALS_NAME: A.materialize_signals,
     }
-    names = args[2:] or list(builders)
+    names = args[2:]
     unknown = [n for n in names if n not in builders]
     if unknown:
         print(f"unknown artifact names: {unknown}; choose from {list(builders)}",
@@ -81,9 +81,25 @@ def main() -> None:
 
     spark = get_spark(app_name="build_artifacts")
     spark.sparkContext.setLogLevel("ERROR")
-    for n in names:
-        path = builders[n](spark, sf_dir, artifact_dir)
-        print(f"{n}: {path}")
+    if not names:
+        # the one-call entry shares a single digest scan across every
+        # lineage artifact and derives shared_spans from the just-landed
+        # span_pos index (r9 review finding: per-name calls with
+        # digest=None paid one corpus digest scan PER artifact and
+        # re-tokenized the corpus for spans right after span_pos landed)
+        for n, path in A.materialize_all(spark, sf_dir, artifact_dir).items():
+            print(f"{n}: {path}")
+    else:
+        # explicit names: one shared digest scan for the builders that
+        # take one (all but the centroid trainer)
+        digest = A.corpus_digest(spark, sf_dir)
+        for n in names:
+            fn = builders[n]
+            if n == A.CENTROIDS_NAME:
+                path = fn(spark, sf_dir, artifact_dir)
+            else:
+                path = fn(spark, sf_dir, artifact_dir, digest)
+            print(f"{n}: {path}")
     spark.stop()
 
 
