@@ -412,6 +412,26 @@ def _band_buckets(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
 # chunk, and ``lsh_oversized_buckets`` is the audit ledger for what was split.
 LSH_MAX_BUCKET = int(os.environ.get("SPARK_GRAFT_LSH_MAX_BUCKET", "256"))
 
+# Ceiling for COUNTED broadcast hints on relations that are only
+# *usually* churn-bounded (r9 advisor, medium): a broadcast hint is
+# honored regardless of size, so a hint on a relation with a corpus-sized
+# worst case (every member of every bucket the churn touches; every node
+# of every component the churn touches) can exceed the 8 GB broadcast /
+# driver-memory limit and hard-fail the refresh. Relations at risk are
+# thin id rows (~30 bytes serialized): 5M rows ≈ 150 MB broadcast — far
+# under the hard limits, far over anything a sane daily churn produces.
+BROADCAST_HINT_MAX_ROWS = int(
+    os.environ.get("SPARK_GRAFT_BROADCAST_HINT_MAX_ROWS", "5000000")
+)
+
+
+def _hint_if_small(pinned: DataFrame, n_rows: int) -> DataFrame:
+    """Broadcast-hint a PINNED (checkpointed) thin relation only when its
+    counted size is under ``BROADCAST_HINT_MAX_ROWS``; above it, return it
+    unhinted and let AQE pick the join strategy (a shuffle of a relation
+    that big is correct — forcing it driver-side is the failure)."""
+    return F.broadcast(pinned) if n_rows <= BROADCAST_HINT_MAX_ROWS else pinned
+
 
 def rerank_bands(bands: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Attach the per-bucket id-order rank (``_rn``) to a (id, band,
@@ -566,35 +586,31 @@ def verified_pairs_for_dir(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph. Entries live for the session; ``clear_pair_cache`` is the
     explicit release valve for long-lived drivers serving many dirs."""
     key = (spark.sparkContext.applicationId, sf_dir)
-    # Built OUTSIDE the lock (r9 advisor finding — same pattern as the
-    # _incr_* caches): the build is the whole multi-job shingle->minhash
-    # chain, and holding the module-wide lock through it would block every
-    # unrelated cache hit for its duration. A racing duplicate build loses
-    # at setdefault and unpersists its handle (r6 review finding covered
-    # the leak; the locked check-then-act alone covered it by serializing
-    # the build, which is the part r9 removes).
-    with _PAIRS_LOCK:
-        cached = _VERIFIED_PAIRS_CACHE.get(key)
-    if cached is not None:
-        return cached
-    # a provenance-valid $SPARK_GRAFT_ARTIFACT_DIR artifact seeds the
-    # cache with zero build-chain jobs (r6 verdict gap #2)
-    from pyspark_coding_challenge_spark.llm import artifacts
 
-    built = artifacts.pairs_from_env(spark, sf_dir)
-    if built is None:
-        d = read_table(spark, sf_dir, "documents")
-        # share the banding pass with the banded-index cache: when both
-        # the pair graph and the banded index are materialized in one
-        # session (artifact builds, the incremental chain), the
-        # shingle->minhash chain runs once, not twice
-        ranked = banded_index_for_dir(spark, sf_dir)
-        built = verify_jaccard(d, lsh_candidate_pairs(d, ranked=ranked)).persist()
-    with _PAIRS_LOCK:
-        winner = _VERIFIED_PAIRS_CACHE.setdefault(key, built)
-    if winner is not built:
-        built.unpersist()
-    return winner
+    # Built OUTSIDE the lock via _cached_build (r9 advisor findings): the
+    # build is the whole multi-job shingle->minhash chain; a racing
+    # duplicate loses at setdefault and unpersists, and a build that
+    # straddles a clear_pair_cache is epoch-discarded and retried.
+    def _build() -> DataFrame:
+        # a provenance-valid $SPARK_GRAFT_ARTIFACT_DIR artifact seeds the
+        # cache with zero build-chain jobs (r6 verdict gap #2)
+        from pyspark_coding_challenge_spark.llm import artifacts
+
+        built = artifacts.pairs_from_env(spark, sf_dir)
+        if built is None:
+            d = read_table(spark, sf_dir, "documents")
+            # share the banding pass with the banded-index cache: when both
+            # the pair graph and the banded index are materialized in one
+            # session (artifact builds, the incremental chain), the
+            # shingle->minhash chain runs once, not twice
+            ranked = banded_index_for_dir(spark, sf_dir)
+            built = verify_jaccard(
+                d, lsh_candidate_pairs(d, ranked=ranked)
+            ).persist()
+        return built
+
+    return _cached_build(_VERIFIED_PAIRS_CACHE, key, _build,
+                         release=lambda df: df.unpersist())
 
 
 def banded_index_for_dir(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -609,25 +625,24 @@ def banded_index_for_dir(spark: SparkSession, sf_dir: str) -> DataFrame:
     recomputed on load — one shuffle of the thin relation, vs re-running
     the whole shingle->minhash chain)."""
     key = (spark.sparkContext.applicationId, sf_dir)
-    # build outside the lock, install with a locked setdefault (r9 advisor
-    # finding; see verified_pairs_for_dir) — both build paths are eager
-    # jobs (rerank_bands localCheckpoints); a losing duplicate's
-    # checkpoint blocks are reclaimed by the ContextCleaner on handle drop
-    with _PAIRS_LOCK:
-        cached = _BANDED_INDEX_CACHE.get(key)
-    if cached is not None:
-        return cached
-    from pyspark_coding_challenge_spark.llm import artifacts
 
-    bands = artifacts.bands_from_env(spark, sf_dir)
-    if bands is not None:
-        built = rerank_bands(bands)
-        bands.unpersist()  # the checkpoint supersedes the seed persist
-    else:
-        docs = read_table(spark, sf_dir, "documents")
-        built = ranked_band_relation(docs)
-    with _PAIRS_LOCK:
-        return _BANDED_INDEX_CACHE.setdefault(key, built)
+    # build outside the lock, epoch-checked install (see _cached_build) —
+    # both build paths are eager jobs (rerank_bands localCheckpoints); a
+    # losing/discarded duplicate's checkpoint blocks are reclaimed by the
+    # ContextCleaner on handle drop, so no release hook is needed
+    def _build() -> DataFrame:
+        from pyspark_coding_challenge_spark.llm import artifacts
+
+        bands = artifacts.bands_from_env(spark, sf_dir)
+        if bands is not None:
+            built = rerank_bands(bands)
+            bands.unpersist()  # the checkpoint supersedes the seed persist
+        else:
+            docs = read_table(spark, sf_dir, "documents")
+            built = ranked_band_relation(docs)
+        return built
+
+    return _cached_build(_BANDED_INDEX_CACHE, key, _build)
 
 
 _VERIFIED_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
@@ -639,44 +654,90 @@ _INCR_OLD_CACHE: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
 _INCR_PATCHED_CACHE: dict[tuple[str, str], tuple[DataFrame, DataFrame, DataFrame]] = {}
 _INCR_OLD_CC_CACHE: dict[tuple[str, str], DataFrame] = {}
 _PAIRS_LOCK = threading.RLock()
+_PAIRS_EPOCH = 0  # bumped by clear_pair_cache; see _cached_build
+
+
+def _cached_build(cache: dict, key, build, release=None):
+    """Locked get -> UNLOCKED build -> locked install with an epoch
+    re-check (r9 advisor finding): ``clear_pair_cache`` bumps the module
+    epoch under the lock, so a build that started BEFORE a clear — and may
+    have env-seeded from the very artifact paths the clear's caller is
+    rewriting (``update_pairs_incremental`` clears right after its
+    overwrites) — is DISCARDED and retried against post-clear state
+    instead of setdefault-installing a handle to deleted/rewritten
+    parquet. The build itself stays outside the lock (it is multi-job
+    eager work; holding the module-wide lock through it would block every
+    unrelated cache hit — the r8/r9 pattern all these caches share).
+    Retries are bounded; the terminal fallback returns a fresh uncached
+    build (correct, merely unshared — reachable only under a pathological
+    storm of concurrent clears). ``release`` frees a losing/discarded
+    build's storage (unpersist for persisted entries; checkpoint handles
+    free on drop)."""
+    for _ in range(3):
+        with _PAIRS_LOCK:
+            cached = cache.get(key)
+            epoch = _PAIRS_EPOCH
+        if cached is not None:
+            return cached
+        built = build()
+        with _PAIRS_LOCK:
+            if _PAIRS_EPOCH == epoch:
+                winner = cache.setdefault(key, built)
+                if winner is not built and release is not None:
+                    release(built)
+                return winner
+        # epoch moved mid-build: the data this build read may be stale
+        if release is not None:
+            release(built)
+    return build()
 
 
 def clear_pair_cache(spark: SparkSession | None = None) -> int:
     """Unpersist and drop cached pair graphs — all of them, or only the
     given session's. Returns how many entries were released. Use when an
     sf_dir's data is rewritten mid-session (staleness) or to free storage
-    memory in a long-lived driver after dedup work finishes."""
+    memory in a long-lived driver after dedup work finishes.
+
+    Holds the module lock and bumps the cache EPOCH (r9 advisor finding):
+    a builder whose unlocked build straddled this clear — and may have
+    env-seeded from artifact paths the clear's caller is rewriting — sees
+    the bump at install time and discards its build instead of caching a
+    handle to deleted/rewritten parquet (see ``_cached_build``)."""
+    global _PAIRS_EPOCH
     from pyspark_coding_challenge_spark.llm import artifacts
 
     released = 0
     app = spark.sparkContext.applicationId if spark is not None else None
-    for key in list(_VERIFIED_PAIRS_CACHE):
-        if app is None or key[0] == app:
-            try:
-                _VERIFIED_PAIRS_CACHE[key].unpersist()
-            except Exception:
-                pass  # session already stopped; the entry is dead either way
-            del _VERIFIED_PAIRS_CACHE[key]
-            released += 1
-    for key in list(_BANDED_INDEX_CACHE):
-        if app is None or key[0] == app:
-            # localCheckpoint blocks are reclaimed by the ContextCleaner
-            # once the handle is dropped
-            del _BANDED_INDEX_CACHE[key]
-            released += 1
-    for cache in (_INCR_OLD_CACHE, _INCR_PATCHED_CACHE, _INCR_OLD_CC_CACHE):
-        for key in list(cache):
+    with _PAIRS_LOCK:
+        _PAIRS_EPOCH += 1
+        for key in list(_VERIFIED_PAIRS_CACHE):
             if app is None or key[0] == app:
-                del cache[key]  # localCheckpoints — handle drop frees
+                try:
+                    _VERIFIED_PAIRS_CACHE[key].unpersist()
+                except Exception:
+                    pass  # session already stopped; the entry is dead anyway
+                del _VERIFIED_PAIRS_CACHE[key]
                 released += 1
-    for key in list(_CC_LABELS_CACHE):
-        if app is None or key[0] == app:
-            try:
-                _CC_LABELS_CACHE[key].unpersist()  # env-seeded entries persist
-            except Exception:
-                pass  # session already stopped; the entry is dead either way
-            del _CC_LABELS_CACHE[key]
-            released += 1
+        for key in list(_BANDED_INDEX_CACHE):
+            if app is None or key[0] == app:
+                # localCheckpoint blocks are reclaimed by the ContextCleaner
+                # once the handle is dropped
+                del _BANDED_INDEX_CACHE[key]
+                released += 1
+        for cache in (_INCR_OLD_CACHE, _INCR_PATCHED_CACHE,
+                      _INCR_OLD_CC_CACHE):
+            for key in list(cache):
+                if app is None or key[0] == app:
+                    del cache[key]  # localCheckpoints — handle drop frees
+                    released += 1
+        for key in list(_CC_LABELS_CACHE):
+            if app is None or key[0] == app:
+                try:
+                    _CC_LABELS_CACHE[key].unpersist()  # env-seeded: persisted
+                except Exception:
+                    pass  # session already stopped; the entry is dead anyway
+                del _CC_LABELS_CACHE[key]
+                released += 1
     # a later materialize must rebuild, not no-op on the stale seed path
     artifacts.invalidate_loaded(spark, artifacts.PAIRS_NAME)
     artifacts.invalidate_loaded(spark, artifacts.BANDS_NAME)
@@ -772,18 +833,21 @@ def incremental_dedup_update(
     candidates only — the shingle explode, the dominant full-rebuild cost,
     runs over churn docs plus their candidate partners alone."""
     # Broadcast discipline (r9, measured in SCALE_PROBE_INCR_r9): every
-    # churn-proportional relation below (gone/delta ids, the delta bands,
-    # the touched-bucket set, the ids-needed set) is EXPLICITLY
-    # broadcast-hinted into its join against a stored corpus-proportional
-    # relation. The churn relations descend from localCheckpoints, whose
+    # STRICTLY churn-bounded relation below (gone/delta ids, the delta
+    # bands, the touched-bucket set) is EXPLICITLY broadcast-hinted into
+    # its join against a stored corpus-proportional relation; the one
+    # relation with a corpus-sized worst case (ids_needed) gets a COUNTED
+    # hint via _hint_if_small (r10). The churn relations descend from
+    # localCheckpoints, whose
     # size statistics Catalyst treats as unknown — without the hints every
     # anti/semi/equi join below SHUFFLES the stored index (N_BANDS rows
     # per corpus doc) per refresh, which was the probe's dominant linear
     # term. With them, the stored relations are scanned (parallel, no
     # exchange) and only churn-sized data moves. Contract note: the
-    # incremental path assumes churn << corpus (a refresh whose churn
-    # rivals the corpus should full-rebuild — the artifacts updater's
-    # lineage gate is the entry point that decides).
+    # incremental path assumes churn << corpus; the artifacts updater
+    # ENFORCES that with a churn-size gate (artifacts._churn_gate, r10) —
+    # a refresh whose churn exceeds INCR_MAX_CHURN_FRAC of the old corpus
+    # full-rebuilds instead of patching.
     gone = (
         diff.filter(F.col("change").isin("removed", "modified"))
         .select(id_col)
@@ -889,17 +953,25 @@ def incremental_dedup_update(
     cand = dd.unionByName(ds)
     for extra in repair:
         cand = cand.unionByName(extra)
-    cand = cand.distinct()
+    # pin the candidate set: it feeds BOTH the ids_needed derivation and
+    # verify_jaccard's pair side — unpinned, the dd/ds/repair unions (and
+    # their joins against the stored index) executed once per consumer
+    cand = cand.distinct().localCheckpoint()
 
     # verify only docs that actually appear in a fresh candidate pair — the
-    # semi-join keeps the shingle explode off the unchanged corpus
+    # semi-join keeps the shingle explode off the unchanged corpus.
+    # ids_needed is churn-docs x the membership of every touched bucket —
+    # usually churn-sized, but a near-identical-text mega-bucket makes it
+    # cluster-sized (r9 advisor, medium): COUNT the pinned relation and
+    # hint only under the ceiling instead of force-broadcasting.
     ids_needed = (
         cand.select(F.col("doc_a").alias(id_col))
         .unionByName(cand.select(F.col("doc_b").alias(id_col)))
         .distinct()
+        .localCheckpoint()
     )
-    docs_needed = new_docs.join(F.broadcast(ids_needed), on=id_col,
-                                how="left_semi")
+    docs_needed = new_docs.join(_hint_if_small(ids_needed, ids_needed.count()),
+                                on=id_col, how="left_semi")
     # pin the fresh pairs HERE (eager, like the rest of this function): the
     # caller consumes them twice — inside the returned union AND standalone
     # (the CC patch's known_added) — and without the checkpoint the whole
@@ -936,19 +1008,19 @@ def _incr_old_state(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFr
     review finding): the build is multi-job eager work, and holding the
     module-wide lock through it would block unrelated cache hits for its
     whole duration; a racing duplicate build loses at setdefault and its
-    checkpoints are reclaimed by the ContextCleaner."""
+    checkpoints are reclaimed by the ContextCleaner (epoch-checked install,
+    see ``_cached_build``)."""
     key = (spark.sparkContext.applicationId, sf_dir)
-    with _PAIRS_LOCK:
-        cached = _INCR_OLD_CACHE.get(key)
-    if cached is not None:
-        return cached
-    old, _ = snapshot_versions(read_table(spark, sf_dir, "documents"))
-    old_ranked = ranked_band_relation(old)
-    old_pairs = verify_jaccard(
-        old, lsh_candidate_pairs(old, ranked=old_ranked)
-    ).localCheckpoint()
-    with _PAIRS_LOCK:
-        return _INCR_OLD_CACHE.setdefault(key, (old_ranked, old_pairs))
+
+    def _build() -> tuple[DataFrame, DataFrame]:
+        old, _ = snapshot_versions(read_table(spark, sf_dir, "documents"))
+        old_ranked = ranked_band_relation(old)
+        old_pairs = verify_jaccard(
+            old, lsh_candidate_pairs(old, ranked=old_ranked)
+        ).localCheckpoint()
+        return (old_ranked, old_pairs)
+
+    return _cached_build(_INCR_OLD_CACHE, key, _build)
 
 
 def _incr_patched_state(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame, DataFrame]:
@@ -964,24 +1036,23 @@ def _incr_patched_state(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, Da
     ``SCALE_PROBE_INCR_r*.json``; the registered sections prove its
     CORRECTNESS via the hash gate.)"""
     key = (spark.sparkContext.applicationId, sf_dir)
-    with _PAIRS_LOCK:
-        cached = _INCR_PATCHED_CACHE.get(key)
-    if cached is not None:
-        return cached
-    old_ranked, old_pairs = _incr_old_state(spark, sf_dir)
-    old, new = snapshot_versions(read_table(spark, sf_dir, "documents"))
-    # pin: the diff feeds `gone` (3 anti-joins) + `delta_ids` inside the
-    # patch — unpinned, the digest full-outer join would re-run per
-    # branch (the artifact updater's trap)
-    diff = snapshot_diff(old, new).select("doc_id", "change").localCheckpoint()
-    _, patched, fresh = incremental_dedup_update(
-        new, diff, old_pairs,
-        old_ranked.select("doc_id", "band", "bucket"),
-    )
-    # fresh is already a localCheckpoint (pinned inside the patch)
-    built = (diff, patched.localCheckpoint(), fresh)
-    with _PAIRS_LOCK:
-        return _INCR_PATCHED_CACHE.setdefault(key, built)
+
+    def _build() -> tuple[DataFrame, DataFrame, DataFrame]:
+        old_ranked, old_pairs = _incr_old_state(spark, sf_dir)
+        old, new = snapshot_versions(read_table(spark, sf_dir, "documents"))
+        # pin: the diff feeds `gone` (3 anti-joins) + `delta_ids` inside
+        # the patch — unpinned, the digest full-outer join would re-run
+        # per branch (the artifact updater's trap)
+        diff = snapshot_diff(old, new).select("doc_id", "change") \
+            .localCheckpoint()
+        _, patched, fresh = incremental_dedup_update(
+            new, diff, old_pairs,
+            old_ranked.select("doc_id", "band", "bucket"),
+        )
+        # fresh is already a localCheckpoint (pinned inside the patch)
+        return (diff, patched.localCheckpoint(), fresh)
+
+    return _cached_build(_INCR_PATCHED_CACHE, key, _build)
 
 
 def _incr_patched_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1275,11 +1346,12 @@ def incremental_cc_update(old_cc: DataFrame, old_edges: DataFrame,
         added = ne.join(oe, on=["doc_a", "doc_b"], how="left_anti")
         removed = oe.join(ne, on=["doc_a", "doc_b"], how="left_anti")
     changed = added.unionByName(removed)
-    # touched/affected relations are churn-proportional by the affected-
-    # component argument above; broadcast-hint them into every join
-    # against the graph-proportional label/edge relations (r9 — the
+    # touched_nodes (changed-edge endpoints) and the label sets derived
+    # from it are STRICTLY churn-bounded — broadcast-hint them into every
+    # join against the graph-proportional label/edge relations (r9 — the
     # checkpoint-descended sides carry no size stats, so Catalyst would
-    # otherwise shuffle the whole graph per join)
+    # otherwise shuffle the whole graph per join); affected_nodes, whose
+    # worst case is component-sized, gets a counted hint below (r10)
     touched_nodes = (
         changed.select(F.col("doc_a").alias("node"))
         .unionByName(changed.select(F.col("doc_b").alias("node")))
@@ -1307,14 +1379,19 @@ def incremental_cc_update(old_cc: DataFrame, old_edges: DataFrame,
                                on="node", how="left_anti")
         )
         .distinct()
-        # single consumer (the sub_edges semi-join), and
-        # connected_components persists its edge input before fanning out
-        # — no checkpoint needed here (r8 review finding)
+        # pinned for the counted hint below (r10); before that it was left
+        # lazy for its single consumer — the count is the new second use
+        .localCheckpoint()
     )
     # every new edge with an affected endpoint has BOTH endpoints affected
-    # (closure argument above) — one semi-join suffices
+    # (closure argument above) — one semi-join suffices. affected_nodes is
+    # the FULL node set of every component the churn touches — churn-
+    # bounded only while components are small; a web-corpus boilerplate
+    # mega-cluster makes it component-sized (r9 advisor, medium), so the
+    # hint is counted, not forced.
     sub_edges = ne.join(
-        F.broadcast(affected_nodes.withColumnRenamed("node", "doc_a")),
+        _hint_if_small(affected_nodes.withColumnRenamed("node", "doc_a"),
+                       affected_nodes.count()),
         on="doc_a", how="left_semi",
     )
     relabeled = connected_components(sub_edges)
@@ -1335,25 +1412,23 @@ def cc_labels_for_dir(spark: SparkSession, sf_dir: str) -> DataFrame:
     propagation rounds, and the incremental refresh
     (``artifacts.update_pairs_incremental``) patches the stored labels
     from the pair-graph patch's edge diff instead of re-running CC. Build
-    outside the lock, locked setdefault — same pattern as
-    ``verified_pairs_for_dir``."""
+    outside the lock, epoch-checked install — same pattern as
+    ``verified_pairs_for_dir`` (see ``_cached_build``)."""
     key = (spark.sparkContext.applicationId, sf_dir)
-    with _PAIRS_LOCK:
-        cached = _CC_LABELS_CACHE.get(key)
-    if cached is not None:
-        return cached
-    from pyspark_coding_challenge_spark.llm import artifacts
 
-    built = artifacts.cc_from_env(spark, sf_dir)
-    if built is None:
-        built = connected_components(
-            _threshold_edges(verified_pairs_for_dir(spark, sf_dir))
-        )
-    with _PAIRS_LOCK:
-        winner = _CC_LABELS_CACHE.setdefault(key, built)
-    if winner is not built:
-        built.unpersist()  # no-op on a checkpointed loser; frees a persisted one
-    return winner
+    def _build() -> DataFrame:
+        from pyspark_coding_challenge_spark.llm import artifacts
+
+        built = artifacts.cc_from_env(spark, sf_dir)
+        if built is None:
+            built = connected_components(
+                _threshold_edges(verified_pairs_for_dir(spark, sf_dir))
+            )
+        return built
+
+    # release: no-op on a checkpointed loser; frees a persisted one
+    return _cached_build(_CC_LABELS_CACHE, key, _build,
+                         release=lambda df: df.unpersist())
 
 
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1481,17 +1556,15 @@ def _incr_old_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     incremental refresh patches; session-cached. Built OUTSIDE the lock
     (see ``_incr_old_state``): CC is an iterative multi-job loop with a
     per-round driver action, the worst possible work to hold a
-    module-wide lock through (r8 review finding)."""
+    module-wide lock through (r8 review finding; epoch-checked install,
+    see ``_cached_build``)."""
     key = (spark.sparkContext.applicationId, sf_dir)
-    with _PAIRS_LOCK:
-        cached = _INCR_OLD_CC_CACHE.get(key)
-    if cached is not None:
-        return cached
-    built = connected_components(
-        _threshold_edges(_incr_old_state(spark, sf_dir)[1])
+    return _cached_build(
+        _INCR_OLD_CC_CACHE, key,
+        lambda: connected_components(
+            _threshold_edges(_incr_old_state(spark, sf_dir)[1])
+        ),
     )
-    with _PAIRS_LOCK:
-        return _INCR_OLD_CC_CACHE.setdefault(key, built)
 
 
 def _cluster_shape(cc: DataFrame) -> DataFrame:

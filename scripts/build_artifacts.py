@@ -91,13 +91,16 @@ def main() -> None:
             print(f"{n}: {path}")
     else:
         # explicit names: one shared digest scan for the builders that
-        # take one (all but the centroid trainer)
-        digest = A.corpus_digest(spark, sf_dir)
+        # take one — computed LAZILY so e.g. `... ivf_centroids` alone
+        # (the one non-lineage builder) pays no corpus scan (r9 advisor)
+        digest = None
         for n in names:
             fn = builders[n]
             if n == A.CENTROIDS_NAME:
                 path = fn(spark, sf_dir, artifact_dir)
             else:
+                if digest is None:
+                    digest = A.corpus_digest(spark, sf_dir)
                 path = fn(spark, sf_dir, artifact_dir, digest)
             print(f"{n}: {path}")
     spark.stop()

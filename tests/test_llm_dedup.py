@@ -660,3 +660,26 @@ def test_clusters_incremental_section_matches_full_relabeling(spark):
         .collect()
     }
     assert got == exp
+
+
+def test_cached_build_discards_build_straddling_clear(spark):
+    """r9 advisor: a builder whose (unlocked) build straddles a
+    clear_pair_cache may have read artifact paths the clear's caller is
+    rewriting — the epoch check must DISCARD that build and retry, never
+    setdefault-install it."""
+    from pyspark_coding_challenge_spark.llm import dedup as D
+
+    cache: dict = {}
+    released, calls = [], []
+
+    def build():
+        calls.append(1)
+        if len(calls) == 1:
+            D.clear_pair_cache(spark)  # bumps the epoch mid-build
+        return len(calls)
+
+    out = D._cached_build(cache, ("app", "dir"), build,
+                          release=released.append)
+    assert out == 2                      # the straddling build was retried
+    assert cache[("app", "dir")] == 2    # ...and only the retry installed
+    assert released == [1]               # ...the stale build was released

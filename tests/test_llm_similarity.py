@@ -202,3 +202,23 @@ def test_ann_recall_floor_on_replicated_corpus(spark, tmp_path):
     assert recall(S.embedding_ann_lsh(spark, sf_dir, multiprobe=2)) >= 0.8
     S.clear_topk_cache(spark)
     S.clear_centroid_cache(spark)
+
+
+def test_probe_masks_general_radius():
+    """r9 advisor: the radius is a general dial, not silently capped at 2 —
+    mask count is sum of C(6, d) for d <= radius, every mask unique with
+    popcount <= radius, and radii past PLANES_PER_TABLE clamp at the full
+    2^6 bucket set (legal brute force, not an error)."""
+    from math import comb
+
+    from pyspark_coding_challenge_spark.llm import similarity as S
+
+    for radius in range(S.PLANES_PER_TABLE + 2):
+        masks = S.probe_masks(radius)
+        r = min(radius, S.PLANES_PER_TABLE)
+        assert len(masks) == sum(comb(S.PLANES_PER_TABLE, d)
+                                 for d in range(r + 1))
+        assert len(set(masks)) == len(masks)
+        assert all(bin(m).count("1") <= r for m in masks)
+        assert masks[0] == 0
+    assert len(S.probe_masks(99)) == 2 ** S.PLANES_PER_TABLE
