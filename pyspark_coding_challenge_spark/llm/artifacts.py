@@ -967,11 +967,13 @@ def update_pairs_incremental(spark: SparkSession, old_sf_dir: str,
     #1) and patch the digest artifact itself by fold arithmetic. The only
     corpus-proportional text scan left is hashing the NEW snapshot once —
     inherent without an upstream change feed. Wall cost of everything else
-    ∝ churn (measured: ``SCALE_PROBE_INCR_r9.json``).
+    ∝ churn (measured: ``SCALE_PROBE_INCR_r10.json``).
 
     CC strategy auto-select (r8 judge item #6): label-patching beats a
     from-scratch relabel only past the measured ~80k-stored-edge crossover
-    (``SCALE_PROBE_CC_r8.json``); the updater counts the stored graph's
+    (``SCALE_PROBE_CC_r8.json``; at 800k stored edges the known-edge-diff
+    patch this updater runs measures 0.395x of a full relabel —
+    ``SCALE_PROBE_CC_r10.json``); the updater counts the stored graph's
     thresholded edges (one thin-artifact aggregate) and falls back to full
     CC below ``dedup.CC_INCR_MIN_EDGES`` — recorded as ``cc_mode``.
 
@@ -1107,14 +1109,23 @@ def update_pairs_incremental(spark: SparkSession, old_sf_dir: str,
     new_bands.write.mode("overwrite").parquet(bands_path)
     _write_meta(bands_path, new_sf_dir, _bands_params(), lineage)
     labels.select("node", "label").write.mode("overwrite").parquet(cc_path)
-    # only cc_mode='incremental' consumed the stored labels; a relabel
-    # from the (patched) graph records patched_from: None so the audit
-    # chain never claims a patch that didn't happen (r9 advisor finding)
+    # patched_from is PER-ARTIFACT: it records that THIS artifact's own
+    # old bytes were consumed (r9 advisor finding; the r10 review pass
+    # extended the rule to every branch). Only cc_mode='incremental'
+    # consumed the stored labels; a relabel from the patched graph records
+    # patched_from: None plus a 'via' note so the audit chain still shows
+    # the content descends from the patch chain, not a corpus rescan.
     _write_meta(cc_path, new_sf_dir, _cc_params(),
                 lineage if cc_mode == "incremental"
-                else {"snapshot": ctx["new_digest"], "patched_from": None})
+                else {"snapshot": ctx["new_digest"], "patched_from": None,
+                      "via": "relabel_of_patched_pair_graph"})
     new_digests_rel.write.mode("overwrite").parquet(dig_path)
-    _write_meta(dig_path, new_sf_dir, _digests_params(), lineage)
+    # same rule: when the digest artifact was missing/stale the new
+    # relation came from a corpus scan, not a fold of the old rows
+    _write_meta(dig_path, new_sf_dir, _digests_params(),
+                lineage if old_digests is not None
+                else {"snapshot": ctx["new_digest"], "patched_from": None,
+                      "via": "corpus_scan"})
     # any session cache seeded from these paths now reads rewritten bytes:
     # drop this session's pair/band/label caches wholesale (clear_pair_cache
     # also invalidates the _loaded_from records for all four names)
@@ -1170,8 +1181,15 @@ def update_text_incremental(spark: SparkSession, old_sf_dir: str,
     # bytes were NOT an input, and claiming a patch occurred makes the
     # audit chain lie (r9 advisor finding)
     rebuilt_lineage = {"snapshot": ctx["new_digest"], "patched_from": None}
-    summary: dict = {"mode": "incremental", "churn": ctx["churn"]}
     churn_reason = _churn_gate(ctx)
+    # mirror the dedup updater's reporting (r10 review finding): a
+    # churn-gated refresh rebuilds EVERY text artifact, so the summary
+    # says so instead of claiming an incremental mode it didn't run
+    summary: dict = {"mode": ("full_rebuild" if churn_reason is not None
+                              else "incremental"),
+                     "churn": ctx["churn"]}
+    if churn_reason is not None:
+        summary["reason"] = churn_reason
 
     def _patch_per_doc(name, path, params, build_rel):
         """delete-gone + append-churn for a strictly per-doc relation;
@@ -1225,8 +1243,15 @@ def update_text_incremental(spark: SparkSession, old_sf_dir: str,
     # new_pos is checkpointed, so deriving + writing spans after the pos
     # overwrite is safe (it reads the checkpoint, not the path)
     T.shared_from_pos(new_pos).write.mode("overwrite").parquet(spans_path)
-    # spans lineage follows the positions artifact it was derived from
-    _write_meta(spans_path, new_sf_dir, _spans_params(), pos_lineage)
+    # spans' own old bytes are NEVER consumed (sharedness is fully
+    # re-derived each refresh), so patched_from is always None; the 'via'
+    # note records whether the content descends from the patched
+    # positions or a corpus rebuild (per-artifact patched_from rule, r10)
+    spans_via = ("rederived_from_patched_span_pos"
+                 if summary[SPANPOS_NAME] == "patched" else "corpus_rebuild")
+    _write_meta(spans_path, new_sf_dir, _spans_params(),
+                {"snapshot": ctx["new_digest"], "patched_from": None,
+                 "via": spans_via})
     summary[SPANS_NAME] = ("rederived" if summary[SPANPOS_NAME] == "patched"
                            else "full_rebuild")
 

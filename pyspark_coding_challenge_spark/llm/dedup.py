@@ -654,12 +654,17 @@ _INCR_OLD_CACHE: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
 _INCR_PATCHED_CACHE: dict[tuple[str, str], tuple[DataFrame, DataFrame, DataFrame]] = {}
 _INCR_OLD_CC_CACHE: dict[tuple[str, str], DataFrame] = {}
 _PAIRS_LOCK = threading.RLock()
-_PAIRS_EPOCH = 0  # bumped by clear_pair_cache; see _cached_build
+# Per-APPLICATION epochs, bumped by clear_pair_cache (see _cached_build).
+# Per-app, not module-wide (r10 review finding): every cache key is
+# (applicationId, sf_dir) and clear_pair_cache's granularity is the app,
+# so one session's refresh loop clearing its caches must not discard an
+# unrelated session's in-flight multi-job build.
+_PAIRS_EPOCHS: dict[str, int] = {}
 
 
 def _cached_build(cache: dict, key, build, release=None):
     """Locked get -> UNLOCKED build -> locked install with an epoch
-    re-check (r9 advisor finding): ``clear_pair_cache`` bumps the module
+    re-check (r9 advisor finding): ``clear_pair_cache`` bumps the app's
     epoch under the lock, so a build that started BEFORE a clear — and may
     have env-seeded from the very artifact paths the clear's caller is
     rewriting (``update_pairs_incremental`` clears right after its
@@ -668,20 +673,25 @@ def _cached_build(cache: dict, key, build, release=None):
     parquet. The build itself stays outside the lock (it is multi-job
     eager work; holding the module-wide lock through it would block every
     unrelated cache hit — the r8/r9 pattern all these caches share).
-    Retries are bounded; the terminal fallback returns a fresh uncached
-    build (correct, merely unshared — reachable only under a pathological
-    storm of concurrent clears). ``release`` frees a losing/discarded
-    build's storage (unpersist for persisted entries; checkpoint handles
-    free on drop)."""
-    for _ in range(3):
+    Retries are bounded: the LAST attempt installs even if the epoch
+    moved again (r10 review finding — an uncached, unreleased return
+    would leak persisted storage forever and hand out an untracked
+    possibly-stale handle; installing keeps the entry visible to the next
+    clear_pair_cache, which unpersists it, so the staleness window under
+    a pathological clear storm is bounded by one clear instead of the
+    handle's lifetime). ``release`` frees a losing/discarded build's
+    storage (unpersist for persisted entries; checkpoint handles free on
+    drop)."""
+    app = key[0]
+    for attempt in range(3):
         with _PAIRS_LOCK:
             cached = cache.get(key)
-            epoch = _PAIRS_EPOCH
+            epoch = _PAIRS_EPOCHS.setdefault(app, 0)
         if cached is not None:
             return cached
         built = build()
         with _PAIRS_LOCK:
-            if _PAIRS_EPOCH == epoch:
+            if _PAIRS_EPOCHS.get(app, 0) == epoch or attempt == 2:
                 winner = cache.setdefault(key, built)
                 if winner is not built and release is not None:
                     release(built)
@@ -689,7 +699,7 @@ def _cached_build(cache: dict, key, build, release=None):
         # epoch moved mid-build: the data this build read may be stale
         if release is not None:
             release(built)
-    return build()
+    raise AssertionError("unreachable: final attempt always installs")
 
 
 def clear_pair_cache(spark: SparkSession | None = None) -> int:
@@ -703,13 +713,17 @@ def clear_pair_cache(spark: SparkSession | None = None) -> int:
     env-seeded from artifact paths the clear's caller is rewriting — sees
     the bump at install time and discards its build instead of caching a
     handle to deleted/rewritten parquet (see ``_cached_build``)."""
-    global _PAIRS_EPOCH
     from pyspark_coding_challenge_spark.llm import artifacts
 
     released = 0
     app = spark.sparkContext.applicationId if spark is not None else None
     with _PAIRS_LOCK:
-        _PAIRS_EPOCH += 1
+        # bump the cleared app's epoch only (all known apps for a global
+        # clear): in-flight builds read their app's entry at start, so a
+        # concurrent build for an UNRELATED session keeps its epoch and
+        # installs normally (r10 review finding)
+        for a in ([app] if app is not None else list(_PAIRS_EPOCHS)):
+            _PAIRS_EPOCHS[a] = _PAIRS_EPOCHS.get(a, 0) + 1
         for key in list(_VERIFIED_PAIRS_CACHE):
             if app is None or key[0] == app:
                 try:
@@ -778,7 +792,9 @@ def incremental_dedup_update(
     band-joins it against the STORED banded index, verifies only the fresh
     candidate pairs, and splices the result into the stored pair graph.
     Nothing rescans the unchanged corpus; wall cost is proportional to the
-    churn, not the corpus (measured: ``SCALE_PROBE_INCR_r8.json``).
+    churn, not the corpus (measured: ``SCALE_PROBE_INCR_r10.json`` —
+    patch wall grows 1.7x over a 30x corpus growth vs the full rebuild's
+    3.19x, with a FIXED churn).
 
     Inputs:
     * ``new_docs`` — the POST-churn corpus (text source for delta docs and
@@ -1091,7 +1107,9 @@ FROM verified WHERE jac >= {JACCARD_THRESHOLD}
 
 CC_MAX_ITER = 25
 
-# Measured full-vs-incremental CC crossover (SCALE_PROBE_CC_r8.json): the
+# Measured full-vs-incremental CC crossover (SCALE_PROBE_CC_r8.json,
+# re-confirmed with the known-edge-diff variant in SCALE_PROBE_CC_r10.json:
+# 0.999x/0.737x/0.395x of full CC at 8k/80k/800k edges): the
 # label patch's fixed overhead (edge-diff handling + affected-set joins +
 # the union of untouched labels) beats a from-scratch relabel only past
 # ~80k stored edges. The artifact refresh (artifacts.update_pairs_

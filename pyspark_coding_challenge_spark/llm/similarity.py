@@ -172,8 +172,11 @@ def ann_lsh_candidates(spark: SparkSession, sf_dir: str,
     every (query, corpus vector) pair colliding in >= 1 table within probe
     radius ``multiprobe``, deduplicated. Split out of ``embedding_ann_lsh``
     so the per-round scale probe can MEASURE the candidate fraction per
-    radius (the recall/cost dial's cost axis) on the exact relation the
-    query re-ranks, instead of re-deriving it."""
+    radius (the recall/cost dial's cost axis) against the exact relation
+    DEFINITION the query re-ranks — one shared derivation, no risk of the
+    probe's counting rule drifting from the query's candidate rule. (The
+    probe still executes the relation to count it; the cost of that extra
+    pass is the probe's, not the query's.)"""
     # the per-vector bucketing pass (planes x tables dot products) is
     # CPU-bound; spread a narrow scan first
     e = rebalance_for_compute(read_table(spark, sf_dir, "embeddings"), "vec_id").select(
@@ -219,15 +222,15 @@ def embedding_ann_lsh(spark: SparkSession, sf_dir: str,
     (1 -> the classic flip-one-bit; 2 -> also all two-bit flips, r9 judge
     item #4: flip-one left recall@10 at 0.64 on the 1x structureless
     corpus; radius 2 is pytest-floored at recall@10 >= 0.8 on the 1x and
-    2x corpora — measured 0.98 at 1x — and the per-round
-    ``SCALE_PROBE_ANN`` artifact records recall, candidate fraction, and
-    wall per radius at 1x/2x/5x/10x). The candidate fraction grows with
-    the radius (uniform-random worst case: ~6% of the corpus at radius 0,
-    ~36% at 1, ~81% at 2 — the curse of dimensionality on structureless
-    vectors; real embedding corpora cluster, which is what the IVF path
-    exploits), so the radius is the recall/cost dial: only the QUERY side
-    fans out; the corpus bucketing pass is unchanged, so the scale shape
-    is identical.
+    2x corpora, and ``SCALE_PROBE_ANN_r10.json`` measures it at
+    0.98/0.98/0.96/1.0 across the 1x/2x/5x/10x replicated corpora). The
+    candidate fraction grows with the radius — MEASURED per factor in the
+    same artifact at ~7% of the corpus at radius 0, ~38% at 1, ~80% at 2,
+    matching the uniform-random worst case (the curse of dimensionality
+    on structureless vectors; real embedding corpora cluster, which is
+    what the IVF path exploits) — so the radius is the recall/cost dial:
+    only the QUERY side fans out; the corpus bucketing pass is unchanged,
+    so the scale shape is identical.
 
     Scale shape: bucketing the corpus is one narrow pass emitting
     (table, code, vec_id); the candidate join is an equi-join on
@@ -254,11 +257,11 @@ def embedding_ann_lsh(spark: SparkSession, sf_dir: str,
 
 def ann_lsh_multiprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The registered radius-2 multiprobe section (r9 judge #4): recall@10
-    pytest-floored at >= 0.8 on the 1x and 2x corpora (measured 0.98 at 1x
-    where the flip-one radius sat at 0.64), with the full recall/candidate-
-    fraction/wall sweep at 1x/2x/5x/10x recorded in the per-round
-    ``SCALE_PROBE_ANN`` artifact; hash-gated against the mask-parameterized
-    oracle."""
+    pytest-floored at >= 0.8 on the 1x and 2x corpora, and measured at
+    0.98/0.98/0.96/1.0 over the 1x/2x/5x/10x replicated corpora where the
+    flip-one radius sat at 0.64-0.96 (``SCALE_PROBE_ANN_r10.json``, which
+    also records candidate fraction + wall per radius per factor);
+    hash-gated against the mask-parameterized oracle."""
     return embedding_ann_lsh(spark, sf_dir, multiprobe=2)
 
 

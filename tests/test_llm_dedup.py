@@ -669,17 +669,58 @@ def test_cached_build_discards_build_straddling_clear(spark):
     setdefault-install it."""
     from pyspark_coding_challenge_spark.llm import dedup as D
 
+    app = spark.sparkContext.applicationId
     cache: dict = {}
     released, calls = [], []
 
     def build():
         calls.append(1)
         if len(calls) == 1:
-            D.clear_pair_cache(spark)  # bumps the epoch mid-build
+            D.clear_pair_cache(spark)  # bumps this app's epoch mid-build
         return len(calls)
 
-    out = D._cached_build(cache, ("app", "dir"), build,
+    out = D._cached_build(cache, (app, "dir"), build,
                           release=released.append)
     assert out == 2                      # the straddling build was retried
-    assert cache[("app", "dir")] == 2    # ...and only the retry installed
+    assert cache[(app, "dir")] == 2      # ...and only the retry installed
     assert released == [1]               # ...the stale build was released
+
+
+def test_cached_build_epoch_is_per_app(spark):
+    """r10 review: clearing one session's caches must NOT discard an
+    unrelated session's in-flight build — the epoch is per-application."""
+    from pyspark_coding_challenge_spark.llm import dedup as D
+
+    cache: dict = {}
+    calls = []
+
+    def build():
+        calls.append(1)
+        D.clear_pair_cache(spark)  # bumps THIS session's epoch only
+        return len(calls)
+
+    out = D._cached_build(cache, ("some-other-app", "dir"), build)
+    assert out == 1 and cache[("some-other-app", "dir")] == 1
+    assert len(calls) == 1  # no discard: the clear was for a different app
+
+
+def test_cached_build_terminal_attempt_installs(spark):
+    """r10 review: under a pathological storm of clears the LAST attempt
+    installs anyway — the entry stays visible to the next clear (which
+    releases it), instead of leaking an untracked persisted handle."""
+    from pyspark_coding_challenge_spark.llm import dedup as D
+
+    app = spark.sparkContext.applicationId
+    cache: dict = {}
+    released, calls = [], []
+
+    def build():
+        calls.append(1)
+        D.clear_pair_cache(spark)  # bump on EVERY attempt
+        return len(calls)
+
+    out = D._cached_build(cache, (app, "dir"), build,
+                          release=released.append)
+    assert out == 3                     # three attempts, third installed
+    assert cache[(app, "dir")] == 3     # tracked => next clear releases it
+    assert released == [1, 2]           # earlier straddling builds freed
