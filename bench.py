@@ -81,9 +81,15 @@ def main() -> None:
             "sf": sf_dir,
         }
         if errors:
+            # a total that silently omits failed slugs reads as a phantom
+            # speedup under the same metric name (r10 review finding):
+            # mark it partial ON the value's record, not just in a side
+            # key a consumer may not inspect
             out["errors"] = errors
+            out["partial"] = True
         print(json.dumps(out))
         spark.stop()
+    return 1 if errors else 0
 
 
 if __name__ == "__main__":

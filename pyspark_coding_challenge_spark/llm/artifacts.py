@@ -1259,6 +1259,14 @@ def update_text_incremental(spark: SparkSession, old_sf_dir: str,
     T.clear_doc_signals_cache(spark)
     T.clear_token_spine_cache(spark)
     T.clear_span_cache(spark)
+    # the quantile shard breaks derive FROM the spine (keyed by sf_dir):
+    # without this, post-refresh pack/batch plans shard new doc_ids
+    # against pre-churn quantiles — values stay correct (breaks are
+    # monotone) but added ids pile into the top shard, re-creating the
+    # skew the quantile pass exists to prevent (r10 review finding)
+    from pyspark_coding_challenge_spark.operators import prefix as P
+
+    P.clear_breaks_cache(spark)
     return summary
 
 

@@ -54,8 +54,10 @@ def _kept_and_pairs(docs: DataFrame,
                     shared_pairs: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Quality-filter + exact-dedup ``docs`` -> ``kept``, then obtain the
     verified near-dup pairs WITHIN kept -> ``near`` (doc_a < doc_b). Both
-    are checkpointed: ``kept`` feeds four consumers (shingling twice, the
-    anti-join, the output projection) and ``near`` feeds both the removal
+    are checkpointed: ``kept`` feeds four consumers (the two semi-join
+    restrictions of the shared pair graph, the removal anti-join, the
+    output projection — since the shared-pair-graph refactor nothing here
+    shingles) and ``near`` feeds both the removal
     policy and the cluster audit — materializing each once is exactly what
     a production pipeline does (on a real cluster: ``persist``/
     ``checkpoint`` instead of ``localCheckpoint``).
@@ -272,13 +274,25 @@ def decontaminate(spark: SparkSession, sf_dir: str,
 
     eval_docs = d.filter(F.col("doc_id") % EVAL_MOD == 0)
     est_chars = None
+    agg = None
     if broadcast_eval is None or (not broadcast_eval and DECON_BLOOM_BITS <= 0):
         # one skinny-column scan serves BOTH the broadcast decision and the
-        # bloom auto-sizing — never tokenize the split to pick a strategy
-        est_chars = eval_docs.select(F.sum("n_chars")).collect()[0][0] or 0
+        # bloom auto-sizing — never tokenize the split to pick a strategy.
+        # sum() is NULL both for an empty split AND for an unpopulated
+        # nullable n_chars column; disambiguate with a count so UNKNOWN
+        # size fails CLOSED to the bloom path (r10 review finding: `or 0`
+        # alone force-broadcast an arbitrarily large eval split whose
+        # n_chars was never filled — the exact OOM this guard prevents)
+        agg = eval_docs.agg(
+            F.sum("n_chars").alias("s"), F.count("*").alias("n")
+        ).collect()[0]
+        est_chars = agg["s"] if agg["s"] is not None else (
+            0 if agg["n"] == 0 else None
+        )
     if broadcast_eval is None:
         broadcast_eval = (
-            est_chars // CHARS_PER_TOKEN_EST <= BROADCAST_EVAL_MAX_TOKENS
+            est_chars is not None
+            and est_chars // CHARS_PER_TOKEN_EST <= BROADCAST_EVAL_MAX_TOKENS
         )
 
     train = _shingle_hashes(d.filter(F.col("doc_id") % EVAL_MOD != 0))
@@ -292,7 +306,15 @@ def decontaminate(spark: SparkSession, sf_dir: str,
         # the same rows) — a union of two selects would re-run the eval
         # shingle+md5 kernel per branch (review finding r6); the exact join
         # below is then the second and last eval pass.
-        m = _bloom_width_bits((est_chars or 0) // CHARS_PER_TOKEN_EST)
+        # unknown split size (n_chars unpopulated): size the bitmap from
+        # the doc count at a generous 4k chars/doc instead of collapsing
+        # to the minimum width (an undersized bloom is correct — the exact
+        # join follows — but filters nothing). With a pinned
+        # DECON_BLOOM_BITS no scan ran (agg is None) and the estimate is
+        # unused by _bloom_width_bits anyway.
+        if est_chars is None:
+            est_chars = int(agg["n"]) * 4000 if agg is not None else 0
+        m = _bloom_width_bits(est_chars // CHARS_PER_TOKEN_EST)
         p1 = lambda c: F.pmod(c, F.lit(m))  # noqa: E731
         p2 = lambda c: F.pmod(_mix60(c), F.lit(m))  # noqa: E731
         # pack positions -> 64-bit words -> dense word-array segments

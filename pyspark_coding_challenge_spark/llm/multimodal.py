@@ -77,6 +77,18 @@ def decode_image_real(payload: bytes) -> tuple[int, int, int]:
         return decode_png_meta(payload)
 
     with Image.open(io.BytesIO(payload)) as img:
+        from pyspark_coding_challenge_spark.llm import pngcodec
+
+        if img.width * img.height > pngcodec.MAX_PIXELS:
+            # the same ceiling the stdlib codec enforces, checked BEFORE
+            # load() sizes the pixel buffer — without it a 64-178MP image
+            # decodes here but fails loudly on a PIL-less host
+            # (environment-divergent output, r10 review finding)
+            raise pngcodec.UnsupportedImageError(
+                f"{img.width}x{img.height} exceeds MAX_PIXELS="
+                f"{pngcodec.MAX_PIXELS} — raise MAX_PIXELS for corpora "
+                "of genuinely huge images"
+            )
         img.load()  # force a full decode, not just the header probe
         return img.width, img.height, len(img.getbands())
 

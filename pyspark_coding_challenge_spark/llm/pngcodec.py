@@ -19,8 +19,10 @@ makes the REAL-bytes pipeline runnable anywhere Python runs:
 
 Scope: bit depth 8, color types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+
 alpha), 6 (RGBA), interlace 0 — the shapes every PNG encoder in practice
-emits for 8-bit images. Adam7 interlace and 1/2/4/16-bit depths raise
-``ValueError`` (quarantine), matching the "decode what we claim, loudly
+emits for 8-bit images. Adam7 interlace, 1/2/4/16-bit depths, and
+above-``MAX_PIXELS`` dimensions raise ``UnsupportedImageError`` (a
+capability gap the kernel FAILS LOUDLY on); corrupt bytes raise
+``ValueError`` (quarantined per row) — the "decode what we claim, loudly
 reject the rest" contract. Channel counts mirror PIL's ``len(getbands())``
 (palette images report 1 — the palette index plane — like PIL mode 'P').
 
@@ -70,7 +72,6 @@ _OTHER_FORMATS = (
     (b"GIF87a", "GIF"), (b"GIF89a", "GIF"),
     (b"BM", "BMP"),
     (b"II*\x00", "TIFF"), (b"MM\x00*", "TIFF"),
-    (b"RIFF", "WebP/RIFF"),
 )
 
 # color type -> samples per pixel (PIL band-count parity; type 3 is the
@@ -95,6 +96,18 @@ def _chunks(payload: bytes):
                     f"{name} payload: stdlib codec handles PNG only — "
                     "install PIL for other formats"
                 )
+        # RIFF alone is a container, not an image: only the WEBP format
+        # tag at offset 8 identifies a valid image this codec can't read;
+        # any other RIFF (WAV/AVI/...) is a non-image payload and must
+        # QUARANTINE like other junk bytes, not abort a PIL-less job
+        # (r10 review finding)
+        if payload[:4] == b"RIFF":
+            if payload[8:12] == b"WEBP":
+                raise UnsupportedImageError(
+                    "WebP payload: stdlib codec handles PNG only — "
+                    "install PIL for other formats"
+                )
+            raise ValueError("RIFF container is not an image")
         raise ValueError("not a PNG: bad signature")
     pos = 8
     n = len(payload)
@@ -144,7 +157,16 @@ def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
         # attacker) controls — without a ceiling a valid-CRC header claiming
         # 50000x50000 lets a small zlib bomb balloon toward ~7.5 GB inside
         # one task (r7 review finding). Same idea as PIL.MAX_IMAGE_PIXELS.
-        raise ValueError(f"{w}x{h} exceeds MAX_PIXELS={MAX_PIXELS}")
+        # A CAPABILITY/CONFIG boundary, not corruption (r10 review
+        # finding): a genuinely huge valid image must fail LOUDLY — the
+        # quarantining ValueError silently dropped valid 64-178MP images
+        # on PIL-less hosts while PIL hosts decoded them (environment-
+        # divergent output). decode_image_real enforces the same ceiling
+        # on its PIL path so both environments agree.
+        raise UnsupportedImageError(
+            f"{w}x{h} exceeds MAX_PIXELS={MAX_PIXELS} — raise MAX_PIXELS "
+            "for corpora of genuinely huge images"
+        )
     if depth in (1, 2, 4, 16):
         # legal PNG depths this codec doesn't implement: capability gap
         raise UnsupportedImageError(f"bit depth {depth} not implemented")
@@ -312,6 +334,11 @@ def encode_png(
     color_type = {1: 0, 2: 4, 3: 2, 4: 6}.get(channels)
     if color_type is None:
         raise ValueError(f"channels must be 1..4, got {channels}")
+    if width <= 0 or height <= 0:
+        # its own decode_png rejects nonpositive dims; emitting a payload
+        # that breaks the documented round-trip (or a misleading length
+        # error for negatives) helps nobody (r10 review finding)
+        raise ValueError(f"dimensions must be positive, got {width}x{height}")
     stride = width * channels
     if pixels is None:
         pixels = bytes(

@@ -115,13 +115,20 @@ def with_range_shard(
                 # both callers share one checkpoint (the loser's blocks are
                 # reclaimed by the ContextCleaner)
                 stats = _BREAKS_CACHE.setdefault(ck, stats)
+    # the stats column is named per key (r10 review finding): a hardcoded
+    # '_breaks' made chained with_range_shard calls on two keys collide at
+    # analysis (ambiguous reference) and drop() would take both
+    breaks_col = "_breaks_" + "".join(
+        c if c.isalnum() else "_" for c in key_col
+    )
     shard = F.expr(
-        f"CAST(size(filter(_breaks, b -> b <= {key_col})) AS INT)"
+        f"CAST(size(filter({breaks_col}, b -> b <= {key_col})) AS INT)"
     )
     return (
-        df.crossJoin(F.broadcast(stats))
+        df.crossJoin(F.broadcast(stats.withColumnRenamed("_breaks",
+                                                         breaks_col)))
         .withColumn(shard_col, shard)
-        .drop("_breaks")
+        .drop(breaks_col)
     )
 
 
@@ -160,11 +167,17 @@ def sharded_cumsum(
     # prior shards' running sum if THEY had values, and stays NULL only
     # when nothing before it had one (r6 review finding,
     # execution-confirmed divergence).
+    # sums stay in val's native type until the very end (r10 review
+    # finding): casting each shard's piece to bigint BEFORE adding offsets
+    # truncates per-shard for fractional vals (0.6+0.6 -> 0+0 instead of
+    # 1), diverging from the single-level `sum(val) ... cast to bigint`
+    # this function claims to exactly replace; for the integral vals every
+    # in-repo caller passes, end-cast is bit-identical to the old form
     local = df.withColumn(
-        out_col, F.sum(val_c).over(w_local).cast("bigint")
+        out_col, F.sum(val_c).over(w_local)
     ).withColumn("_nn", F.count(val_c).over(w_local))
     totals = df.groupBy(*part_cols, shard_col).agg(
-        F.sum(val_c).cast("bigint").alias("_shard_total"),
+        F.sum(val_c).alias("_shard_total"),
         F.count(val_c).alias("_shard_nn"),
     )
     w_off = (
@@ -181,7 +194,6 @@ def sharded_cumsum(
     offsets = totals.select(
         *[F.col(c).alias(f"_ok_{c}") for c in keys],
         F.coalesce(F.sum("_shard_total").over(w_off), F.lit(0))
-        .cast("bigint")
         .alias("_shard_off"),
         F.coalesce(F.sum("_shard_nn").over(w_off), F.lit(0)).alias("_off_nn"),
     )
@@ -196,7 +208,7 @@ def sharded_cumsum(
             F.when(
                 F.col("_nn") + F.col("_off_nn") > 0,
                 F.coalesce(F.col(out_col), F.lit(0)) + F.col("_shard_off"),
-            ),
+            ).cast("bigint"),  # the contract's single end-cast
         )
         .drop("_shard_off", "_nn", "_off_nn", *[f"_ok_{c}" for c in keys])
     )

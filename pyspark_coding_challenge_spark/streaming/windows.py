@@ -37,6 +37,7 @@ from __future__ import annotations
 import os
 import shutil
 import tempfile
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -59,18 +60,21 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         ensure_event_ts_confs,
     )
 
-    import os as _os
-
     ensure_event_ts_confs(spark)
     key = (spark.sparkContext.applicationId, sf_dir)
-    file_schema = _EVENT_SCHEMA_CACHE.get(key)
-    if file_schema is None:
-        # one footer probe per (session, dir) — streaming slugs call this
-        # up to twice per run and the bench repeats runs
-        file_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-        _EVENT_SCHEMA_CACHE[key] = file_schema
+    # locked check-then-act like every other session cache (r10 review
+    # finding — this cache skipped the r6/r7 idiom); the footer probe is
+    # one cheap job, so holding the lock through it is fine
+    with _SCHEMA_CACHE_LOCK:
+        file_schema = _EVENT_SCHEMA_CACHE.get(key)
+        if file_schema is None:
+            # one footer probe per (session, dir) — streaming slugs call
+            # this up to twice per run and the bench repeats runs
+            file_schema = spark.read.parquet(
+                f"{sf_dir}/events.parquet").schema
+            _EVENT_SCHEMA_CACHE[key] = file_schema
     events_path = f"{sf_dir}/events.parquet"
-    if _os.path.isdir(events_path):
+    if os.path.isdir(events_path):
         # directory-shaped dataset (df.write.parquet output): stream the
         # directory itself. The glob-filter form below would match LEAF
         # file names against 'events.parquet' — part-*.parquet never match
@@ -89,6 +93,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _EVENT_SCHEMA_CACHE: dict[tuple[str, str], "object"] = {}
+_SCHEMA_CACHE_LOCK = threading.Lock()
 
 
 def clear_stream_schema_cache(spark: SparkSession | None = None) -> int:
@@ -98,18 +103,40 @@ def clear_stream_schema_cache(spark: SparkSession | None = None) -> int:
     base caches)."""
     released = 0
     app = spark.sparkContext.applicationId if spark is not None else None
-    for key in list(_EVENT_SCHEMA_CACHE):
-        if app is None or key[0] == app:
-            del _EVENT_SCHEMA_CACHE[key]
-            released += 1
+    with _SCHEMA_CACHE_LOCK:
+        for key in list(_EVENT_SCHEMA_CACHE):
+            if app is None or key[0] == app:
+                del _EVENT_SCHEMA_CACHE[key]
+                released += 1
     return released
 
 
 def _fresh_dirs(slug: str) -> tuple[str, str]:
     """Fixed per-slug sink + checkpoint paths, wiped before each run —
     repeated invocations (bench best-of-2, warm-up, oracle runs) overwrite
-    instead of accumulating abandoned temp dirs."""
-    base = os.path.join(tempfile.gettempdir(), f"spark_graft_streams_{os.getpid()}", slug)
+    instead of accumulating abandoned temp dirs. Dirs are scoped by pid
+    (concurrent bench subprocesses must not wipe each other), so each
+    process ALSO sweeps siblings left by dead pids (r10 review finding:
+    without the sweep every past process's last sink+checkpoint tree
+    lived in /tmp forever)."""
+    root = tempfile.gettempdir()
+    prefix = "spark_graft_streams_"
+    for entry in os.listdir(root):
+        if not entry.startswith(prefix):
+            continue
+        try:
+            pid = int(entry[len(prefix):])
+        except ValueError:
+            continue
+        if pid == os.getpid():
+            continue
+        try:
+            os.kill(pid, 0)  # raises if the owner is gone
+        except ProcessLookupError:
+            shutil.rmtree(os.path.join(root, entry), ignore_errors=True)
+        except PermissionError:
+            pass  # someone else's live pid
+    base = os.path.join(root, f"{prefix}{os.getpid()}", slug)
     sink, ck = os.path.join(base, "sink"), os.path.join(base, "ck")
     shutil.rmtree(base, ignore_errors=True)
     os.makedirs(base, exist_ok=True)
@@ -118,11 +145,15 @@ def _fresh_dirs(slug: str) -> tuple[str, str]:
 
 # State-store partition count is FIXED per query at first start (it is baked
 # into the checkpoint); it must be sized to stream volume, not inherited from
-# whatever batch shuffle setting happens to be live. Default 8 here (each
-# state partition carries per-partition store + checkpoint file overhead per
+# whatever batch shuffle setting happens to be live. Default 8 (each state
+# partition carries per-partition store + checkpoint file overhead per
 # micro-batch); a 100 TB/day deployment sets SPARK_GRAFT_STREAM_PARTITIONS
-# to O(cores) on the cluster.
-STREAM_STATE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "8"))
+# to O(cores) on the cluster. Read at CALL time like the provider knob one
+# screen down (r10 review finding: the import-time read silently ignored an
+# env set after module import, breaking the call-time contract the provider
+# docstring advertises).
+def _stream_state_partitions() -> int:
+    return int(os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "8"))
 
 _ROCKSDB_PROVIDER = (
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
@@ -147,6 +178,18 @@ def _stream_state_provider() -> str | None:
     return os.environ["SPARK_GRAFT_STREAM_STATE_PROVIDER"].strip()
 
 
+# Session-wide confs are process-global per SparkSession: the pin below is
+# REF-COUNTED under a lock (r10 review finding — the naive save/restore was
+# not reentrant: two overlapping streaming starts on one session had the
+# second 'save' capture the first's pinned value, restoring the pin as if
+# it were the user's setting and leaking 8 shuffle partitions into every
+# later batch query). First enter saves+sets, last exit restores; nested
+# enters just hold the pin (the pinned values are identical process-wide:
+# both knobs are env-derived).
+_CONF_PIN_LOCK = threading.RLock()
+_CONF_PIN_STATE: dict[str, dict] = {}  # applicationId -> pin record
+
+
 class _stream_shuffle_partitions:
     """Temporarily pin the streaming state confs while a query starts —
     shuffle partitions, and the state-store provider when
@@ -157,29 +200,49 @@ class _stream_shuffle_partitions:
         self.spark = spark
 
     def __enter__(self):
-        self.saved = self.spark.conf.get("spark.sql.shuffle.partitions")
-        self.spark.conf.set(
-            "spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS)
-        )
-        self.saved_provider = None
-        provider = _stream_state_provider()
-        if provider is not None:
-            try:
-                self.saved_provider = self.spark.conf.get(_PROVIDER_CONF)
-            except Exception:
-                self.saved_provider = None
-            self.spark.conf.set(_PROVIDER_CONF, provider)
-            self._set_provider = True
-        else:
-            self._set_provider = False
+        with _CONF_PIN_LOCK:
+            app = self.spark.sparkContext.applicationId
+            rec = _CONF_PIN_STATE.get(app)
+            if rec is not None:
+                rec["depth"] += 1
+                return
+            rec = {"depth": 1,
+                   "saved": self.spark.conf.get(
+                       "spark.sql.shuffle.partitions"),
+                   "saved_provider": None, "set_provider": False}
+            self.spark.conf.set(
+                "spark.sql.shuffle.partitions",
+                str(_stream_state_partitions()),
+            )
+            provider = _stream_state_provider()
+            if provider is not None:
+                try:
+                    rec["saved_provider"] = self.spark.conf.get(
+                        _PROVIDER_CONF)
+                except Exception:
+                    rec["saved_provider"] = None
+                self.spark.conf.set(_PROVIDER_CONF, provider)
+                rec["set_provider"] = True
+            _CONF_PIN_STATE[app] = rec
 
     def __exit__(self, *exc):
-        self.spark.conf.set("spark.sql.shuffle.partitions", self.saved)
-        if self._set_provider:
-            if self.saved_provider is not None:
-                self.spark.conf.set(_PROVIDER_CONF, self.saved_provider)
-            else:
-                self.spark.conf.unset(_PROVIDER_CONF)
+        with _CONF_PIN_LOCK:
+            app = self.spark.sparkContext.applicationId
+            rec = _CONF_PIN_STATE.get(app)
+            if rec is None:
+                return  # unbalanced exit; nothing to restore
+            rec["depth"] -= 1
+            if rec["depth"] > 0:
+                return
+            del _CONF_PIN_STATE[app]
+            self.spark.conf.set(
+                "spark.sql.shuffle.partitions", rec["saved"])
+            if rec["set_provider"]:
+                if rec["saved_provider"] is not None:
+                    self.spark.conf.set(
+                        _PROVIDER_CONF, rec["saved_provider"])
+                else:
+                    self.spark.conf.unset(_PROVIDER_CONF)
 
 
 def _read_back(spark: SparkSession, sink: str, schema) -> DataFrame:
@@ -338,18 +401,23 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 STREAMING_SESSION_WINDOWS_ORACLE = f"""
 WITH ordered AS (
-  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+  -- event_id tiebreaks (r10 review finding): the lag windows and the
+  -- running sum below sort independently; with duplicate (user_id, ts)
+  -- rows an inconsistent tie order could attach a same-ts event to the
+  -- previous session while Spark's set-based session_window cannot.
+  -- No-op on data with unique (user_id, ts), which the hash gate has.
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
          CAST(ROUND(value * 1000) AS BIGINT) AS value_milli,
          CASE WHEN CAST(ts AS TIMESTAMP)
-                   - lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts)
+                   - lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                    > INTERVAL 30 MINUTES
-              OR lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              OR lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
               THEN 1 ELSE 0 END AS new_session
   FROM events
 ),
 sessions AS (
   SELECT user_id, ts, value_milli,
-         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
   FROM ordered
 ),
@@ -393,15 +461,25 @@ SELECT DISTINCT user_id, event_type FROM events
 def _counter_fn(key, pdf_iter, state):
     """applyInPandasWithState kernel: running per-user event count + exact
     value sum in integer milli-units, carried in group state across
-    micro-batches."""
+    micro-batches. NULL policy matches the SQL oracle's sum (r10 review
+    finding): NULL values are skipped (pandas skipna — they arrive as
+    float64 NaN), and a user whose EVERY value is NULL emits sum_milli
+    NULL, not 0 — the state carries the non-null count to distinguish
+    'all NULL so far' from 'sums to zero'. (Current testdata has no NULL
+    values; this is the latent-divergence class the oracle gate can't
+    see until a data generation introduces them.)"""
     import pandas as pd
 
-    cnt, milli = state.get if state.exists else (0, 0)
+    cnt, milli, nn = state.get if state.exists else (0, 0, 0)
     for pdf in pdf_iter:
         cnt += len(pdf)
-        milli += int(pdf["value_milli"].sum())
-    state.update((cnt, milli))
-    yield pd.DataFrame({"user_id": [key[0]], "cnt": [cnt], "sum_milli": [milli]})
+        nn += int(pdf["value_milli"].count())   # non-null rows only
+        milli += int(pdf["value_milli"].sum())  # skipna; 0.0 when all-NaN
+    state.update((cnt, milli, nn))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "cnt": [cnt],
+         "sum_milli": [milli if nn > 0 else None]}
+    )
 
 
 def streaming_custom_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -422,7 +500,7 @@ def streaming_custom_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     counted = ev.groupBy("user_id").applyInPandasWithState(
         _counter_fn,
         outputStructType="user_id BIGINT, cnt BIGINT, sum_milli BIGINT",
-        stateStructType="cnt BIGINT, sum_milli BIGINT",
+        stateStructType="cnt BIGINT, sum_milli BIGINT, n_nonnull BIGINT",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

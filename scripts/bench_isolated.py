@@ -91,7 +91,10 @@ print("ISO_RESULT " + json.dumps({"slug": slug, "cold": cold,
 _DUMP_SECTIONS = """
 import json
 from pyspark_coding_challenge_spark import registry
-from pyspark_coding_challenge_spark.plans.merge import SECTION_REGISTRY
+try:
+    from pyspark_coding_challenge_spark.plans.merge import SECTION_REGISTRY
+except ImportError:
+    SECTION_REGISTRY = {}  # pre-merge.py tree (r7 and earlier): 1/slug
 print("SECTIONS_JSON " + json.dumps({
     slug: len(SECTION_REGISTRY.get(slug, [slug]))
     for slug in registry.queries()
@@ -234,11 +237,16 @@ def main() -> None:
 
     slugs: dict[str, dict] = {}
     try:
-        for idx, slug in enumerate(all_slugs):
+        n_ab = 0  # alternation counts AB-ELIGIBLE slugs only (r10 review
+        # finding: indexing the full list lets slugs absent from the prior
+        # tree cluster the eligible ones onto one order, breaking the
+        # drift-cancellation the alternation exists for)
+        for slug in all_slugs:
             if ab_ref and slug in ab_sections:
-                # one child per tree, order alternating by slug index (see
-                # module docstring for the drift-cancellation design)
-                order = ("cur", "prev") if idx % 2 == 0 else ("prev", "cur")
+                # one child per tree, order alternating per eligible slug
+                # (see module docstring for the drift-cancellation design)
+                order = ("cur", "prev") if n_ab % 2 == 0 else ("prev", "cur")
+                n_ab += 1
                 recs = {}
                 failed = None
                 for tree in order:

@@ -228,12 +228,15 @@ def probe_skew(spark, sf_dir: str) -> dict:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
 
     def single_level_pack():
+        # SAME cached token spine the sharded kernel reads (r10 review
+        # finding: the old form re-read parquet and re-tokenized per timed
+        # run while the sharded side consumed the persisted spine, so the
+        # published ratio credited the rewrite with the tokenization cost
+        # too; now both sides time window work over identical input)
         w = (Window.partitionBy("source").orderBy("doc_id")
              .rowsBetween(Window.unboundedPreceding, 0))
         return (
-            docs.select(
-                "doc_id", "source",
-                F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"))
+            T.shared_token_spine_for_dir(spark, sf_dir)
             .withColumn("tok_end", F.sum("n_tokens").over(w))
         )
 
@@ -566,6 +569,20 @@ def probe_deep(spark, corpus_dir: str, tpch_dir: str) -> dict[str, float]:
     return timings
 
 
+def _emit(result: dict, artifact: str | None, rnd) -> None:
+    """Print the result JSON and, when a round number was given, write the
+    repo-root artifact. One definition for every mode (r10 review finding:
+    five copy-pasted epilogues), and the seam where partial results land."""
+    out = json.dumps(result)
+    print(out)
+    if rnd and artifact:
+        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        path = os.path.join(repo_root, f"{artifact}_r{rnd}.json")
+        with open(path, "w") as fh:
+            fh.write(out + "\n")
+        print(f"wrote {path}", file=sys.stderr)
+
+
 def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("-")]
     tpch = "--tpch" in sys.argv
@@ -575,6 +592,12 @@ def main() -> None:
     ann = "--ann" in sys.argv
     cc = "--cc" in sys.argv
     rnd = args[0] if args else None
+    if rnd is not None and not rnd.isdigit():
+        # a typo'd round writes a misnamed artifact AFTER all the work is
+        # done (r10 review finding; bench_isolated validates for the same
+        # reason) — fail before the multi-minute factor loops, not after
+        print(f"round must be an integer, got {rnd!r}", file=sys.stderr)
+        raise SystemExit(2)
     os.makedirs(WORK, exist_ok=True)
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from pyspark_coding_challenge_spark.session import get_spark
@@ -582,196 +605,170 @@ def main() -> None:
     spark = get_spark(app_name="scale_probe", master="local[32]")
     spark.sparkContext.setLogLevel("ERROR")
 
-    if deep:
-        # both kernels in one artifact: corpus x{f} for exact_dedup_groups,
-        # tpch x{f} for in_groupby_having (r6 verdict #8)
-        result = {
-            "protocol": (
-                f"{'/'.join(str(f) + 'x' for f in DEEP_REPLICAS)} extension "
-                "of the two kernels nearest the linear break at 10x; "
-                "replicated sf0.1 documents (disjoint ids, retagged tokens) "
-                "and orders+lineitem (disjoint orderkeys), one timed run "
-                "per factor after a 1x warm-up"
-            ),
-            "factors": {},
-        }
-        probe_deep(spark, build_corpus(spark, 1), build_tpch(spark, 1))
-        for f in DEEP_REPLICAS:
-            result["factors"][str(f)] = probe_deep(
-                spark, build_corpus(spark, f), build_tpch(spark, f)
+    # Every mode below runs its factor loop inside try/finally (r10 review
+    # finding): a failure at a late factor must still emit the completed
+    # factors (marked partial) and stop the session, not discard an hour
+    # of measurements — the same loss class bench.py was hardened against.
+    result: dict = {}
+    artifact: str | None = None
+    ok = False
+    try:
+        if deep:
+            # both kernels in one artifact: corpus x{f} for
+            # exact_dedup_groups, tpch x{f} for in_groupby_having (r6 #8)
+            artifact = "SCALE_PROBE_DEEP"
+            result.update({
+                "protocol": (
+                    f"{'/'.join(str(f) + 'x' for f in DEEP_REPLICAS)} extension "
+                    "of the two kernels nearest the linear break at 10x; "
+                    "replicated sf0.1 documents (disjoint ids, retagged tokens) "
+                    "and orders+lineitem (disjoint orderkeys), one timed run "
+                    "per factor after a 1x warm-up"
+                ),
+                "factors": {},
+            })
+            probe_deep(spark, build_corpus(spark, 1), build_tpch(spark, 1))
+            for f in DEEP_REPLICAS:
+                result["factors"][str(f)] = probe_deep(
+                    spark, build_corpus(spark, f), build_tpch(spark, f)
+                )
+            base = result["factors"]["1"]
+            result["ratios_vs_1x"] = {
+                f: {k: (round(v[k] / base[k], 2) if base[k] > 0 else None)
+                    for k in v}
+                for f, v in result["factors"].items()
+            }
+            ok = True
+            return
+
+        if cc:
+            artifact = "SCALE_PROBE_CC"
+            result.update({
+                "protocol": (
+                    "synthetic 5-node chain components (4 edges each), FIXED "
+                    "churn of 50 splits + 25 pairwise merges at every size; "
+                    "stored labels built untimed; one timed run per strategy "
+                    "per size after a warm-up at the smallest size"
+                ),
+                "sizes": {},
+            })
+            probe_cc(spark, CC_COMPONENTS[0])  # warm-up
+            for k in CC_COMPONENTS:
+                result["sizes"][str(k)] = probe_cc(spark, k)
+            ok = True
+            return
+
+        if ann:
+            # r8 judge #3: recall is only property-tested at sf0.1; bucket
+            # occupancy (LSH) and list sizes (IVF) shift as the corpus
+            # grows, so measure recall vs brute force at 2x/5x/10x
+            # replicated embeddings and assert the floors at EVERY factor.
+            artifact = "SCALE_PROBE_ANN"
+            result.update({
+                "protocol": (
+                    "sf0.1 embeddings replicated (replica 0 verbatim incl. the "
+                    "5 query vectors; replicas on disjoint ids, deterministic "
+                    "sin perturbation ±0.1/dim => planted near neighbors at "
+                    "cos~0.87); recall@10 vs brute-force ground truth per "
+                    "factor, caches cleared between factors"
+                ),
+                "floors": ANN_RECALL_FLOORS,
+                "factors": {},
+            })
+            probe_ann(spark, build_embeddings(spark, 1))  # warm-up
+            for f in REPLICAS:
+                result["factors"][str(f)] = probe_ann(
+                    spark, build_embeddings(spark, f))
+            floor_ok = all(
+                v[k] >= floor
+                for v in result["factors"].values()
+                for k, floor in ANN_RECALL_FLOORS.items()
             )
+            result["floor_ok"] = floor_ok
+            ok = True
+            if not floor_ok:
+                raise SystemExit("ANN recall fell below the pinned floor")
+            return
+
+        if incr:
+            # r8 judge #1 done-condition: incremental wall ∝ churn, not
+            # corpus. Fixed ~600-doc churn at every factor; if the patch is
+            # truly churn-proportional, incremental stays near-flat while
+            # the full rebuild grows — incr_over_full must FALL.
+            artifact = "SCALE_PROBE_INCR"
+            result.update({
+                "protocol": (
+                    "replicated sf0.1 documents (disjoint ids, retagged tokens) "
+                    "with a FIXED ~600-doc churn (200 removed, 200 modified, "
+                    "200 added) at every factor; stored old index + per-doc "
+                    "digest artifact built untimed; one timed run per strategy "
+                    "per factor after a 1x warm-up. r9: incremental_patch "
+                    "diffs against the STORED digests (old corpus never "
+                    "re-hashed); incremental_patch_textdiff is the pre-r9 "
+                    "both-sides-hashed variant; incremental_cc consumes the "
+                    "patch's own known edge diff (no full-graph anti-joins), "
+                    "incremental_cc_antijoin is the pre-r9 variant"
+                ),
+                "factors": {},
+            })
+            probe_incr(spark, build_corpus(spark, 1), build_churned(spark, 1))
+            # extended past the standard replicas: the fixed per-job floor
+            # (~2 s of scheduling + the skinny digest diff) hides the
+            # separation at small factors; by 30x the full chain's linear
+            # growth is unambiguous while the patch stays near-flat
+            for f in (*REPLICAS, 30):
+                result["factors"][str(f)] = probe_incr(
+                    spark, build_corpus(spark, f), build_churned(spark, f)
+                )
+            base = result["factors"]["1"]
+            result["ratios_vs_1x"] = {
+                f: {k: (round(v[k] / base[k], 2) if base.get(k) else None)
+                    for k in ("full_rebuild", "incremental_patch",
+                              "incremental_patch_textdiff")}
+                for f, v in result["factors"].items()
+            }
+            ok = True
+            return
+
+        if skew:
+            build, run = build_skew_corpus, probe_skew
+            artifact = "SCALE_PROBE_SKEW"
+            proto = ("replicated sf0.1 documents with 90% of rows reassigned to "
+                     "ONE source, source cardinality held fixed as rows grow; "
+                     "sharded kernels vs single-level per-source windows over "
+                     "the SAME cached token spine, plus max window-partition "
+                     "row counts (the parallelism bound)")
+        elif tpch:
+            build, run = build_tpch, probe_tpch
+            artifact = "SCALE_PROBE_TPCH"
+            proto = ("replicated sf0.1 orders+lineitem on disjoint orderkeys, dims "
+                     "unchanged; one timed run per kernel per factor after a 1x "
+                     "warm-up")
+        else:
+            build, run = build_corpus, probe
+            artifact = "SCALE_PROBE"
+            proto = ("replicated sf0.1 documents, disjoint ids, retagged tokens; "
+                     "one timed run per kernel per factor after a 1x warm-up")
+        result.update({"protocol": proto, "factors": {}})
+        # warm-up at 1x so JIT/codegen ramp doesn't land in the 1x numbers
+        run(spark, build(spark, 1))
+        for f in REPLICAS:
+            sf_dir = build(spark, f)
+            result["factors"][str(f)] = run(spark, sf_dir)
+
         base = result["factors"]["1"]
         result["ratios_vs_1x"] = {
             f: {k: (round(v[k] / base[k], 2) if base[k] > 0 else None)
                 for k in v}
             for f, v in result["factors"].items()
         }
-        out = json.dumps(result)
-        print(out)
-        if rnd:
-            repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-            name = os.path.join(repo_root, f"SCALE_PROBE_DEEP_r{rnd}.json")
-            with open(name, "w") as fh:
-                fh.write(out + "\n")
-            print(f"wrote {name}", file=sys.stderr)
+        ok = True
+    finally:
+        if not ok:
+            result["partial"] = True
+        _emit(result, artifact, rnd)
         spark.stop()
         shutil.rmtree(WORK, ignore_errors=True)
-        return
-
-    if cc:
-        result = {
-            "protocol": (
-                "synthetic 5-node chain components (4 edges each), FIXED "
-                "churn of 50 splits + 25 pairwise merges at every size; "
-                "stored labels built untimed; one timed run per strategy "
-                "per size after a warm-up at the smallest size"
-            ),
-            "sizes": {},
-        }
-        probe_cc(spark, CC_COMPONENTS[0])  # warm-up
-        for k in CC_COMPONENTS:
-            result["sizes"][str(k)] = probe_cc(spark, k)
-        out = json.dumps(result)
-        print(out)
-        if rnd:
-            repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-            name = os.path.join(repo_root, f"SCALE_PROBE_CC_r{rnd}.json")
-            with open(name, "w") as fh:
-                fh.write(out + "\n")
-            print(f"wrote {name}", file=sys.stderr)
-        spark.stop()
-        shutil.rmtree(WORK, ignore_errors=True)
-        return
-
-    if ann:
-        # r8 judge #3: recall is only property-tested at sf0.1; bucket
-        # occupancy (LSH) and list sizes (IVF) shift as the corpus grows,
-        # so measure recall vs brute force at 2x/5x/10x replicated
-        # embeddings and assert the pinned floors at EVERY factor.
-        result = {
-            "protocol": (
-                "sf0.1 embeddings replicated (replica 0 verbatim incl. the "
-                "5 query vectors; replicas on disjoint ids, deterministic "
-                "sin perturbation ±0.1/dim => planted near neighbors at "
-                "cos~0.87); recall@10 vs brute-force ground truth per "
-                "factor, caches cleared between factors"
-            ),
-            "floors": ANN_RECALL_FLOORS,
-            "factors": {},
-        }
-        probe_ann(spark, build_embeddings(spark, 1))  # warm-up
-        for f in REPLICAS:
-            result["factors"][str(f)] = probe_ann(
-                spark, build_embeddings(spark, f))
-        floor_ok = all(
-            v[k] >= floor
-            for v in result["factors"].values()
-            for k, floor in ANN_RECALL_FLOORS.items()
-        )
-        result["floor_ok"] = floor_ok
-        out = json.dumps(result)
-        print(out)
-        if rnd:
-            repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-            name = os.path.join(repo_root, f"SCALE_PROBE_ANN_r{rnd}.json")
-            with open(name, "w") as fh:
-                fh.write(out + "\n")
-            print(f"wrote {name}", file=sys.stderr)
-        spark.stop()
-        shutil.rmtree(WORK, ignore_errors=True)
-        if not floor_ok:
-            raise SystemExit("ANN recall fell below the pinned floor")
-        return
-
-    if incr:
-        # r8 judge #1 done-condition: incremental wall ∝ churn, not corpus.
-        # Fixed ~600-doc churn at every factor; if the patch is truly
-        # churn-proportional, incremental stays near-flat while the full
-        # rebuild grows with the corpus — incr_over_full must FALL.
-        result = {
-            "protocol": (
-                "replicated sf0.1 documents (disjoint ids, retagged tokens) "
-                "with a FIXED ~600-doc churn (200 removed, 200 modified, "
-                "200 added) at every factor; stored old index + per-doc "
-                "digest artifact built untimed; one timed run per strategy "
-                "per factor after a 1x warm-up. r9: incremental_patch "
-                "diffs against the STORED digests (old corpus never "
-                "re-hashed); incremental_patch_textdiff is the pre-r9 "
-                "both-sides-hashed variant; incremental_cc consumes the "
-                "patch's own known edge diff (no full-graph anti-joins), "
-                "incremental_cc_antijoin is the pre-r9 variant"
-            ),
-            "factors": {},
-        }
-        probe_incr(spark, build_corpus(spark, 1), build_churned(spark, 1))
-        # extended past the standard replicas: the fixed per-job floor
-        # (~2 s of scheduling + the skinny digest diff) hides the
-        # separation at small factors; by 30x the full chain's linear
-        # growth is unambiguous while the patch stays near-flat
-        for f in (*REPLICAS, 30):
-            result["factors"][str(f)] = probe_incr(
-                spark, build_corpus(spark, f), build_churned(spark, f)
-            )
-        base = result["factors"]["1"]
-        result["ratios_vs_1x"] = {
-            f: {k: (round(v[k] / base[k], 2) if base.get(k) else None)
-                for k in ("full_rebuild", "incremental_patch",
-                          "incremental_patch_textdiff")}
-            for f, v in result["factors"].items()
-        }
-        out = json.dumps(result)
-        print(out)
-        if rnd:
-            repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-            name = os.path.join(repo_root, f"SCALE_PROBE_INCR_r{rnd}.json")
-            with open(name, "w") as fh:
-                fh.write(out + "\n")
-            print(f"wrote {name}", file=sys.stderr)
-        spark.stop()
-        shutil.rmtree(WORK, ignore_errors=True)
-        return
-
-    if skew:
-        build, run = build_skew_corpus, probe_skew
-        proto = ("replicated sf0.1 documents with 90% of rows reassigned to "
-                 "ONE source, source cardinality held fixed as rows grow; "
-                 "sharded kernels vs single-level per-source windows, plus "
-                 "max window-partition row counts (the parallelism bound)")
-    elif tpch:
-        build, run = build_tpch, probe_tpch
-        proto = ("replicated sf0.1 orders+lineitem on disjoint orderkeys, dims "
-                 "unchanged; one timed run per kernel per factor after a 1x "
-                 "warm-up")
-    else:
-        build, run = build_corpus, probe
-        proto = ("replicated sf0.1 documents, disjoint ids, retagged tokens; "
-                 "one timed run per kernel per factor after a 1x warm-up")
-    result: dict = {"protocol": proto, "factors": {}}
-    # warm-up at 1x so JIT/codegen ramp doesn't land in the 1x numbers
-    run(spark, build(spark, 1))
-    for f in REPLICAS:
-        sf_dir = build(spark, f)
-        result["factors"][str(f)] = run(spark, sf_dir)
-
-    base = result["factors"]["1"]
-    result["ratios_vs_1x"] = {
-        f: {k: (round(v[k] / base[k], 2) if base[k] > 0 else None) for k in v}
-        for f, v in result["factors"].items()
-    }
-    out = json.dumps(result)
-    print(out)
-    if rnd:
-        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-        suffix = ("SKEW" if skew else "TPCH" if tpch else None)
-        name = os.path.join(
-            repo_root,
-            f"SCALE_PROBE_{suffix}_r{rnd}.json" if suffix else f"SCALE_PROBE_r{rnd}.json",
-        )
-        with open(name, "w") as fh:
-            fh.write(out + "\n")
-        print(f"wrote {name}", file=sys.stderr)
-    spark.stop()
-    shutil.rmtree(WORK, ignore_errors=True)
 
 
 if __name__ == "__main__":

@@ -310,3 +310,43 @@ def test_unfilter_dispatch_uses_numpy_when_available():
     payload = pngcodec.encode_png(16, 8, 3, pixels=pixels)
     _, _, _, decoded = pngcodec.decode_png(payload)
     assert decoded == pixels
+
+
+def test_riff_container_quarantines_webp_fails_loudly():
+    """r10 review: 'RIFF' alone is a container (WAV/AVI/...), not an
+    image — a stray non-image RIFF row must QUARANTINE (ValueError), not
+    abort a PIL-less job; only RIFF....WEBP is a valid-image capability
+    gap (UnsupportedImageError)."""
+    wav = b"RIFF" + b"\x24\x00\x00\x00" + b"WAVEfmt " + b"\x00" * 16
+    with pytest.raises(ValueError, match="not an image"):
+        pngcodec.decode_png_meta(wav)
+    webp = b"RIFF" + b"\x24\x00\x00\x00" + b"WEBPVP8 " + b"\x00" * 16
+    with pytest.raises(pngcodec.UnsupportedImageError, match="WebP"):
+        pngcodec.decode_png_meta(webp)
+
+
+def test_max_pixels_is_capability_gap_not_corruption():
+    """r10 review: a valid image above MAX_PIXELS must fail LOUDLY
+    (UnsupportedImageError — raise the ceiling for huge-image corpora),
+    not silently quarantine on PIL-less hosts while PIL hosts decode it."""
+    header = pngcodec.encode_png(2, 2, 1)
+    # rewrite the IHDR to claim 9000x8000 (72 MP) with a fixed-up CRC
+    import struct as _struct
+    import zlib as _zlib
+    ihdr = _struct.pack(">IIBBBBB", 9000, 8000, 8, 0, 0, 0, 0)
+    chunk = b"IHDR" + ihdr
+    patched = (header[:8]
+               + _struct.pack(">I", len(ihdr)) + chunk
+               + _struct.pack(">I", _zlib.crc32(chunk) & 0xFFFFFFFF)
+               + header[8 + 4 + 4 + 13 + 4:])
+    with pytest.raises(pngcodec.UnsupportedImageError, match="MAX_PIXELS"):
+        pngcodec.decode_png_meta(patched)
+
+
+def test_encode_png_rejects_nonpositive_dims():
+    """r10 review: encode_png must not emit payloads its own decode_png
+    rejects (width=0) or misreport negatives as a length error."""
+    with pytest.raises(ValueError, match="positive"):
+        pngcodec.encode_png(0, 5)
+    with pytest.raises(ValueError, match="positive"):
+        pngcodec.encode_png(-1, 5)

@@ -252,3 +252,54 @@ def test_breaks_cache_one_quantile_job_per_key(spark):
     )
     assert a == b
     clear_breaks_cache(spark)
+
+
+def test_fractional_values_cast_once_at_the_end(spark):
+    """r10 review: the documented contract is `sum(val) OVER ... cast to
+    bigint` — ONE cast at the end. Per-shard intermediate casts truncated
+    fractional vals (0.6 + 0.6 -> 0 instead of 1); pin equality against
+    the single-level window on doubles spread across shards."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from pyspark_coding_challenge_spark.operators.prefix import (
+        sharded_cumsum,
+        with_range_shard,
+    )
+
+    df = spark.range(40).select(
+        F.lit("g").alias("grp"),
+        F.col("id").alias("k"),
+        (F.col("id") * 0.3).alias("val"),
+    )
+    sharded = with_range_shard(df, "k", n_shards=8)
+    got = {
+        (r.k): r.c
+        for r in sharded_cumsum(sharded, ["grp"], ["k"], "val", "c").collect()
+    }
+    w = Window.partitionBy("grp").orderBy("k") \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    want = {
+        (r.k): r.c
+        for r in df.withColumn("c", F.sum("val").over(w).cast("bigint")).collect()
+    }
+    assert got == want
+
+
+def test_chained_range_shards_on_two_keys(spark):
+    """r10 review: the quantile stats column is named per key, so sharding
+    one frame on two different keys composes without column collisions."""
+    from pyspark.sql import functions as F
+
+    from pyspark_coding_challenge_spark.operators.prefix import with_range_shard
+
+    df = spark.range(100).select(
+        F.col("id").alias("a"), (F.col("id") * 7 % 100).alias("b")
+    )
+    out = with_range_shard(
+        with_range_shard(df, "a", n_shards=4, shard_col="_sa"),
+        "b", n_shards=4, shard_col="_sb",
+    )
+    rows = out.collect()
+    assert len(rows) == 100
+    assert {c for c in out.columns} == {"a", "b", "_sa", "_sb"}

@@ -255,3 +255,25 @@ def test_rocksdb_state_store_produces_identical_results(spark, monkeypatch):
     assert got == expected
     # restored: unset falls back to Spark's default HDFS-backed provider
     assert "RocksDB" not in (spark.conf.get(_PROVIDER_CONF, "") or "")
+
+
+def test_stream_conf_pin_is_reentrant(spark):
+    """r10 review: overlapping streaming starts on one session must not
+    have the inner save capture the outer pin — the ref-counted pin
+    restores the ORIGINAL conf only at the outermost exit."""
+    from pyspark_coding_challenge_spark.streaming.windows import (
+        _stream_shuffle_partitions,
+        _stream_state_partitions,
+    )
+
+    key = "spark.sql.shuffle.partitions"
+    orig = spark.conf.get(key)
+    pinned = str(_stream_state_partitions())
+    with _stream_shuffle_partitions(spark):
+        assert spark.conf.get(key) == pinned
+        with _stream_shuffle_partitions(spark):
+            assert spark.conf.get(key) == pinned
+        # inner exit must NOT restore yet (the old bug restored here,
+        # then the outer exit re-set the PIN as if it were the original)
+        assert spark.conf.get(key) == pinned
+    assert spark.conf.get(key) == orig
