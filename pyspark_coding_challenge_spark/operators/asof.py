@@ -82,6 +82,22 @@ def asof_join(
     rpay = [c for c in right.columns if c != on]
     ords = [f"_asof_o{i}" for i in range(len(left_order))]
 
+    # Reserved working names must be absent from the inputs (r10 review
+    # finding): a left column literally named '_asof_m' would be silently
+    # OVERWRITTEN by withColumn below and emitted as the match struct
+    # under the user's name — corrupt output, no error. '_asof_tag'/the
+    # order aliases at least fail with an ambiguity AnalysisException;
+    # make every collision loud and uniform instead.
+    reserved = {"_asof_m", "_asof_tag", "_asof_rpay", *ords}
+    clash = reserved.intersection(left.columns).union(
+        reserved.intersection(right.columns)
+    )
+    if clash:
+        raise ValueError(
+            f"asof_join reserves column names {sorted(reserved)}; "
+            f"rename input columns {sorted(clash)}"
+        )
+
     # Left rows tag 0, right rows tag 1: at equal order values the left row
     # sorts FIRST, so an equal-order right row is NOT in its preceding
     # frame — the strict (<) contract.

@@ -209,10 +209,16 @@ def rolling_last_k_history(
     # NULL-entity actions are dropped to match last_k_history's equi-join
     # semantics: Window.partitionBy GROUPS null keys, so without this
     # filter a NULL-entity cutoff would accumulate history from other
-    # NULL-entity actions — rows the join form never produces.
-    act = actions.filter(F.col(entity_col).isNotNull()).select(
-        entity_col, time_col, *payload_cols
-    )
+    # NULL-entity actions — rows the join form never produces. NULL TIMES
+    # are dropped for the same parity (r10 review finding): the join
+    # form's `time < cutoff` predicate excludes them and the bounded
+    # range frame's datediff(NULL) excludes them, but here a NULL time
+    # would sort FIRST in the ascending struct sort (NULL _neg_us) and
+    # rank as the most-recent history entry — three different answers
+    # from operators documented as identical.
+    act = actions.filter(
+        F.col(entity_col).isNotNull() & F.col(time_col).isNotNull()
+    ).select(entity_col, time_col, *payload_cols)
 
     # Sort key: ascending struct sort == (time desc, payloads asc).
     neg_us = (-F.unix_micros(F.col(time_col))).alias("_neg_us")

@@ -101,14 +101,15 @@ def produce_training_examples(
     # in the history branch of the final plan. (A ranking whose impression
     # array is empty still contributes a cutoff; its history row is dropped
     # by the left join in attach_history — harmless.)
-    cutoffs = (
-        impressions.select(
-            F.col("customer_id").cast("bigint").alias("customer_id"),
-            F.to_date("dt").cast("timestamp").alias("cutoff_ts"),
-        )
-        .filter(F.col("customer_id").isNotNull())
-        .distinct()
-    )
+    # No .distinct() here (r10 review finding; flagship.py documents the
+    # same rule): rolling_last_k_history re-derives to_date(cutoff) and
+    # applies its own distinct on (entity, day) — a caller-side distinct
+    # on the timestamp adds a second back-to-back exchange+aggregate over
+    # the same key set that Catalyst cannot collapse through the cast.
+    cutoffs = impressions.select(
+        F.col("customer_id").cast("bigint").alias("customer_id"),
+        F.to_date("dt").cast("timestamp").alias("cutoff_ts"),
+    ).filter(F.col("customer_id").isNotNull())
     # Day-granular cutoffs -> rolling per-day pre-aggregation is lossless
     # and shuffles each action once (vs O(actions x days) join expansion).
     hist = (

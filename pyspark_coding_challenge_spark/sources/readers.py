@@ -60,7 +60,17 @@ def ensure_event_ts_confs(spark: SparkSession) -> None:
     * UTC session time: the parquet timestamps are tz-naive
       (isAdjustedToUTC=false); UTC makes Spark's to_date/date_trunc agree
       with DuckDB's naive civil-time interpretation regardless of host
-      timezone."""
+      timezone.
+
+    CALLER-FACING SIDE EFFECT (r10 review): these are SESSION-wide confs,
+    set permanently on whatever session is passed in — a later execution
+    of an unrelated tz-dependent plan built earlier on a non-UTC session
+    evaluates under UTC from this point on (Spark reads confs at
+    execution, not plan build). This engine's contract is UTC-session
+    semantics everywhere (every oracle and operator assumes it); a host
+    application embedding these readers in a mixed-timezone session
+    should use a separate SparkSession (`spark.newSession()`) for its own
+    tz-sensitive work rather than sharing this one."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
@@ -94,16 +104,22 @@ def rebalance_for_compute(df: DataFrame, *key_cols: str) -> DataFrame:
 
     The split-count probe (``df.rdd.getNumPartitions``) forces eager
     physical planning and is unavailable on Spark Connect sessions — in
-    that case fall through to the unconditional repartition (AQE coalesces
-    an unnecessary one back down at runtime, so the fallback costs at most
-    one avoidable-but-cheap exchange, never a wrong plan).
+    that case fall through to an unconditional repartition sized by
+    ``spark.sql.shuffle.partitions`` (r10 review finding: the old
+    hard-coded 32 could COLLAPSE an arbitrarily wide input, and AQE never
+    overrides an explicit numPartitions — it only right-sizes shuffles
+    with an unspecified count; the conf is the knob a Connect deployment
+    actually sizes to its cluster).
     """
     try:
         target = df.sparkSession.sparkContext.defaultParallelism
         if df.rdd.getNumPartitions() >= target:
             return df
     except Exception:  # Spark Connect: no sparkContext / DataFrame.rdd
-        target = 32
+        try:
+            target = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        except Exception:  # e.g. conf value "auto" under some AQE setups
+            target = 32
     return df.repartition(target, *key_cols) if key_cols else df.repartition(target)
 
 

@@ -153,3 +153,23 @@ def test_rolling_history_ignores_null_entities(spark):
     # (empty histories are dropped; the downstream left join pads them)
     assert {r.customer_id for r in rows} == {7}
     assert rows[0].items == [200, 0, 0]
+
+
+def test_reserved_working_names_fail_loudly(spark):
+    """r10 review: a left column named '_asof_m' was silently overwritten
+    by the merge form's carried-match struct — reserved names now raise."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from pyspark_coding_challenge_spark.operators.asof import asof_join
+
+    left = spark.range(3).select(
+        F.col("id").alias("k"), F.col("id").alias("t"),
+        F.lit("x").alias("_asof_m"),
+    )
+    right = spark.range(3).select(
+        F.col("id").alias("k"), F.col("id").alias("rt"),
+        F.lit(1.0).alias("payload"),
+    )
+    with pytest.raises(ValueError, match="_asof_m"):
+        asof_join(left, right, on="k", left_order=("t",), right_order=("rt",))

@@ -156,3 +156,42 @@ def test_nonpositive_lookback_normalizes_to_unbounded_at_any_k(spark):
         got = _collect(rolling_last_k_history(actions, cutoffs, k=100,
                                               lookback_days=bad))
         assert got and got[0][2][:2] == (8, 7)  # most-recent-first, unbounded
+
+
+def test_null_action_time_dropped_like_join_form(spark):
+    """r10 review: a NULL action_time sorted FIRST in the rolling form's
+    ascending struct sort (NULL _neg_us) and ranked as the MOST RECENT
+    history entry, while the join form's `time < cutoff` and the bounded
+    range frame both exclude it — all three paths must agree: dropped."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from pyspark_coding_challenge_spark.operators.history import (
+        last_k_history,
+        rolling_last_k_history,
+    )
+
+    acts = spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 1, 1, 10), 100, 1),
+            (1, None, 999, 2),  # the NULL-time row must never appear
+            (1, dt.datetime(2024, 1, 2, 9), 101, 3),
+        ],
+        "customer_id bigint, action_time timestamp, item_id bigint, action_type int",
+    )
+    cuts = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 3))],
+        "customer_id bigint, cutoff_ts timestamp",
+    )
+    kw = dict(k=5, entity_col="customer_id", time_col="action_time",
+              cutoff_col="cutoff_ts", payload_cols=("item_id", "action_type"),
+              out_cols=("actions", "action_types"))
+    for lookback in (None, 30):
+        rolled = rolling_last_k_history(acts, cuts, lookback_days=-1 if lookback is None else lookback, **kw).collect()
+        assert len(rolled) == 1
+        assert 999 not in rolled[0].actions, f"lookback={lookback}"
+        assert rolled[0].actions[:2] == [101, 100]
+    joined = last_k_history(acts, cuts, **kw).collect()
+    assert 999 not in joined[0].actions
+    assert joined[0].actions[:2] == [101, 100]
