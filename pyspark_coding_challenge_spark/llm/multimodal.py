@@ -79,14 +79,15 @@ def decode_image_real(payload: bytes) -> tuple[int, int, int]:
     with Image.open(io.BytesIO(payload)) as img:
         from pyspark_coding_challenge_spark.llm import pngcodec
 
-        if img.width * img.height > pngcodec.MAX_PIXELS:
+        ceiling = pngcodec.max_pixels()
+        if img.width * img.height > ceiling:
             # the same ceiling the stdlib codec enforces, checked BEFORE
             # load() sizes the pixel buffer — without it a 64-178MP image
             # decodes here but fails loudly on a PIL-less host
             # (environment-divergent output, r10 review finding)
-            raise pngcodec.UnsupportedImageError(
+            raise pngcodec.OversizedImageError(
                 f"{img.width}x{img.height} exceeds MAX_PIXELS="
-                f"{pngcodec.MAX_PIXELS} — raise MAX_PIXELS for corpora "
+                f"{ceiling} — set SPARK_GRAFT_MAX_PIXELS for corpora "
                 "of genuinely huge images"
             )
         img.load()  # force a full decode, not just the header probe
@@ -107,8 +108,13 @@ def decode_meta_real_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.
     JPEG corpus on a PIL-less host must error, not silently quarantine
     100% of its data. With PIL present, PIL's own unidentified-format
     errors quarantine — PIL reads every format a real corpus contains, so
-    unidentified-under-PIL is corruption for practical purposes."""
+    unidentified-under-PIL is corruption for practical purposes. Valid
+    images over the ``pngcodec.max_pixels()`` ceiling land in a THIRD
+    bucket, (-2, -2, 0) — a quality outlier, not a capability gap (r11
+    advisor finding)."""
     import pandas as pd
+
+    from pyspark_coding_challenge_spark.llm import pngcodec
 
     for pdf in batches:
         # NULL payload -> empty bytes, mirroring _with_payload's coalesce:
@@ -121,6 +127,15 @@ def decode_meta_real_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.
         for b in payloads:
             try:
                 dims.append(decode_image_real(b))
+            except pngcodec.OversizedImageError:
+                # valid image over the max_pixels() ceiling: a data-
+                # quality OUTLIER, not a capability gap — one 65 MP image
+                # in a billion-row corpus must not abort the job (r11
+                # advisor finding). Distinct audit bucket from corruption
+                # (filter fake_width = -2 to collect; both decode paths
+                # check the ceiling pre-decode, so PIL and stdlib hosts
+                # agree). SPARK_GRAFT_MAX_PIXELS raises the ceiling.
+                dims.append((-2, -2, 0))
             except NotImplementedError:
                 # capability gap (valid JPEG on a PIL-less host, Adam7
                 # PNG, 16-bit depth): FAIL the task — quarantining it

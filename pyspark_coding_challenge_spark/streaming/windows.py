@@ -186,8 +186,16 @@ def _stream_state_provider() -> str | None:
 # later batch query). First enter saves+sets, last exit restores; nested
 # enters just hold the pin (the pinned values are identical process-wide:
 # both knobs are env-derived).
+#
+# Keyed by the SESSION OBJECT, not applicationId (r11 advisor finding):
+# spark.sql.shuffle.partitions and the provider conf are per-SparkSession,
+# and spark.newSession() shares one applicationId across sessions — an
+# app-keyed pin would treat session B's first enter as a nested enter on
+# session A's record, never pinning B's confs and restoring A's saved value
+# onto whichever session exits last. The record holds a strong reference to
+# the session for its lifetime so id() cannot be reused while pinned.
 _CONF_PIN_LOCK = threading.RLock()
-_CONF_PIN_STATE: dict[str, dict] = {}  # applicationId -> pin record
+_CONF_PIN_STATE: dict[int, dict] = {}  # id(SparkSession) -> pin record
 
 
 class _stream_shuffle_partitions:
@@ -201,12 +209,12 @@ class _stream_shuffle_partitions:
 
     def __enter__(self):
         with _CONF_PIN_LOCK:
-            app = self.spark.sparkContext.applicationId
-            rec = _CONF_PIN_STATE.get(app)
+            key = id(self.spark)
+            rec = _CONF_PIN_STATE.get(key)
             if rec is not None:
                 rec["depth"] += 1
                 return
-            rec = {"depth": 1,
+            rec = {"depth": 1, "session": self.spark,
                    "saved": self.spark.conf.get(
                        "spark.sql.shuffle.partitions"),
                    "saved_provider": None, "set_provider": False}
@@ -223,18 +231,18 @@ class _stream_shuffle_partitions:
                     rec["saved_provider"] = None
                 self.spark.conf.set(_PROVIDER_CONF, provider)
                 rec["set_provider"] = True
-            _CONF_PIN_STATE[app] = rec
+            _CONF_PIN_STATE[key] = rec
 
     def __exit__(self, *exc):
         with _CONF_PIN_LOCK:
-            app = self.spark.sparkContext.applicationId
-            rec = _CONF_PIN_STATE.get(app)
+            key = id(self.spark)
+            rec = _CONF_PIN_STATE.get(key)
             if rec is None:
                 return  # unbalanced exit; nothing to restore
             rec["depth"] -= 1
             if rec["depth"] > 0:
                 return
-            del _CONF_PIN_STATE[app]
+            del _CONF_PIN_STATE[key]
             self.spark.conf.set(
                 "spark.sql.shuffle.partitions", rec["saved"])
             if rec["set_provider"]:

@@ -325,22 +325,68 @@ def test_riff_container_quarantines_webp_fails_loudly():
         pngcodec.decode_png_meta(webp)
 
 
-def test_max_pixels_is_capability_gap_not_corruption():
-    """r10 review: a valid image above MAX_PIXELS must fail LOUDLY
-    (UnsupportedImageError — raise the ceiling for huge-image corpora),
-    not silently quarantine on PIL-less hosts while PIL hosts decode it."""
+def _oversized_png() -> bytes:
+    """A structurally valid PNG whose IHDR claims 9000x8000 (72 MP)."""
     header = pngcodec.encode_png(2, 2, 1)
-    # rewrite the IHDR to claim 9000x8000 (72 MP) with a fixed-up CRC
     import struct as _struct
     import zlib as _zlib
     ihdr = _struct.pack(">IIBBBBB", 9000, 8000, 8, 0, 0, 0, 0)
     chunk = b"IHDR" + ihdr
-    patched = (header[:8]
-               + _struct.pack(">I", len(ihdr)) + chunk
-               + _struct.pack(">I", _zlib.crc32(chunk) & 0xFFFFFFFF)
-               + header[8 + 4 + 4 + 13 + 4:])
-    with pytest.raises(pngcodec.UnsupportedImageError, match="MAX_PIXELS"):
+    return (header[:8]
+            + _struct.pack(">I", len(ihdr)) + chunk
+            + _struct.pack(">I", _zlib.crc32(chunk) & 0xFFFFFFFF)
+            + header[8 + 4 + 4 + 13 + 4:])
+
+
+def test_max_pixels_is_distinct_oversize_class():
+    """r10 review + r11 advisor: a valid image above the ceiling raises
+    the OversizedImageError subclass — NOT plain corruption (ValueError),
+    and NOT the job-aborting capability gap — so the kernel can route it
+    to its own audit bucket while PIL and stdlib hosts stay in agreement."""
+    patched = _oversized_png()
+    with pytest.raises(pngcodec.OversizedImageError, match="MAX_PIXELS"):
         pngcodec.decode_png_meta(patched)
+    # subclass relationship is the routing contract
+    assert issubclass(pngcodec.OversizedImageError,
+                      pngcodec.UnsupportedImageError)
+
+
+def test_max_pixels_env_override(monkeypatch):
+    """SPARK_GRAFT_MAX_PIXELS unblocks a huge-image corpus without a code
+    change (r11 advisor finding); read at CALL time."""
+    patched = _oversized_png()
+    monkeypatch.setenv("SPARK_GRAFT_MAX_PIXELS", str(9000 * 8000))
+    # over the raised ceiling? no: exactly at it — decode proceeds past
+    # the ceiling check and fails later on the (tiny) IDAT length instead
+    with pytest.raises(ValueError, match="inflated IDAT"):
+        pngcodec.decode_png_meta(patched)
+    monkeypatch.setenv("SPARK_GRAFT_MAX_PIXELS", "1000")
+    with pytest.raises(pngcodec.OversizedImageError, match="MAX_PIXELS"):
+        pngcodec.decode_png_meta(pngcodec.encode_png(40, 40, 1))
+
+
+def test_oversized_image_quarantines_in_kernel():
+    """The mapInPandas kernel routes an oversized valid image to the
+    (-2,-2,0) audit bucket instead of aborting the job (r11 advisor
+    finding); corrupt rows keep their (-1,-1,0) bucket, valid rows
+    decode."""
+    import pandas as pd
+
+    from pyspark_coding_challenge_spark.llm.multimodal import (
+        decode_meta_real_batches,
+    )
+
+    pdf = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "payload": [pngcodec.encode_png(3, 2, 1), _oversized_png(),
+                    b"garbage bytes"],
+    })
+    [out] = list(decode_meta_real_batches(iter([pdf])))
+    rows = {int(r.doc_id): (int(r.fake_width), int(r.fake_height),
+                            int(r.channels)) for r in out.itertuples()}
+    assert rows[1] == (3, 2, 1)
+    assert rows[2] == (-2, -2, 0)
+    assert rows[3] == (-1, -1, 0)
 
 
 def test_encode_png_rejects_nonpositive_dims():
