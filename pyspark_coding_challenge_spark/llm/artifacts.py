@@ -1092,7 +1092,7 @@ def update_pairs_incremental(spark: SparkSession, old_sf_dir: str,
             # fresh_pairs is pinned inside the patch, so thresholding it
             # here is a cheap filter over the checkpoint, not a re-verify
             labels = D.incremental_cc_update(
-                old_cc, old_edges, new_edges,
+                old_cc, new_edges,
                 known_added=D._threshold_edges(fresh_pairs),
                 known_removed=removed,
             )

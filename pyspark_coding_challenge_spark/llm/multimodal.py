@@ -76,22 +76,40 @@ def decode_image_real(payload: bytes) -> tuple[int, int, int]:
 
         return decode_png_meta(payload)
 
-    with Image.open(io.BytesIO(payload)) as img:
-        from pyspark_coding_challenge_spark.llm import pngcodec
+    from pyspark_coding_challenge_spark.llm import pngcodec
 
-        ceiling = pngcodec.max_pixels()
-        if img.width * img.height > ceiling:
-            # the same ceiling the stdlib codec enforces, checked BEFORE
-            # load() sizes the pixel buffer — without it a 64-178MP image
-            # decodes here but fails loudly on a PIL-less host
-            # (environment-divergent output, r10 review finding)
-            raise pngcodec.OversizedImageError(
-                f"{img.width}x{img.height} exceeds MAX_PIXELS="
-                f"{ceiling} — set SPARK_GRAFT_MAX_PIXELS for corpora "
-                "of genuinely huge images"
-            )
-        img.load()  # force a full decode, not just the header probe
-        return img.width, img.height, len(img.getbands())
+    # read (and validate) the ceiling BEFORE PIL touches the bytes: a
+    # malformed SPARK_GRAFT_MAX_PIXELS must fail loudly here, identically
+    # on both decode paths (r12 advisor finding)
+    ceiling = pngcodec.max_pixels()
+    # PIL's own decompression-bomb check fires inside Image.open (header
+    # parse, no pixel allocation) at 2x its MAX_IMAGE_PIXELS default —
+    # BEFORE our ceiling check ran. With a raised SPARK_GRAFT_MAX_PIXELS a
+    # ~360MP image would then raise DecompressionBombError, quarantined
+    # below as corrupt (-1,-1,0), while a stdlib host decodes it fine (r12
+    # advisor finding). Our explicit ceiling check subsumes PIL's, and it
+    # runs before load() sizes any pixel buffer, so disable PIL's for the
+    # duration of this open (save/restore: the module global must not leak
+    # into unrelated code in the same worker).
+    saved_bomb_ceiling = Image.MAX_IMAGE_PIXELS
+    Image.MAX_IMAGE_PIXELS = None
+    try:
+        with Image.open(io.BytesIO(payload)) as img:
+            if img.width * img.height > ceiling:
+                # the same ceiling the stdlib codec enforces, checked
+                # BEFORE load() sizes the pixel buffer — without it a
+                # 64-178MP image decodes here but fails loudly on a
+                # PIL-less host (environment-divergent output, r10 review
+                # finding)
+                raise pngcodec.OversizedImageError(
+                    f"{img.width}x{img.height} exceeds MAX_PIXELS="
+                    f"{ceiling} — set SPARK_GRAFT_MAX_PIXELS for corpora "
+                    "of genuinely huge images"
+                )
+            img.load()  # force a full decode, not just the header probe
+            return img.width, img.height, len(img.getbands())
+    finally:
+        Image.MAX_IMAGE_PIXELS = saved_bomb_ceiling
 
 
 def decode_meta_real_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
@@ -141,6 +159,11 @@ def decode_meta_real_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.
                 # PNG, 16-bit depth): FAIL the task — quarantining it
                 # would silently drop valid data and make output differ
                 # per environment (r7 review finding)
+                raise
+            except pngcodec.MaxPixelsConfigError:
+                # a malformed SPARK_GRAFT_MAX_PIXELS is a CONFIG typo:
+                # fail the job at the first row instead of silently
+                # quarantining 100% of the corpus (r12 advisor finding)
                 raise
             except Exception:
                 dims.append((-1, -1, 0))  # corrupt payload: quarantine row

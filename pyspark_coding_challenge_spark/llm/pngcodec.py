@@ -59,13 +59,49 @@ _SIGNATURE = b"\x89PNG\r\n\x1a\n"
 MAX_PIXELS = 64_000_000
 
 
+class MaxPixelsConfigError(RuntimeError):
+    """``SPARK_GRAFT_MAX_PIXELS`` is set but not a positive integer — a
+    CONFIG typo, not a data problem. Deliberately NOT a ValueError (r12
+    advisor finding): the mapInPandas kernel quarantines ValueError per
+    row, so a malformed ceiling would silently bucket 100% of the corpus
+    as corrupt (-1,-1,0); this class is re-raised by the kernel and fails
+    the job loudly at the first decode."""
+
+
 def max_pixels() -> int:
     """The decode-bomb ceiling, read at CALL time: operators unblock a
     huge-image corpus with ``SPARK_GRAFT_MAX_PIXELS`` (r11 advisor
     finding) instead of a code change; default ``MAX_PIXELS``. Both
     decode paths (stdlib and PIL) consult this same function, so the
-    ceiling — and therefore the output — stays environment-identical."""
-    return int(os.environ.get("SPARK_GRAFT_MAX_PIXELS", MAX_PIXELS))
+    ceiling — and therefore the output — stays environment-identical.
+
+    A malformed or non-positive value raises ``MaxPixelsConfigError``
+    (r12 advisor finding) — loud job failure, never a silent quarantine.
+
+    CLUSTER NOTE: decode kernels run in EXECUTOR Python workers, so on a
+    real cluster the variable must reach them via
+    ``spark.executorEnv.SPARK_GRAFT_MAX_PIXELS`` (or the cluster
+    manager's env plumbing); setting it on the driver alone leaves the
+    default ceiling in effect executor-side. ``local[*]`` inherits the
+    driver environment, which is why the tests can monkeypatch it."""
+    raw = os.environ.get("SPARK_GRAFT_MAX_PIXELS")
+    if raw is None:
+        return MAX_PIXELS
+    try:
+        value = int(raw)
+    except ValueError:
+        raise MaxPixelsConfigError(
+            f"SPARK_GRAFT_MAX_PIXELS={raw!r} is not an integer — refusing "
+            "to decode (a ValueError here would quarantine the whole "
+            "corpus as corrupt)"
+        ) from None
+    if value <= 0:
+        raise MaxPixelsConfigError(
+            f"SPARK_GRAFT_MAX_PIXELS={raw!r} must be positive — a "
+            "non-positive ceiling would quarantine every image as "
+            "oversized"
+        )
+    return value
 
 
 class UnsupportedImageError(NotImplementedError):

@@ -396,3 +396,65 @@ def test_encode_png_rejects_nonpositive_dims():
         pngcodec.encode_png(0, 5)
     with pytest.raises(ValueError, match="positive"):
         pngcodec.encode_png(-1, 5)
+
+
+def test_malformed_max_pixels_env_fails_loudly(monkeypatch):
+    """r12 advisor: a malformed SPARK_GRAFT_MAX_PIXELS ('64e6', '0', junk)
+    is a config typo and must raise MaxPixelsConfigError — a RuntimeError,
+    NOT a ValueError — so the kernel cannot quarantine the entire corpus
+    as corrupt over a typo."""
+    for bad in ("64e6", "sixty-four", "", "0", "-5"):
+        monkeypatch.setenv("SPARK_GRAFT_MAX_PIXELS", bad)
+        with pytest.raises(pngcodec.MaxPixelsConfigError):
+            pngcodec.max_pixels()
+        assert not issubclass(pngcodec.MaxPixelsConfigError, ValueError)
+        # decode_png consults the ceiling, so the decode path propagates
+        # the config error instead of mapping it to corruption
+        with pytest.raises(pngcodec.MaxPixelsConfigError):
+            pngcodec.decode_png_meta(pngcodec.encode_png(3, 2, 1))
+
+
+def test_malformed_max_pixels_aborts_kernel_not_quarantine(monkeypatch):
+    """r12 advisor: the mapInPandas kernel re-raises MaxPixelsConfigError
+    instead of bucketing rows as (-1,-1,0) — a job-level failure, visible
+    at the first decode, not 100% silent data loss."""
+    import pandas as pd
+
+    from pyspark_coding_challenge_spark.llm.multimodal import (
+        decode_meta_real_batches,
+    )
+
+    monkeypatch.setenv("SPARK_GRAFT_MAX_PIXELS", "64e6")
+    pdf = pd.DataFrame({"doc_id": [1], "payload": [pngcodec.encode_png(3, 2, 1)]})
+    with pytest.raises(pngcodec.MaxPixelsConfigError):
+        list(decode_meta_real_batches(iter([pdf])))
+
+
+def test_pil_bomb_ceiling_does_not_shadow_ours(monkeypatch):
+    """r12 advisor: with PIL present and SPARK_GRAFT_MAX_PIXELS raised
+    above PIL's default bomb threshold, PIL's DecompressionBombError must
+    not fire before our ceiling check (it would quarantine as corrupt
+    while stdlib hosts decode fine). decode_image_real disables
+    Image.MAX_IMAGE_PIXELS for the duration of the open and restores it."""
+    PIL_Image = pytest.importorskip("PIL.Image")
+
+    from pyspark_coding_challenge_spark.llm.multimodal import decode_image_real
+
+    # a tiny real PNG whose IHDR claims dimensions over PIL's default bomb
+    # threshold (~178.9MP errors at 2x) but under our raised ceiling
+    monkeypatch.setenv("SPARK_GRAFT_MAX_PIXELS", str(500_000_000))
+    saved = PIL_Image.MAX_IMAGE_PIXELS
+    patched = _oversized_png()  # 72MP claim — under both ceilings here
+    # 72MP is under PIL's default too; force a tiny PIL ceiling to emulate
+    # the >2x-bomb scenario deterministically
+    PIL_Image.MAX_IMAGE_PIXELS = 1_000_000
+    try:
+        # decode proceeds past both bomb checks and fails on the broken
+        # IDAT (PIL raises OSError there) — proving neither ceiling fired
+        # (a DecompressionBombError would be neither class and fail this
+        # raises check) — and the global restores afterwards
+        with pytest.raises((ValueError, OSError)):
+            decode_image_real(patched)
+        assert PIL_Image.MAX_IMAGE_PIXELS == 1_000_000
+    finally:
+        PIL_Image.MAX_IMAGE_PIXELS = saved
