@@ -57,6 +57,7 @@ BANDS_NAME = "banded_index"
 CC_NAME = "cc_labels"
 DIGESTS_NAME = "doc_digests"
 SPANPOS_NAME = "span_pos_index"
+VECDIG_NAME = "vec_digests"
 
 ENV_ARTIFACT_DIR = "SPARK_GRAFT_ARTIFACT_DIR"
 
@@ -139,9 +140,35 @@ def _lineage_gate(path: str, sf_dir: str, params: dict,
 # CORRECT at that size, not fast. The lineage gate checks digest IDENTITY;
 # this gate checks churn SIZE (r9 judge finding #2 — "one comparison away
 # from a principled fallback"). Fraction of the OLD snapshot's doc count.
-INCR_MAX_CHURN_FRAC = float(
-    os.environ.get("SPARK_GRAFT_INCR_MAX_CHURN_FRAC", "0.5")
+def _env_float(name: str, default: str) -> float:
+    """Parse a float knob from the environment, failing LOUDLY on a typo
+    (the max-pixels lesson, r11 advisory: a malformed config value must
+    abort at import, not silently push the refresh down a wrong path)."""
+    raw = os.environ.get(name, default)
+    try:
+        return float(raw)
+    except ValueError as exc:
+        raise RuntimeError(
+            f"{name}={raw!r} is not a valid float — fix or unset it"
+        ) from exc
+
+
+INCR_MAX_CHURN_FRAC = _env_float("SPARK_GRAFT_INCR_MAX_CHURN_FRAC", "0.5")
+
+# The quantizer carry gates are stricter than the row-patch gate above:
+# centroid QUALITY is a distribution property, not a per-row one, so the
+# tolerance for carrying a stale quantizer is lower than for patching rows.
+CENTROID_MAX_CHURN_FRAC = _env_float(
+    "SPARK_GRAFT_CENTROID_MAX_CHURN_FRAC", "0.25"
 )
+# Retrain when the churn cohort's mean quantization gap exceeds
+# ratio * training-time mean + margin. The margin keeps a near-zero
+# training gap (tightly clustered corpus) from making the ratio test
+# hair-trigger on measurement noise.
+CENTROID_QE_DRIFT_RATIO = _env_float("SPARK_GRAFT_CENTROID_QE_DRIFT_RATIO",
+                                     "1.5")
+CENTROID_QE_DRIFT_MARGIN = _env_float("SPARK_GRAFT_CENTROID_QE_DRIFT_MARGIN",
+                                      "0.05")
 
 
 def _churn_gate(ctx: dict) -> str | None:
@@ -208,19 +235,21 @@ def doc_digest_relation(docs: DataFrame) -> DataFrame:
     )
 
 
-def digest_of_digests(digests: DataFrame) -> dict:
-    """The corpus snapshot digest computed FROM a (doc_id, digest) relation
+def digest_of_digests(digests: DataFrame, id_col: str = "doc_id") -> dict:
+    """The corpus snapshot digest computed FROM an (id, digest) relation
     — equals ``corpus_digest`` of the corpus those digests were taken from
     (same fold expression over the same per-doc hash). This is what lets a
     refresh verify and chain lineage from the skinny ``doc_digests``
     artifact without re-reading the old corpus's text (r9 judge item #2).
+    ``id_col`` selects the identity column so the embeddings side
+    (``vec_digests``, keyed by vec_id) folds with the identical arithmetic.
     The collect is a bounded 1-row scalar (repo convention)."""
     from pyspark_coding_challenge_spark.llm.dedup import md5_fold60
 
     row = (
         digests.select(
             md5_fold60(
-                F.concat_ws(":", F.col("doc_id").cast("string"), F.col("digest"))
+                F.concat_ws(":", F.col(id_col).cast("string"), F.col("digest"))
             ).alias("h")
         )
         .agg(
@@ -247,6 +276,38 @@ def corpus_digest(spark: SparkSession, sf_dir: str) -> dict:
 
     return digest_of_digests(
         doc_digest_relation(read_table(spark, sf_dir, "documents"))
+    )
+
+
+def vec_digest_relation(emb: DataFrame) -> DataFrame:
+    """Per-vector (vec_id, digest) over an embeddings relation — the
+    embeddings-side twin of ``doc_digest_relation``. The digest is md5 of
+    the JSON-serialized embedding array (deterministic element order and
+    float formatting inside one Spark version; NULL elements serialize in
+    place, so ``[1.0, null]`` and ``[1.0]`` digest differently; a NULL
+    array coalesces to the empty string). The ``label`` column is
+    deliberately EXCLUDED: the quantizer trains on the vectors alone, so a
+    label-only change must not read as embedding churn and trigger a
+    refresh decision."""
+    return emb.select(
+        "vec_id",
+        F.md5(
+            F.coalesce(F.to_json(F.struct(F.col("embedding").alias("e"))),
+                       F.lit(""))
+        ).alias("digest"),
+    )
+
+
+def embeddings_digest(spark: SparkSession, sf_dir: str) -> dict:
+    """Order-independent snapshot digest of the ``embeddings`` table —
+    ``corpus_digest``'s embeddings-side twin, folding (vec_id, vec-digest)
+    pairs with the identical arithmetic. The lineage key the centroid
+    refresh checks before trusting a stored quantizer."""
+    from pyspark_coding_challenge_spark.sources.readers import read_table
+
+    return digest_of_digests(
+        vec_digest_relation(read_table(spark, sf_dir, "embeddings")),
+        id_col="vec_id",
     )
 
 
@@ -279,6 +340,10 @@ def _centroid_params() -> dict:
     from pyspark_coding_challenge_spark.llm import similarity as S
 
     return {"n_lists": S.N_LISTS, "kmeans_iters": S.KMEANS_ITERS}
+
+
+def _vecdig_params() -> dict:
+    return {"digest": "md5(to_json(struct(embedding)))"}
 
 
 def _spine_params() -> dict:
@@ -685,17 +750,64 @@ def load_spans(spark: SparkSession, sf_dir: str, artifact_dir: str,
 # ---------------------------------------------------------------------------
 
 def materialize_ivf_centroids(spark: SparkSession, sf_dir: str,
-                              artifact_dir: str) -> str:
-    from pyspark_coding_challenge_spark.llm.similarity import ivf_centroids_for_dir
+                              artifact_dir: str,
+                              emb_digest: dict | None = None) -> str:
+    """Land the trained IVF quantizer. Since r12 the meta records lineage
+    against the EMBEDDINGS snapshot digest (``emb_digest`` — pass a
+    precomputed one to skip the digest scan) plus the training-time mean
+    quantization gap (``stats.mean_qe``): the baseline
+    ``update_centroids_incremental``'s drift gate compares churned vectors
+    against. The stats pass is one broadcast-argmax scan of the corpus —
+    small next to training's 2-scans-per-Lloyd-iteration, and it only runs
+    when the quantizer is actually (re)written."""
+    from pyspark_coding_challenge_spark.llm import similarity as S
+    from pyspark_coding_challenge_spark.sources.readers import (
+        read_table,
+        rebalance_for_compute,
+    )
 
     path = os.path.join(artifact_dir, CENTROIDS_NAME)
     if _loaded_from(spark, sf_dir, CENTROIDS_NAME) == os.path.abspath(path):
         return path
-    df = ivf_centroids_for_dir(spark, sf_dir)
+    df = S.ivf_centroids_for_dir(spark, sf_dir)
     if _loaded_from(spark, sf_dir, CENTROIDS_NAME) == os.path.abspath(path):
         return path  # builder env-seeded from this path — see materialize_pairs
     df.write.mode("overwrite").parquet(path)
-    _write_meta(path, sf_dir, _centroid_params())
+    e = rebalance_for_compute(read_table(spark, sf_dir, "embeddings"),
+                              "vec_id").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    # bounded 1-row scalar collect (repo convention)
+    row = S.quantization_gap(e, df).agg(
+        F.avg("gap").alias("m"), F.count("*").alias("n")
+    ).collect()[0]
+    stats = {"mean_qe": round(float(row["m"]), 6), "n_vecs": int(row["n"])}
+    _write_meta(path, sf_dir, _centroid_params(),
+                lineage={"snapshot": emb_digest or embeddings_digest(spark, sf_dir),
+                         "patched_from": None, "stats": stats})
+    return path
+
+
+def materialize_vec_digests(spark: SparkSession, sf_dir: str,
+                            artifact_dir: str,
+                            emb_digest: dict | None = None) -> str:
+    """Land the per-vector digest artifact — refresh-time state for
+    ``update_centroids_incremental`` (the embeddings diff's old side, so a
+    refresh never re-reads the retired old snapshot's vectors), exactly as
+    ``doc_digests`` serves the text/dedup chain. Never a query-time cache.
+    The lineage snapshot is folded from the WRITTEN relation (pinned
+    first), so artifact content and lineage cannot disagree."""
+    from pyspark_coding_challenge_spark.sources.readers import read_table
+
+    path = os.path.join(artifact_dir, VECDIG_NAME)
+    rel = vec_digest_relation(
+        read_table(spark, sf_dir, "embeddings")
+    ).localCheckpoint()
+    rel.write.mode("overwrite").parquet(path)
+    _write_meta(path, sf_dir, _vecdig_params(),
+                lineage={"snapshot": emb_digest
+                         or digest_of_digests(rel, id_col="vec_id"),
+                         "patched_from": None})
     return path
 
 
@@ -811,6 +923,7 @@ def materialize_all(spark: SparkSession, sf_dir: str, artifact_dir: str) -> dict
     artifact IS that scan's per-doc form, so it is landed from the same
     pass."""
     digest = corpus_digest(spark, sf_dir)
+    emb_digest = embeddings_digest(spark, sf_dir)
     return {
         PAIRS_NAME: materialize_pairs(spark, sf_dir, artifact_dir, digest),
         BANDS_NAME: materialize_bands(spark, sf_dir, artifact_dir, digest),
@@ -822,7 +935,10 @@ def materialize_all(spark: SparkSession, sf_dir: str, artifact_dir: str) -> dict
         SPANPOS_NAME: materialize_span_pos(spark, sf_dir, artifact_dir,
                                            digest),
         SPANS_NAME: materialize_spans(spark, sf_dir, artifact_dir, digest),
-        CENTROIDS_NAME: materialize_ivf_centroids(spark, sf_dir, artifact_dir),
+        CENTROIDS_NAME: materialize_ivf_centroids(spark, sf_dir, artifact_dir,
+                                                  emb_digest=emb_digest),
+        VECDIG_NAME: materialize_vec_digests(spark, sf_dir, artifact_dir,
+                                             emb_digest=emb_digest),
         SPINE_NAME: materialize_spine(spark, sf_dir, artifact_dir, digest),
         SIGNALS_NAME: materialize_signals(spark, sf_dir, artifact_dir, digest),
     }
@@ -1300,18 +1416,257 @@ def update_text_incremental(spark: SparkSession, old_sf_dir: str,
     return summary
 
 
+def _old_vecdig_state(spark: SparkSession, old_sf_dir: str,
+                      artifact_dir: str) -> tuple[dict | None, DataFrame | None, str | None]:
+    """``_old_digest_state`` for the embeddings side: resolve the OLD
+    snapshot's embeddings digest from the ``vec_digests`` artifact when it
+    is provenance-valid AND self-consistent (content fold == its recorded
+    lineage.snapshot) — in which case the old snapshot's vectors are never
+    re-read; otherwise by scanning ``old_sf_dir``. Same trust chain: a
+    tampered sidecar fails the centroid lineage comparison downstream."""
+    path = os.path.join(artifact_dir, VECDIG_NAME)
+    try:
+        _check_meta(path, old_sf_dir, _vecdig_params())
+        cand = spark.read.parquet(path)
+        content = digest_of_digests(cand, id_col="vec_id")
+        lin = _read_meta(path).get("lineage")
+        if lin and lin.get("snapshot") == content:
+            return content, cand, None
+        note = (f"vec_digests content fold {content} does not match its "
+                f"recorded lineage {lin}")
+    except ValueError as exc:
+        note = str(exc)
+    except Exception as exc:  # unreadable/missing parquet under a valid meta
+        note = f"vec_digests unreadable: {exc}"
+    if not os.path.exists(os.path.join(old_sf_dir, "embeddings.parquet")):
+        # no artifact AND no old corpus: nothing to refresh from — the
+        # caller bootstraps a full build on the new snapshot
+        return None, None, (f"{note}; and {old_sf_dir} has no embeddings "
+                            "table to rescan")
+    return embeddings_digest(spark, old_sf_dir), None, note
+
+
+def update_centroids_incremental(spark: SparkSession, old_sf_dir: str,
+                                 new_sf_dir: str, artifact_dir: str) -> dict:
+    """Refresh the EMBEDDINGS-side artifacts (``ivf_centroids`` +
+    ``vec_digests``) from the embeddings snapshot diff. The quantizer is a
+    trained model, not a per-row relation, so there is no row patch; the
+    refresh decision is CARRY vs RETRAIN:
+
+    * **carry** — the stored quantizer's bytes are kept verbatim and only
+      its meta is re-pointed at the new snapshot (lineage records
+      ``carried_from``). Sound because IVF recall depends on how well the
+      centroids cover the vector DISTRIBUTION, and bounded churn bounds
+      distribution shift: removals only empty lists (never probed — a
+      waste, not an error) and covered additions land in existing lists.
+      Cost: one skinny digest diff + one churn-sized drift check — at
+      100 TB this replaces 2-corpus-scans-per-Lloyd-iteration retraining
+      with work proportional to the churn.
+    * **retrain** — full ``materialize_ivf_centroids`` on the new corpus,
+      forced by any gate: (1) lineage (stored quantizer not trained on
+      exactly the old snapshot — params drift, pre-r12 meta, tampering);
+      (2) churn fraction > ``CENTROID_MAX_CHURN_FRAC`` of the old vector
+      count; (3) drift — the churn cohort's mean quantization gap
+      (``similarity.quantization_gap``, computed over added/modified
+      vectors ONLY, so the check is churn-sized) exceeds
+      ``ratio * training-time mean + margin``. The stored ``stats.mean_qe``
+      baseline is the ORIGINAL training distribution and is carried
+      unchanged through successive carries, so repeated small drifts
+      accumulate against a fixed reference instead of boiling the frog.
+
+    ``vec_digests`` itself patches by delete+append with fold-arithmetic
+    lineage (the ``doc_digests`` pattern) whenever the stored artifact is
+    valid, regardless of which way the quantizer decision went.
+
+    Returns a summary: ``mode`` ('carried' | 'retrained'), ``churn``
+    counts, ``reason`` (why retrained, or why the drift check was
+    skipped), ``churn_qe``/``trained_qe`` when the drift gate ran,
+    per-artifact ``walls``, and ``vec_digests`` ('patched' |
+    'full_rebuild')."""
+    from pyspark_coding_challenge_spark.llm import dedup as D
+    from pyspark_coding_challenge_spark.llm import similarity as S
+    from pyspark_coding_challenge_spark.sources.readers import (
+        read_table,
+        rebalance_for_compute,
+    )
+
+    cent_path = os.path.join(artifact_dir, CENTROIDS_NAME)
+    vd_path = os.path.join(artifact_dir, VECDIG_NAME)
+    walls: dict[str, float] = {}
+    summary: dict = {"walls": walls}
+
+    t0 = time.perf_counter()
+    old_digest, old_vd, vd_note = _old_vecdig_state(spark, old_sf_dir,
+                                                    artifact_dir)
+    if vd_note is not None:
+        summary["vec_digests_note"] = vd_note
+    if old_digest is None:
+        # bootstrap: no stored digests and the old snapshot has no
+        # embeddings to rescan — full build on the new snapshot
+        S.clear_centroid_cache(spark)
+        emb_digest = embeddings_digest(spark, new_sf_dir)
+        materialize_ivf_centroids(spark, new_sf_dir, artifact_dir,
+                                  emb_digest=emb_digest)
+        walls[CENTROIDS_NAME] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        materialize_vec_digests(spark, new_sf_dir, artifact_dir,
+                                emb_digest=emb_digest)
+        walls[VECDIG_NAME] = round(time.perf_counter() - t0, 3)
+        summary.update({"mode": "retrained",
+                        "reason": f"bootstrap ({vd_note})",
+                        VECDIG_NAME: "full_rebuild"})
+        return summary
+    new_emb = rebalance_for_compute(
+        read_table(spark, new_sf_dir, "embeddings"), "vec_id"
+    )
+    new_vd_raw = vec_digest_relation(new_emb)
+    if old_vd is not None:
+        old_side = old_vd
+    else:
+        old_side = vec_digest_relation(
+            read_table(spark, old_sf_dir, "embeddings")
+        )
+    # pinned churn diff — consumed by counts, gone/delta, folds, drift
+    diff = D.digest_diff(old_side, new_vd_raw, id_col="vec_id") \
+        .localCheckpoint()
+    churn = {
+        r["change"]: r["n"]
+        for r in diff.groupBy("change").agg(F.count("*").alias("n")).collect()
+    }
+    summary["churn"] = churn
+    gone = diff.filter(F.col("change").isin("removed", "modified")) \
+        .select("vec_id")
+    delta_ids = diff.filter(F.col("change").isin("added", "modified")) \
+        .select("vec_id")
+    n_churn = sum(churn.values())
+    n_old = int(old_digest["n_docs"])
+
+    # new snapshot digest: fold arithmetic off the stored artifact when
+    # valid (churn-proportional), else fold the fresh relation
+    if old_vd is not None:
+        gone_fold = digest_of_digests(
+            old_vd.join(gone, on="vec_id", how="left_semi"), id_col="vec_id"
+        )
+        add_rows = diff.filter(F.col("change").isin("added", "modified")) \
+            .select("vec_id", F.col("digest_new").alias("digest"))
+        add_fold = digest_of_digests(add_rows, id_col="vec_id")
+        new_digest = {
+            "fold_sum": str(int(old_digest["fold_sum"])
+                            - int(gone_fold["fold_sum"])
+                            + int(add_fold["fold_sum"])),
+            "n_docs": (old_digest["n_docs"] - gone_fold["n_docs"]
+                       + add_fold["n_docs"]),
+        }
+        new_vd_rel = (
+            old_vd.join(gone, on="vec_id", how="left_anti")
+            .unionByName(add_rows)
+            # reads the vec_digests path being overwritten — pin first
+            .localCheckpoint()
+        )
+    else:
+        new_vd_rel = new_vd_raw.localCheckpoint()
+        new_digest = digest_of_digests(new_vd_rel, id_col="vec_id")
+    walls["diff"] = round(time.perf_counter() - t0, 3)
+
+    # --- the carry/retrain decision ---------------------------------------
+    t0 = time.perf_counter()
+    reason = _lineage_gate(cent_path, old_sf_dir, _centroid_params(),
+                           old_digest)
+    stored_stats = None
+    if reason is None:
+        stored_stats = (_read_meta(cent_path).get("lineage") or {}).get("stats")
+        if not stored_stats or "mean_qe" not in stored_stats:
+            reason = ("stored quantizer meta records no training stats "
+                      "(pre-r12 artifact) — no drift baseline to carry against")
+    if reason is None and n_old > 0 and \
+            n_churn > CENTROID_MAX_CHURN_FRAC * n_old:
+        reason = (
+            f"churn of {n_churn} vectors is {n_churn / n_old:.0%} of the "
+            f"{n_old}-vector old snapshot "
+            f"(limit {CENTROID_MAX_CHURN_FRAC:.0%})"
+        )
+    if reason is None:
+        fresh = new_emb.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+        ).join(delta_ids, on="vec_id", how="left_semi")
+        cent = spark.read.parquet(cent_path)
+        # bounded 1-row scalar collect (repo convention); churn-sized input
+        row = S.quantization_gap(fresh, cent).agg(
+            F.avg("gap").alias("m")
+        ).collect()[0]
+        if row["m"] is None:
+            summary["reason"] = "no added/modified vectors — drift check vacuous"
+        else:
+            churn_qe = float(row["m"])
+            trained_qe = float(stored_stats["mean_qe"])
+            summary["churn_qe"] = round(churn_qe, 6)
+            summary["trained_qe"] = trained_qe
+            ceiling = (CENTROID_QE_DRIFT_RATIO * trained_qe
+                       + CENTROID_QE_DRIFT_MARGIN)
+            if churn_qe > ceiling:
+                reason = (
+                    f"churned vectors' mean quantization gap {churn_qe:.4f} "
+                    f"exceeds {CENTROID_QE_DRIFT_RATIO} x training-time "
+                    f"{trained_qe:.4f} + {CENTROID_QE_DRIFT_MARGIN} — the "
+                    "stored quantizer does not cover the new vector mass"
+                )
+
+    # a session quantizer cached for either dir no longer reflects what
+    # the artifact is about to say — drop them all; the next consumer
+    # re-seeds from the artifact (clear also invalidates _loaded_from)
+    S.clear_centroid_cache(spark)
+    if reason is None:
+        summary["mode"] = "carried"
+        _write_meta(cent_path, new_sf_dir, _centroid_params(),
+                    lineage={"snapshot": new_digest,
+                             "carried_from": old_digest,
+                             # the ORIGINAL training baseline, not this
+                             # carry's churn_qe — see docstring
+                             "stats": stored_stats})
+    else:
+        summary["mode"] = "retrained"
+        summary["reason"] = reason
+        materialize_ivf_centroids(spark, new_sf_dir, artifact_dir,
+                                  emb_digest=new_digest)
+    walls[CENTROIDS_NAME] = round(time.perf_counter() - t0, 3)
+
+    # --- vec_digests: patch (fold lineage) or rebuild ----------------------
+    t0 = time.perf_counter()
+    new_vd_rel.write.mode("overwrite").parquet(vd_path)
+    _write_meta(vd_path, new_sf_dir, _vecdig_params(),
+                lineage={"snapshot": new_digest,
+                         "patched_from": old_digest}
+                if old_vd is not None
+                else {"snapshot": new_digest, "patched_from": None,
+                      "via": "corpus_scan"})
+    summary[VECDIG_NAME] = ("patched" if old_vd is not None
+                            else "full_rebuild")
+    walls[VECDIG_NAME] = round(time.perf_counter() - t0, 3)
+    return summary
+
+
 def update_all_incremental(spark: SparkSession, old_sf_dir: str,
                            new_sf_dir: str, artifact_dir: str) -> dict:
     """One-call incremental refresh of EVERY refreshable artifact — the
     ``build_artifacts.py --incremental`` entry point. Builds the shared
     diff/digest context ONCE (it must be captured before either updater
     overwrites the ``doc_digests`` artifact), then patches the text-side
-    artifacts and the dedup-side chain (pairs, bands, CC labels, digests).
-    ``ivf_centroids`` is a trained model artifact — its refresh policy is
-    retrain-on-drift, not a churn patch — so it is left untouched."""
+    artifacts, the dedup-side chain (pairs, bands, CC labels, digests),
+    and — when the new snapshot carries an ``embeddings`` table — the
+    embeddings side (``update_centroids_incremental``: quantizer
+    carry-or-retrain + ``vec_digests`` patch). A snapshot without
+    embeddings records the side as skipped rather than failing the text/
+    dedup refresh (the scale-probe corpora and any text-only deployment
+    are documents-only)."""
     ctx = _refresh_ctx(spark, old_sf_dir, new_sf_dir, artifact_dir)
     text = update_text_incremental(spark, old_sf_dir, new_sf_dir,
                                    artifact_dir, _ctx=ctx)
     dedup = update_pairs_incremental(spark, old_sf_dir, new_sf_dir,
                                      artifact_dir, _ctx=ctx)
-    return {"dedup": dedup, "text": text}
+    if os.path.exists(os.path.join(new_sf_dir, "embeddings.parquet")):
+        emb = update_centroids_incremental(spark, old_sf_dir, new_sf_dir,
+                                           artifact_dir)
+    else:
+        emb = {"mode": "skipped",
+               "reason": "no embeddings table in the new snapshot"}
+    return {"dedup": dedup, "text": text, "embeddings": emb}

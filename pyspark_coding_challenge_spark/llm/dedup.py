@@ -173,6 +173,18 @@ def snapshot_diff_from_digests(old_digests: DataFrame, new_docs: DataFrame,
     return _diff_of_digest_sides(a, b, id_col)
 
 
+def digest_diff(old_digests: DataFrame, new_digests: DataFrame,
+                id_col: str = "doc_id") -> DataFrame:
+    """``snapshot_diff`` with BOTH sides already digested — (id, digest)
+    relations in, (id, change, digest_old, digest_new) churn rows out.
+    The embeddings-side refresh uses this (its digest expression lives in
+    ``artifacts.vec_digest_relation``, not a text md5); the text-side
+    wrappers above remain the convenience forms."""
+    a = old_digests.select(id_col, F.col("digest").alias("digest_old"))
+    b = new_digests.select(id_col, F.col("digest").alias("digest_new"))
+    return _diff_of_digest_sides(a, b, id_col)
+
+
 def _diff_of_digest_sides(a: DataFrame, b: DataFrame, id_col: str) -> DataFrame:
     change = (
         F.when(F.col("digest_old").isNull(), "added")

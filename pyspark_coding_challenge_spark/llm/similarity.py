@@ -341,6 +341,28 @@ def assign_nearest_list(e: DataFrame, cent: DataFrame) -> DataFrame:
     )
 
 
+def quantization_gap(e: DataFrame, cent: DataFrame) -> DataFrame:
+    """Per-vector quantization gap against a trained quantizer:
+    ``gap = 1 - max over lists of cos(emb, cvec)`` — 0 when some centroid
+    points exactly along the vector, 1 when every centroid is orthogonal
+    to it. Scale-free (the corpus side is normalized here; ``cvec`` is
+    already unit-norm by construction), so it is comparable across
+    snapshots and corpus sizes. Same broadcast nested-loop + argmax shape
+    as ``assign_nearest_list``: no stage holds more than
+    (rows x n_lists) skinny rows, partial-aggregated map-side. This is the
+    drift statistic ``artifacts.update_centroids_incremental`` uses: a
+    churn cohort whose mean gap is far above the TRAINING-TIME mean is
+    vector mass the stored quantizer does not cover — retrain."""
+    scored = e.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        (dot(F.col("emb"), F.col("cvec")) / norm(F.col("emb"))).alias("cos"),
+    )
+    return (
+        scored.groupBy("vec_id")
+        .agg((F.lit(1.0) - F.max("cos")).alias("gap"))
+    )
+
+
 def train_ivf_centroids(e: DataFrame, n_lists: int = N_LISTS,
                         iters: int = KMEANS_ITERS) -> DataFrame:
     """Deterministic Lloyd k-means over the corpus, FULLY relational — no

@@ -67,6 +67,7 @@ def main() -> None:
         A.SPANPOS_NAME: A.materialize_span_pos,
         A.SPANS_NAME: A.materialize_spans,
         A.CENTROIDS_NAME: A.materialize_ivf_centroids,
+        A.VECDIG_NAME: A.materialize_vec_digests,
         A.SPINE_NAME: A.materialize_spine,
         A.SIGNALS_NAME: A.materialize_signals,
     }
@@ -90,14 +91,18 @@ def main() -> None:
         for n, path in A.materialize_all(spark, sf_dir, artifact_dir).items():
             print(f"{n}: {path}")
     else:
-        # explicit names: one shared digest scan for the builders that
-        # take one — computed LAZILY so e.g. `... ivf_centroids` alone
-        # (the one non-lineage builder) pays no corpus scan (r9 advisor)
+        # explicit names: one shared digest scan PER SIDE, computed lazily
+        # — the documents digest for the text/dedup builders, the
+        # embeddings digest for the quantizer + vec_digests pair (passing
+        # the docs digest there would record a wrong lineage snapshot)
         digest = None
+        emb_digest = None
         for n in names:
             fn = builders[n]
-            if n == A.CENTROIDS_NAME:
-                path = fn(spark, sf_dir, artifact_dir)
+            if n in (A.CENTROIDS_NAME, A.VECDIG_NAME):
+                if emb_digest is None:
+                    emb_digest = A.embeddings_digest(spark, sf_dir)
+                path = fn(spark, sf_dir, artifact_dir, emb_digest=emb_digest)
             else:
                 if digest is None:
                     digest = A.corpus_digest(spark, sf_dir)

@@ -67,6 +67,59 @@ def build_corpus(spark, factor: int) -> str:
     return out
 
 
+def ensure_embeddings(spark, corpus_dir: str, factor: int) -> None:
+    """Add a replicated ``embeddings.parquet`` to an existing probe corpus
+    (its own completion marker, so doc corpora cached by earlier rounds
+    upgrade in place instead of rebuilding). Replica 0 is verbatim;
+    replicas live on disjoint vec_ids. Only the --incr mode calls this —
+    the other probes' corpora and protocols are untouched."""
+    from pyspark.sql import functions as F
+
+    if os.path.exists(f"{corpus_dir}/.emb_complete"):
+        return
+    base = spark.read.parquet(f"{BASE_SF}/embeddings.parquet")
+    parts = [
+        base.select((F.col("vec_id") + i * 10_000_000).alias("vec_id"),
+                    "embedding", "label")
+        for i in range(factor)
+    ]
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    df.write.mode("overwrite").parquet(f"{corpus_dir}/embeddings.parquet")
+    open(f"{corpus_dir}/.emb_complete", "w").close()
+
+
+def ensure_churned_embeddings(spark, old_dir: str, new_dir: str) -> None:
+    """FIXED-size embeddings churn mirroring ``build_churned``'s doc
+    churn: vec_ids [5,105) removed, [105,205) modified IN-DISTRIBUTION
+    (a small first-coordinate nudge — the probe measures the CARRY wall,
+    so the churn must not trip the drift gate), 100 added on fresh ids as
+    copies of in-distribution vectors. Queries (vec_id < 5) intact."""
+    from pyspark.sql import functions as F
+
+    if os.path.exists(f"{new_dir}/.emb_complete"):
+        return
+    emb = spark.read.parquet(f"{old_dir}/embeddings.parquet")
+    kept = emb.filter(~((F.col("vec_id") >= 5) & (F.col("vec_id") < 105)))
+    mutated = kept.withColumn(
+        "embedding",
+        F.when(
+            (F.col("vec_id") >= 105) & (F.col("vec_id") < 205),
+            F.concat(
+                F.array(F.col("embedding")[0] + F.lit(0.01)),
+                F.slice("embedding", 2, 1_000_000),
+            ).cast("array<float>"),
+        ).otherwise(F.col("embedding")),
+    )
+    added = emb.filter((F.col("vec_id") >= 205) & (F.col("vec_id") < 305)) \
+        .select((F.col("vec_id") + 900_000_000).alias("vec_id"),
+                "embedding", "label")
+    mutated.unionByName(added).write.mode("overwrite") \
+        .parquet(f"{new_dir}/embeddings.parquet")
+    open(f"{new_dir}/.emb_complete", "w").close()
+
+
 def probe(spark, sf_dir: str) -> dict[str, float]:
     """Time the heavy kernels once each (noop sink, nothing collected).
     lsh_candidate_pairs materializes eagerly at construction, so its
@@ -496,10 +549,11 @@ def probe_incr(spark, old_dir: str, new_dir: str) -> dict[str, float]:
 CC_COMPONENTS = (2_000, 20_000, 200_000)
 
 
-# the eight refreshable artifacts, in the dependency order materialize_all
-# uses (pairs populates the band cache; span_pos feeds spans); centroids
-# are excluded on purpose — their refresh policy is retrain-on-drift, not
-# a churn patch (update_all_incremental leaves them untouched too)
+# the eight text/dedup-side refreshable artifacts, in the dependency order
+# materialize_all uses (pairs populates the band cache; span_pos feeds
+# spans). The embeddings side (centroids + vec_digests, r12) is handled
+# separately in probe_incr_artifacts: its builders take the EMBEDDINGS
+# digest, not the documents digest
 def _refreshable_artifacts(A):
     return [
         (A.PAIRS_NAME, A.materialize_pairs),
@@ -515,9 +569,11 @@ def _refreshable_artifacts(A):
 
 def _clear_all_artifact_caches(spark):
     from pyspark_coding_challenge_spark.llm import dedup as D
+    from pyspark_coding_challenge_spark.llm import similarity as S
     from pyspark_coding_challenge_spark.llm import text as T
     from pyspark_coding_challenge_spark.operators import prefix as P
 
+    S.clear_centroid_cache(spark)
     D.clear_pair_cache(spark)
     T.clear_doc_signals_cache(spark)
     T.clear_token_spine_cache(spark)
@@ -542,10 +598,15 @@ def probe_incr_artifacts(spark, old_dir: str, new_dir: str) -> dict:
     full_art = f"{new_dir}/art_full"
     shutil.rmtree(art, ignore_errors=True)
     shutil.rmtree(full_art, ignore_errors=True)
-    # stored state, untimed
+    # stored state, untimed (text/dedup side + the r12 embeddings side)
     old_digest = A.corpus_digest(spark, old_dir)
     for _, fn in _refreshable_artifacts(A):
         fn(spark, old_dir, art, old_digest)
+    old_emb_digest = A.embeddings_digest(spark, old_dir)
+    A.materialize_ivf_centroids(spark, old_dir, art,
+                                emb_digest=old_emb_digest)
+    A.materialize_vec_digests(spark, old_dir, art,
+                              emb_digest=old_emb_digest)
     _clear_all_artifact_caches(spark)
 
     out: dict = {}
@@ -553,7 +614,8 @@ def probe_incr_artifacts(spark, old_dir: str, new_dir: str) -> dict:
     summary = A.update_all_incremental(spark, old_dir, new_dir, art)
     out["patch_total"] = round(time.perf_counter() - t0, 3)
     out["patch_walls"] = {**summary["text"].get("walls", {}),
-                          **summary["dedup"].get("walls", {})}
+                          **summary["dedup"].get("walls", {}),
+                          **summary["embeddings"].get("walls", {})}
     out["modes"] = {
         "dedup": summary["dedup"].get("mode"),
         "cc": summary["dedup"].get("cc_mode"),
@@ -561,6 +623,8 @@ def probe_incr_artifacts(spark, old_dir: str, new_dir: str) -> dict:
         A.SPINE_NAME: summary["text"].get(A.SPINE_NAME),
         A.SPANPOS_NAME: summary["text"].get(A.SPANPOS_NAME),
         A.SPANS_NAME: summary["text"].get(A.SPANS_NAME),
+        A.CENTROIDS_NAME: summary["embeddings"].get("mode"),
+        A.VECDIG_NAME: summary["embeddings"].get(A.VECDIG_NAME),
     }
     _clear_all_artifact_caches(spark)
 
@@ -570,6 +634,15 @@ def probe_incr_artifacts(spark, old_dir: str, new_dir: str) -> dict:
         t0 = time.perf_counter()
         fn(spark, new_dir, full_art, new_digest)
         full_walls[name] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    new_emb_digest = A.embeddings_digest(spark, new_dir)
+    A.materialize_ivf_centroids(spark, new_dir, full_art,
+                                emb_digest=new_emb_digest)
+    full_walls[A.CENTROIDS_NAME] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    A.materialize_vec_digests(spark, new_dir, full_art,
+                              emb_digest=new_emb_digest)
+    full_walls[A.VECDIG_NAME] = round(time.perf_counter() - t0, 3)
     out["full_walls"] = full_walls
     out["full_total"] = round(sum(full_walls.values()), 3)
     out["patch_over_full"] = round(
@@ -814,7 +887,12 @@ def main() -> None:
                     "'artifact_refresh' — wall-to-wall "
                     "update_all_incremental (per-artifact patch walls "
                     "recorded by the updaters) vs per-artifact full "
-                    "materialize_* on the post-churn corpus (r10 #1b)"
+                    "materialize_* on the post-churn corpus (r10 #1b), "
+                    "including the embeddings side: replicated embeddings "
+                    "with FIXED 300-vector churn (100 removed, 100 modified "
+                    "in-distribution, 100 added), so the quantizer CARRY "
+                    "wall is measured against a full retrain + vec_digests "
+                    "rebuild"
                 ),
                 "factors": {},
             })
@@ -826,6 +904,8 @@ def main() -> None:
             for f in (*REPLICAS, 30):
                 old_dir = build_corpus(spark, f)
                 new_dir = build_churned(spark, f)
+                ensure_embeddings(spark, old_dir, f)
+                ensure_churned_embeddings(spark, old_dir, new_dir)
                 result["factors"][str(f)] = probe_incr(spark, old_dir,
                                                        new_dir)
                 result["factors"][str(f)]["artifact_refresh"] = \

@@ -1,0 +1,301 @@
+"""Embeddings-side incremental refresh (llm/artifacts.py, r12).
+
+The quantizer is a trained model, not a per-row relation, so its refresh
+is CARRY vs RETRAIN — carry when the stored centroids still describe the
+churned snapshot's vector distribution (lineage valid, churn bounded,
+churned vectors' quantization gap near the training-time baseline),
+retrain otherwise. ``vec_digests`` is the skinny refresh-time state that
+lets the diff run without re-reading the retired old snapshot's vectors
+(the ``doc_digests`` pattern). Contracts verified here:
+
+* carry keeps the centroid BYTES verbatim and re-points only the meta,
+  with an auditable ``carried_from`` lineage chain;
+* the churn-fraction and drift gates force retrains (distribution shift
+  must not be boiled-frog-carried past them);
+* the drift baseline stays the ORIGINAL training-time mean gap across
+  chained carries;
+* the patched ``vec_digests`` artifact folds to exactly the new
+  snapshot's digest (the same hash-gate the doc side has);
+* a carried quantizer still clears the IVF recall floor on the churned
+  corpus.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+
+import pytest
+
+from pyspark_coding_challenge_spark.llm import artifacts as A
+from pyspark_coding_challenge_spark.llm import similarity as S
+
+DIM = 8
+
+
+def _base_vecs() -> dict[int, list[float]]:
+    """40 deterministic vectors spanning dims 0..3 only (four perturbed
+    axis clusters) — dims 4..7 stay empty so a drift test can plant mass
+    the trained quantizer provably does not cover."""
+    vecs = {}
+    for i in range(40):
+        d = i % 4
+        v = [0.0] * DIM
+        v[d] = 1.0
+        v[(d + 1) % 4] = 0.05 * (i // 4)
+        n = math.sqrt(sum(x * x for x in v))
+        vecs[i] = [x / n for x in v]
+    return vecs
+
+
+def _write_emb(spark, sf_dir, vecs: dict[int, list[float]],
+               labels: dict[int, int] | None = None) -> str:
+    rows = [(i, [float(x) for x in v], (labels or {}).get(i, 0))
+            for i, v in sorted(vecs.items())]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    df.coalesce(1).write.mode("overwrite") \
+        .parquet(f"{sf_dir}/embeddings.parquet")
+    return str(sf_dir)
+
+
+def _centroid_rows(spark, art):
+    path = os.path.join(art, A.CENTROIDS_NAME)
+    return sorted(
+        (r["lid"], tuple(r["cvec"]))
+        for r in spark.read.parquet(path).collect()
+    )
+
+
+def _meta(art, name):
+    with open(os.path.join(art, name, "_artifact_meta.json")) as f:
+        return json.load(f)
+
+
+def _build_old(spark, tmp_path, vecs=None):
+    old = _write_emb(spark, tmp_path / "old", vecs or _base_vecs())
+    art = str(tmp_path / "art")
+    emb_digest = A.embeddings_digest(spark, old)
+    A.materialize_ivf_centroids(spark, old, art, emb_digest=emb_digest)
+    A.materialize_vec_digests(spark, old, art, emb_digest=emb_digest)
+    S.clear_centroid_cache(spark)
+    return old, art
+
+
+def test_carry_on_small_churn(spark, tmp_path):
+    vecs = _base_vecs()
+    old, art = _build_old(spark, tmp_path, vecs)
+    trained_stats = _meta(art, A.CENTROIDS_NAME)["lineage"]["stats"]
+    before = _centroid_rows(spark, art)
+
+    new_vecs = dict(vecs)
+    del new_vecs[39]                                 # removed
+    new_vecs[10] = vecs[14]                          # modified, in-dist
+    new_vecs[100] = vecs[22]                         # added, in-dist
+    new_vecs[101] = vecs[3]                          # added, in-dist
+    new = _write_emb(spark, tmp_path / "new", new_vecs)
+
+    summary = A.update_centroids_incremental(spark, old, new, art)
+    assert summary["mode"] == "carried", summary
+    assert summary["churn"] == {"removed": 1, "modified": 1, "added": 2}
+    assert summary["churn_qe"] <= (
+        A.CENTROID_QE_DRIFT_RATIO * summary["trained_qe"]
+        + A.CENTROID_QE_DRIFT_MARGIN
+    )
+    assert summary[A.VECDIG_NAME] == "patched"
+
+    # bytes verbatim; meta re-pointed with an auditable chain
+    assert _centroid_rows(spark, art) == before
+    meta = _meta(art, A.CENTROIDS_NAME)
+    assert meta["sf_dir"] == os.path.abspath(new)
+    assert meta["lineage"]["snapshot"] == A.embeddings_digest(spark, new)
+    assert meta["lineage"]["carried_from"]["n_docs"] == 40
+    # the drift baseline is the ORIGINAL training-time stats, unchanged
+    assert meta["lineage"]["stats"] == trained_stats
+
+    # the patched vec_digests artifact folds to exactly the new snapshot
+    vd = spark.read.parquet(os.path.join(art, A.VECDIG_NAME))
+    assert A.digest_of_digests(vd, id_col="vec_id") == \
+        meta["lineage"]["snapshot"]
+    assert vd.count() == 41
+
+    # a fresh consumer loads the carried quantizer for the NEW dir
+    S.clear_centroid_cache(spark)
+    loaded = A.load_ivf_centroids(spark, new, art)
+    assert loaded.count() == len(before)
+    S.clear_centroid_cache(spark)
+
+
+def test_chained_carry_keeps_original_baseline(spark, tmp_path):
+    """Two successive carries: the second compares drift against the
+    TRAINING-time baseline, not the first carry's churn — repeated small
+    drifts accumulate against a fixed reference."""
+    vecs = _base_vecs()
+    old, art = _build_old(spark, tmp_path, vecs)
+    trained_stats = _meta(art, A.CENTROIDS_NAME)["lineage"]["stats"]
+
+    v1 = dict(vecs)
+    v1[200] = vecs[17]
+    mid = _write_emb(spark, tmp_path / "mid", v1)
+    s1 = A.update_centroids_incremental(spark, old, mid, art)
+    assert s1["mode"] == "carried"
+
+    v2 = dict(v1)
+    v2[201] = vecs[29]
+    new = _write_emb(spark, tmp_path / "new2", v2)
+    s2 = A.update_centroids_incremental(spark, mid, new, art)
+    assert s2["mode"] == "carried"
+    assert s2["trained_qe"] == trained_stats["mean_qe"]
+    meta = _meta(art, A.CENTROIDS_NAME)
+    assert meta["lineage"]["stats"] == trained_stats
+    assert meta["lineage"]["snapshot"] == A.embeddings_digest(spark, new)
+    S.clear_centroid_cache(spark)
+
+
+def test_retrain_on_churn_fraction(spark, tmp_path):
+    vecs = _base_vecs()
+    old, art = _build_old(spark, tmp_path, vecs)
+    new_vecs = {i: v for i, v in vecs.items() if i >= 15}  # 37.5% removed
+    new = _write_emb(spark, tmp_path / "new", new_vecs)
+
+    summary = A.update_centroids_incremental(spark, old, new, art)
+    assert summary["mode"] == "retrained", summary
+    assert "churn" in summary["reason"]
+    meta = _meta(art, A.CENTROIDS_NAME)
+    assert meta["sf_dir"] == os.path.abspath(new)
+    assert meta["lineage"]["patched_from"] is None
+    assert meta["lineage"]["snapshot"] == A.embeddings_digest(spark, new)
+    # fresh training stats recorded for the next refresh's drift gate
+    assert meta["lineage"]["stats"]["n_vecs"] == 25
+    S.clear_centroid_cache(spark)
+
+
+def test_retrain_on_drift(spark, tmp_path):
+    """Two added vectors (5% churn — far under the fraction gate) in the
+    dims-4..7 subspace the training corpus never touched: quantization
+    gap ~1.0 against every stored centroid, so the drift gate retrains."""
+    vecs = _base_vecs()
+    old, art = _build_old(spark, tmp_path, vecs)
+    new_vecs = dict(vecs)
+    e7 = [0.0] * DIM
+    e7[7] = 1.0
+    e6 = [0.0] * DIM
+    e6[6] = 1.0
+    new_vecs[300], new_vecs[301] = e7, e6
+    new = _write_emb(spark, tmp_path / "new", new_vecs)
+
+    summary = A.update_centroids_incremental(spark, old, new, art)
+    assert summary["mode"] == "retrained", summary
+    assert "quantization gap" in summary["reason"]
+    assert summary["churn_qe"] > 0.9
+    S.clear_centroid_cache(spark)
+
+
+def test_label_only_change_is_no_churn(spark, tmp_path):
+    """The digest covers the vectors alone: relabeling must read as zero
+    churn (no drift check input, trivially carried)."""
+    vecs = _base_vecs()
+    old, art = _build_old(spark, tmp_path, vecs)
+    new = _write_emb(spark, tmp_path / "new", vecs,
+                     labels={i: 7 for i in vecs})
+    summary = A.update_centroids_incremental(spark, old, new, art)
+    assert summary["mode"] == "carried"
+    assert summary["churn"] == {}
+    assert "vacuous" in summary["reason"]
+    S.clear_centroid_cache(spark)
+
+
+def test_pre_lineage_artifact_retrains(spark, tmp_path):
+    """A pre-r12 centroid artifact (no lineage/stats in its meta) has no
+    drift baseline — the refresh must retrain, not guess."""
+    vecs = _base_vecs()
+    old, art = _build_old(spark, tmp_path, vecs)
+    meta_path = os.path.join(art, A.CENTROIDS_NAME, "_artifact_meta.json")
+    with open(meta_path) as f:
+        meta = json.load(f)
+    del meta["lineage"]
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
+
+    new = _write_emb(spark, tmp_path / "new", vecs)
+    summary = A.update_centroids_incremental(spark, old, new, art)
+    assert summary["mode"] == "retrained"
+    assert "lineage" in summary["reason"]
+    S.clear_centroid_cache(spark)
+
+
+def test_bootstrap_without_old_state(spark, tmp_path):
+    """No stored vec_digests AND no old embeddings table: nothing to
+    refresh from — full build on the new snapshot, honestly recorded."""
+    os.makedirs(tmp_path / "old", exist_ok=True)
+    new = _write_emb(spark, tmp_path / "new", _base_vecs())
+    art = str(tmp_path / "art")
+    summary = A.update_centroids_incremental(
+        spark, str(tmp_path / "old"), new, art
+    )
+    assert summary["mode"] == "retrained"
+    assert summary["reason"].startswith("bootstrap")
+    assert summary[A.VECDIG_NAME] == "full_rebuild"
+    assert _meta(art, A.CENTROIDS_NAME)["lineage"]["snapshot"] == \
+        A.embeddings_digest(spark, new)
+    S.clear_centroid_cache(spark)
+
+
+def test_carried_quantizer_clears_recall_floor(spark, tmp_path):
+    """End-to-end: IVF search served from the CARRIED quantizer on the
+    churned corpus still clears the 0.8 recall@10 floor vs brute force."""
+    from pyspark.sql import functions as F
+
+    vecs = _base_vecs()
+    old, art = _build_old(spark, tmp_path, vecs)
+    new_vecs = dict(vecs)
+    new_vecs[100] = vecs[21]
+    del new_vecs[38]
+    new = _write_emb(spark, tmp_path / "new", new_vecs)
+    summary = A.update_centroids_incremental(spark, old, new, art)
+    assert summary["mode"] == "carried"
+
+    S.clear_centroid_cache(spark)
+    cent = A.load_ivf_centroids(spark, new, art)
+    from pyspark_coding_challenge_spark.sources.readers import read_table
+
+    e = read_table(spark, new, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    ).localCheckpoint()
+    got = {(r.query_id, r.neighbor_id)
+           for r in S.ivf_search(e, cent).collect()}
+    exact = {(r.query_id, r.neighbor_id)
+             for r in S.embedding_topk(spark, new).collect()}
+    assert len(got & exact) / len(exact) >= 0.8
+    S.clear_centroid_cache(spark)
+    S.clear_topk_cache(spark)
+
+
+def test_quantization_gap_extremes(spark):
+    """gap==0 for a vector equal to a centroid, ==1 for one orthogonal to
+    every centroid (any scale — the statistic is scale-free)."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    cent = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])],
+        "lid int, cvec array<double>",
+    )
+    e = spark.createDataFrame(
+        [(1, [2.0, 0.0, 0.0]), (2, [0.0, 0.0, 5.0])],
+        "vec_id long, emb array<double>",
+    )
+    got = {r["vec_id"]: r["gap"] for r in S.quantization_gap(e, cent).collect()}
+    assert got[1] == pytest.approx(0.0, abs=1e-9)
+    assert got[2] == pytest.approx(1.0, abs=1e-9)
+
+
+def test_env_float_rejects_typos(monkeypatch):
+    """The max-pixels lesson applied to the refresh knobs: a malformed
+    env float aborts loudly instead of steering the gate silently."""
+    monkeypatch.setenv("SPARK_GRAFT_TEST_FLOAT_KNOB", "0.25")
+    assert A._env_float("SPARK_GRAFT_TEST_FLOAT_KNOB", "0.5") == 0.25
+    monkeypatch.setenv("SPARK_GRAFT_TEST_FLOAT_KNOB", "O.25")
+    with pytest.raises(RuntimeError, match="not a valid float"):
+        A._env_float("SPARK_GRAFT_TEST_FLOAT_KNOB", "0.5")
