@@ -109,6 +109,18 @@ def _write_meta(path: str, sf_dir: str, params: dict,
         json.dump(meta, f)
 
 
+def _drop_stale_meta(*paths: str) -> None:
+    """Remove meta sidecars ahead of a full rebuild so the env-seeding
+    path (which checks only sf_dir+params, never the lineage that just
+    failed) cannot revalidate the stale bytes mid-rebuild. No meta => no
+    env seed; a crash after this point leaves loudly-invalid artifacts,
+    never silently-stale ones."""
+    for p in paths:
+        meta_file = os.path.join(p, _META_FILE)
+        if os.path.exists(meta_file):
+            os.remove(meta_file)
+
+
 def _read_meta(path: str) -> dict:
     meta_path = os.path.join(path, _META_FILE)
     if not os.path.exists(meta_path):
@@ -143,14 +155,24 @@ def _lineage_gate(path: str, sf_dir: str, params: dict,
 def _env_float(name: str, default: str) -> float:
     """Parse a float knob from the environment, failing LOUDLY on a typo
     (the max-pixels lesson, r11 advisory: a malformed config value must
-    abort at import, not silently push the refresh down a wrong path)."""
+    abort at import, not silently push the refresh down a wrong path).
+    'nan'/'inf'/negatives parse as floats but poison every gate
+    comparison into False — reject them the same way."""
+    import math
+
     raw = os.environ.get(name, default)
     try:
-        return float(raw)
+        val = float(raw)
     except ValueError as exc:
         raise RuntimeError(
             f"{name}={raw!r} is not a valid float — fix or unset it"
         ) from exc
+    if not math.isfinite(val) or val < 0:
+        raise RuntimeError(
+            f"{name}={raw!r} must be a finite non-negative float — "
+            "fix or unset it"
+        )
+    return val
 
 
 INCR_MAX_CHURN_FRAC = _env_float("SPARK_GRAFT_INCR_MAX_CHURN_FRAC", "0.5")
@@ -171,17 +193,22 @@ CENTROID_QE_DRIFT_MARGIN = _env_float("SPARK_GRAFT_CENTROID_QE_DRIFT_MARGIN",
                                       "0.05")
 
 
-def _churn_gate(ctx: dict) -> str | None:
+def _churn_gate(ctx: dict, limit: float | None = None) -> str | None:
     """Why this refresh should NOT be patched based on churn SIZE — or None
     when patching is sane. Arithmetic on scalars the shared refresh context
     already collected (churn counts from the pinned diff, the old doc count
-    from its digest): no extra jobs."""
+    from its digest): no extra jobs. ``limit`` overrides the env-tuned
+    default for callers whose churn is fixed by construction (the
+    registered incremental_refresh section derives ~40% churn; the
+    operator knob must not be able to break that slug)."""
+    if limit is None:
+        limit = INCR_MAX_CHURN_FRAC
     n_churn = sum(ctx["churn"].values())  # diff rows exclude 'unchanged'
     n_old = int(ctx["old_digest"]["n_docs"])
-    if n_old > 0 and n_churn > INCR_MAX_CHURN_FRAC * n_old:
+    if n_old > 0 and n_churn > limit * n_old:
         return (
             f"churn of {n_churn} docs is {n_churn / n_old:.0%} of the "
-            f"{n_old}-doc old snapshot (limit {INCR_MAX_CHURN_FRAC:.0%}: "
+            f"{n_old}-doc old snapshot (limit {limit:.0%}: "
             "past that a patch does more work than a rebuild)"
         )
     return None
@@ -282,19 +309,18 @@ def corpus_digest(spark: SparkSession, sf_dir: str) -> dict:
 def vec_digest_relation(emb: DataFrame) -> DataFrame:
     """Per-vector (vec_id, digest) over an embeddings relation — the
     embeddings-side twin of ``doc_digest_relation``. The digest is md5 of
-    the JSON-serialized embedding array (deterministic element order and
+    the JSON-serialized one-field struct (deterministic element order and
     float formatting inside one Spark version; NULL elements serialize in
     place, so ``[1.0, null]`` and ``[1.0]`` digest differently; a NULL
-    array coalesces to the empty string). The ``label`` column is
-    deliberately EXCLUDED: the quantizer trains on the vectors alone, so a
-    label-only change must not read as embedding churn and trigger a
-    refresh decision."""
+    array digests as ``md5('{}')`` — ``to_json`` omits null struct
+    fields, so the result is never NULL and needs no coalesce). The
+    ``label`` column is deliberately EXCLUDED: the quantizer trains on
+    the vectors alone, so a label-only change must not read as embedding
+    churn and trigger a refresh decision."""
     return emb.select(
         "vec_id",
-        F.md5(
-            F.coalesce(F.to_json(F.struct(F.col("embedding").alias("e"))),
-                       F.lit(""))
-        ).alias("digest"),
+        F.md5(F.to_json(F.struct(F.col("embedding").alias("e"))))
+        .alias("digest"),
     )
 
 
@@ -1141,13 +1167,8 @@ def update_pairs_incremental(spark: SparkSession, old_sf_dir: str,
         # the lineage digest that just FAILED), the builder would seed
         # from the stale bytes and materialize_* would no-op on its
         # _loaded_from guard — "full rebuild" would silently keep the
-        # stale artifact (r8 review finding). No meta => no env seed, and
-        # a crash after this point leaves loudly-invalid artifacts, never
-        # silently-stale ones.
-        for p in (pairs_path, bands_path, cc_path, dig_path):
-            meta_file = os.path.join(p, _META_FILE)
-            if os.path.exists(meta_file):
-                os.remove(meta_file)
+        # stale artifact (r8 review finding).
+        _drop_stale_meta(pairs_path, bands_path, cc_path, dig_path)
         new_digest = ctx["new_digest"]
         return {
             "mode": "full_rebuild",
@@ -1280,7 +1301,8 @@ def update_pairs_incremental(spark: SparkSession, old_sf_dir: str,
 
 def update_text_incremental(spark: SparkSession, old_sf_dir: str,
                             new_sf_dir: str, artifact_dir: str,
-                            _ctx: dict | None = None) -> dict:
+                            _ctx: dict | None = None,
+                            max_churn_frac: float | None = None) -> dict:
     """Refresh the TEXT-SIDE artifacts from the snapshot diff (r8 judge
     item #3). ``doc_signals`` and ``token_spine`` are strictly per-doc
     relations: the patch deletes gone docs' rows and appends freshly-
@@ -1299,7 +1321,12 @@ def update_text_incremental(spark: SparkSession, old_sf_dir: str,
     warning (recorded in the summary), without failing the others. A
     missing ``span_pos_index`` (e.g. pre-r9 artifact dirs) rebuilds both
     it and ``shared_spans``. All patched metas record ``lineage =
-    {snapshot: digest(new), patched_from: digest(old)}``."""
+    {snapshot: digest(new), patched_from: digest(old)}``.
+
+    ``max_churn_frac`` overrides the env-tuned churn-size gate for this
+    call only (see ``_churn_gate``) — the registered incremental_refresh
+    section passes an explicit bound so the operator knob cannot break a
+    driver-gated slug whose churn is fixed by construction."""
     from pyspark_coding_challenge_spark.llm import text as T
 
     sig_path = os.path.join(artifact_dir, SIGNALS_NAME)
@@ -1317,7 +1344,7 @@ def update_text_incremental(spark: SparkSession, old_sf_dir: str,
     # bytes were NOT an input, and claiming a patch occurred makes the
     # audit chain lie (r9 advisor finding)
     rebuilt_lineage = {"snapshot": ctx["new_digest"], "patched_from": None}
-    churn_reason = _churn_gate(ctx)
+    churn_reason = _churn_gate(ctx, limit=max_churn_frac)
     # mirror the dedup updater's reporting (r10 review finding): a
     # churn-gated refresh rebuilds EVERY text artifact, so the summary
     # says so instead of claiming an incremental mode it didn't run
@@ -1504,6 +1531,7 @@ def update_centroids_incremental(spark: SparkSession, old_sf_dir: str,
         # bootstrap: no stored digests and the old snapshot has no
         # embeddings to rescan — full build on the new snapshot
         S.clear_centroid_cache(spark)
+        _drop_stale_meta(cent_path, vd_path)
         emb_digest = embeddings_digest(spark, new_sf_dir)
         materialize_ivf_centroids(spark, new_sf_dir, artifact_dir,
                                   emb_digest=emb_digest)
@@ -1626,6 +1654,15 @@ def update_centroids_incremental(spark: SparkSession, old_sf_dir: str,
     else:
         summary["mode"] = "retrained"
         summary["reason"] = reason
+        # delete the stale meta FIRST: if SPARK_GRAFT_ARTIFACT_DIR points
+        # at this artifact_dir and the stale meta passes the
+        # sf_dir+params check for new_sf_dir (an in-place snapshot
+        # refresh, or a prior carry that re-pointed it), the builder
+        # inside materialize would env-seed the stale bytes and no-op on
+        # its _loaded_from guard — "retrained" would silently keep the
+        # stale quantizer (the pairs updater's full-rebuild branch guards
+        # the identical hole). No meta => no env seed.
+        _drop_stale_meta(cent_path)
         materialize_ivf_centroids(spark, new_sf_dir, artifact_dir,
                                   emb_digest=new_digest)
     walls[CENTROIDS_NAME] = round(time.perf_counter() - t0, 3)

@@ -703,7 +703,6 @@ def _cached_build(cache: dict, key, build, release=None):
     app = key[0]
     ekey = (id(cache),) + tuple(key)
     for attempt in range(3):
-        built_epoch = None
         with _PAIRS_LOCK:
             cached = cache.get(key)
             epoch = _PAIRS_EPOCHS.setdefault(app, 0)

@@ -25,6 +25,8 @@ a real video pipeline has; downstream ops see an ordinary DataFrame.
 
 from __future__ import annotations
 
+import threading
+
 from collections.abc import Iterator
 from typing import TYPE_CHECKING
 
@@ -32,6 +34,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pyspark_coding_challenge_spark.sources.readers import read_table
+
+# guards the save/set/restore of PIL's process-global MAX_IMAGE_PIXELS in
+# decode_image_real — see the comment there
+_PIL_BOMB_CEILING_LOCK = threading.Lock()
 
 if TYPE_CHECKING:
     import pandas as pd
@@ -89,27 +95,33 @@ def decode_image_real(payload: bytes) -> tuple[int, int, int]:
     # below as corrupt (-1,-1,0), while a stdlib host decodes it fine (r12
     # advisor finding). Our explicit ceiling check subsumes PIL's, and it
     # runs before load() sizes any pixel buffer, so disable PIL's for the
-    # duration of this open (save/restore: the module global must not leak
-    # into unrelated code in the same worker).
-    saved_bomb_ceiling = Image.MAX_IMAGE_PIXELS
-    Image.MAX_IMAGE_PIXELS = None
-    try:
-        with Image.open(io.BytesIO(payload)) as img:
-            if img.width * img.height > ceiling:
-                # the same ceiling the stdlib codec enforces, checked
-                # BEFORE load() sizes the pixel buffer — without it a
-                # 64-178MP image decodes here but fails loudly on a
-                # PIL-less host (environment-divergent output, r10 review
-                # finding)
-                raise pngcodec.OversizedImageError(
-                    f"{img.width}x{img.height} exceeds MAX_PIXELS="
-                    f"{ceiling} — set SPARK_GRAFT_MAX_PIXELS for corpora "
-                    "of genuinely huge images"
-                )
-            img.load()  # force a full decode, not just the header probe
-            return img.width, img.height, len(img.getbands())
-    finally:
-        Image.MAX_IMAGE_PIXELS = saved_bomb_ceiling
+    # duration of this open. The save/set/restore window mutates a
+    # PROCESS-GLOBAL, so it runs under a lock: two overlapping decodes on
+    # driver-side threads would otherwise interleave (A saves the real
+    # ceiling, B saves A's None, B's finally restores None) and leave
+    # bomb protection permanently off for every unrelated PIL user in the
+    # process. Executors run one decode per worker process, so the lock
+    # costs nothing on the hot path.
+    with _PIL_BOMB_CEILING_LOCK:
+        saved_bomb_ceiling = Image.MAX_IMAGE_PIXELS
+        Image.MAX_IMAGE_PIXELS = None
+        try:
+            with Image.open(io.BytesIO(payload)) as img:
+                if img.width * img.height > ceiling:
+                    # the same ceiling the stdlib codec enforces, checked
+                    # BEFORE load() sizes the pixel buffer — without it a
+                    # 64-178MP image decodes here but fails loudly on a
+                    # PIL-less host (environment-divergent output, r10
+                    # review finding)
+                    raise pngcodec.OversizedImageError(
+                        f"{img.width}x{img.height} exceeds MAX_PIXELS="
+                        f"{ceiling} — set SPARK_GRAFT_MAX_PIXELS for "
+                        "corpora of genuinely huge images"
+                    )
+                img.load()  # force a full decode, not a header probe
+                return img.width, img.height, len(img.getbands())
+        finally:
+            Image.MAX_IMAGE_PIXELS = saved_bomb_ceiling
 
 
 def decode_meta_real_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:

@@ -352,14 +352,22 @@ def quantization_gap(e: DataFrame, cent: DataFrame) -> DataFrame:
     (rows x n_lists) skinny rows, partial-aggregated map-side. This is the
     drift statistic ``artifacts.update_centroids_incremental`` uses: a
     churn cohort whose mean gap is far above the TRAINING-TIME mean is
-    vector mass the stored quantizer does not cover — retrain."""
+    vector mass the stored quantizer does not cover — retrain.
+
+    Degenerate vectors (zero norm — under ANSI mode the bare x/0 would
+    ABORT the whole refresh job on one garbage embedding from a broken
+    upstream; with ANSI off it yields NULL, silently vanishing from the
+    cohort average and blinding the drift gate) score gap = 1.0:
+    maximally uncovered, counted, and gate-tripping on both settings."""
+    n = norm(F.col("emb"))
     scored = e.crossJoin(F.broadcast(cent)).select(
         "vec_id",
-        (dot(F.col("emb"), F.col("cvec")) / norm(F.col("emb"))).alias("cos"),
+        F.when(n > 0, dot(F.col("emb"), F.col("cvec")) / n)
+        .otherwise(F.lit(0.0)).alias("cos"),
     )
     return (
         scored.groupBy("vec_id")
-        .agg((F.lit(1.0) - F.max("cos")).alias("gap"))
+        .agg(F.coalesce(F.lit(1.0) - F.max("cos"), F.lit(1.0)).alias("gap"))
     )
 
 

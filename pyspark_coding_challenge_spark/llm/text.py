@@ -1162,6 +1162,9 @@ FROM s
 # ---------------------------------------------------------------------------
 
 _TEXT_INCR_STATE_CACHE: dict[tuple[str, str], tuple[DataFrame, DataFrame, DataFrame]] = {}
+# serializes the expensive state build (NOT the shared cache lock — that
+# one guards dict access for every text cache and must stay cheap to hold)
+_TEXT_INCR_BUILD_LOCK = threading.Lock()
 
 
 def _patched_text_state(spark: SparkSession, sf_dir: str):
@@ -1179,51 +1182,73 @@ def _patched_text_state(spark: SparkSession, sf_dir: str):
     ``update_text_incremental`` clears the session text caches when it
     finishes (its rewritten-path contract), so building this state before
     the sibling sections construct theirs means nothing gets invalidated
-    mid-flight."""
+    mid-flight. The build runs under its own lock (not the shared text
+    cache lock, which unrelated cache hits need): two concurrent callers
+    must not each run the multi-minute double-corpus build, and the
+    loser's end-of-refresh cache clears must not invalidate relations the
+    winner's sibling sections are consuming mid-flight."""
+    import atexit
+    import hashlib
     import os as _os
+    import shutil as _shutil
     import tempfile
 
     key = (spark.sparkContext.applicationId, sf_dir)
-    with _TEXT_CACHE_LOCK:
-        cached = _TEXT_INCR_STATE_CACHE.get(key)
-    if cached is not None:
-        return cached
-    from pyspark_coding_challenge_spark.llm import artifacts as A
-    from pyspark_coding_challenge_spark.llm.dedup import snapshot_versions
+    with _TEXT_INCR_BUILD_LOCK:
+        with _TEXT_CACHE_LOCK:
+            cached = _TEXT_INCR_STATE_CACHE.get(key)
+        if cached is not None:
+            return cached
+        from pyspark_coding_challenge_spark.llm import artifacts as A
+        from pyspark_coding_challenge_spark.llm.dedup import snapshot_versions
 
-    docs = read_table(spark, sf_dir, "documents")
-    old, new = snapshot_versions(docs)
-    root = tempfile.mkdtemp(prefix="sg_text_incr_")
-    old_dir = _os.path.join(root, "old")
-    new_dir = _os.path.join(root, "new")
-    art = _os.path.join(root, "art")
-    old.write.mode("overwrite").parquet(
-        _os.path.join(old_dir, "documents.parquet"))
-    new.write.mode("overwrite").parquet(
-        _os.path.join(new_dir, "documents.parquet"))
-    # stored state: the OLD snapshot's text-side artifacts (digests power
-    # the diff; signals/spine/span_pos/spans are what the refresh patches)
-    digest = A.corpus_digest(spark, old_dir)
-    A.materialize_doc_digests(spark, old_dir, art, digest)
-    A.materialize_signals(spark, old_dir, art, digest)
-    A.materialize_spine(spark, old_dir, art, digest)
-    A.materialize_span_pos(spark, old_dir, art, digest)
-    A.materialize_spans(spark, old_dir, art, digest)
-    summary = A.update_text_incremental(spark, old_dir, new_dir, art)
-    # the driver's hash gate must prove the PATCH ran, not just that some
-    # rebuild produced equal rows — fail loudly if the refresh degraded
-    if summary.get(A.SIGNALS_NAME) != "patched" or \
-            summary.get(A.SPINE_NAME) != "patched" or \
-            summary.get(A.SPANPOS_NAME) != "patched":
-        raise RuntimeError(
-            f"text incremental refresh degraded to rebuild: {summary}")
-    built = (
-        spark.read.parquet(_os.path.join(art, A.SIGNALS_NAME)),
-        spark.read.parquet(_os.path.join(art, A.SPINE_NAME)),
-        spark.read.parquet(_os.path.join(art, A.SPANS_NAME)),
-    )
-    with _TEXT_CACHE_LOCK:
-        return _TEXT_INCR_STATE_CACHE.setdefault(key, built)
+        docs = read_table(spark, sf_dir, "documents")
+        old, new = snapshot_versions(docs)
+        # deterministic per-(pid, corpus) root, wiped before reuse and at
+        # process exit: mkdtemp leaked one two-corpus tree per build (and
+        # the degraded-raise path leaked it forever) — long-lived bench
+        # hosts would accumulate corpus copies until /tmp filled
+        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+        root = _os.path.join(tempfile.gettempdir(),
+                             f"sg_text_incr_{_os.getpid()}_{tag}")
+        _shutil.rmtree(root, ignore_errors=True)
+        atexit.register(_shutil.rmtree, root, ignore_errors=True)
+        old_dir = _os.path.join(root, "old")
+        new_dir = _os.path.join(root, "new")
+        art = _os.path.join(root, "art")
+        old.write.mode("overwrite").parquet(
+            _os.path.join(old_dir, "documents.parquet"))
+        new.write.mode("overwrite").parquet(
+            _os.path.join(new_dir, "documents.parquet"))
+        # stored state: the OLD snapshot's text-side artifacts (digests
+        # power the diff; signals/spine/span_pos/spans get patched)
+        digest = A.corpus_digest(spark, old_dir)
+        A.materialize_doc_digests(spark, old_dir, art, digest)
+        A.materialize_signals(spark, old_dir, art, digest)
+        A.materialize_spine(spark, old_dir, art, digest)
+        A.materialize_span_pos(spark, old_dir, art, digest)
+        A.materialize_spans(spark, old_dir, art, digest)
+        # the derived snapshots churn ~40% of the docs BY CONSTRUCTION, so
+        # the churn-size gate is pinned per-call: an operator tuning
+        # SPARK_GRAFT_INCR_MAX_CHURN_FRAC below 0.4 (a legitimate
+        # prefer-rebuilds policy for production refreshes) must not break
+        # this registered slug
+        summary = A.update_text_incremental(spark, old_dir, new_dir, art,
+                                            max_churn_frac=1.0)
+        # the driver's hash gate must prove the PATCH ran, not just that
+        # some rebuild produced equal rows — fail loudly if it degraded
+        if summary.get(A.SIGNALS_NAME) != "patched" or \
+                summary.get(A.SPINE_NAME) != "patched" or \
+                summary.get(A.SPANPOS_NAME) != "patched":
+            raise RuntimeError(
+                f"text incremental refresh degraded to rebuild: {summary}")
+        built = (
+            spark.read.parquet(_os.path.join(art, A.SIGNALS_NAME)),
+            spark.read.parquet(_os.path.join(art, A.SPINE_NAME)),
+            spark.read.parquet(_os.path.join(art, A.SPANS_NAME)),
+        )
+        with _TEXT_CACHE_LOCK:
+            return _TEXT_INCR_STATE_CACHE.setdefault(key, built)
 
 
 def clear_text_incr_state(spark: SparkSession | None = None) -> int:

@@ -303,7 +303,20 @@ def main() -> None:
             prev_best = prev.get(slug, {}).get("best")
             if prev_best:
                 entry["prev_best"] = prev_best
-                entry["vs_prev"] = round(entry["best"] / prev_best, 3)
+                # cross-protocol guard (the same bias the r9 note below
+                # forbids for best-of-2 vs best-of-3): a best-of-5 minimum
+                # divided by a prior round's best-of-3 minimum reads as a
+                # spurious speedup. Only ratio like against like; a prev
+                # entry without n_runs predates the field and ran the
+                # 3-run default.
+                prev_n = prev.get(slug, {}).get("n_runs", 3)
+                if prev_n == n_runs:
+                    entry["vs_prev"] = round(entry["best"] / prev_best, 3)
+                else:
+                    entry["vs_prev"] = None
+                    entry["vs_prev_note"] = (
+                        f"prev ran best-of-{prev_n}, this ran "
+                        f"best-of-{n_runs} — minima not comparable")
             slugs[slug] = entry
             extra = ""
             if "ab" in entry:

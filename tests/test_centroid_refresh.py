@@ -275,7 +275,10 @@ def test_carried_quantizer_clears_recall_floor(spark, tmp_path):
 
 def test_quantization_gap_extremes(spark):
     """gap==0 for a vector equal to a centroid, ==1 for one orthogonal to
-    every centroid (any scale — the statistic is scale-free)."""
+    every centroid (any scale — the statistic is scale-free), and ==1 for
+    a degenerate zero-norm vector: Spark's x/0 is NULL, which would
+    vanish from the cohort average and blind the drift gate to garbage
+    embeddings from a broken upstream job (review finding)."""
     from pyspark.sql import functions as F  # noqa: F401
 
     cent = spark.createDataFrame(
@@ -283,12 +286,98 @@ def test_quantization_gap_extremes(spark):
         "lid int, cvec array<double>",
     )
     e = spark.createDataFrame(
-        [(1, [2.0, 0.0, 0.0]), (2, [0.0, 0.0, 5.0])],
+        [(1, [2.0, 0.0, 0.0]), (2, [0.0, 0.0, 5.0]), (3, [0.0, 0.0, 0.0])],
         "vec_id long, emb array<double>",
     )
     got = {r["vec_id"]: r["gap"] for r in S.quantization_gap(e, cent).collect()}
     assert got[1] == pytest.approx(0.0, abs=1e-9)
     assert got[2] == pytest.approx(1.0, abs=1e-9)
+    assert got[3] == pytest.approx(1.0, abs=1e-9)
+
+
+def test_retrain_is_real_under_env_seeding(spark, tmp_path, monkeypatch):
+    """Review finding: with SPARK_GRAFT_ARTIFACT_DIR pointing at the
+    artifact dir and an IN-PLACE snapshot refresh (same directory path,
+    contents changed), the stale centroid meta still passes the
+    sf_dir+params check — the builder inside the retrain would env-seed
+    the STALE bytes and materialize would no-op on its _loaded_from
+    guard, silently keeping the old quantizer while reporting
+    'retrained'. The fix deletes the meta sidecar before rebuilding."""
+    vecs = _base_vecs()
+    d = _write_emb(spark, tmp_path / "corpus", vecs)
+    art = str(tmp_path / "art")
+    emb_digest = A.embeddings_digest(spark, d)
+    A.materialize_ivf_centroids(spark, d, art, emb_digest=emb_digest)
+    A.materialize_vec_digests(spark, d, art, emb_digest=emb_digest)
+    S.clear_centroid_cache(spark)
+    before = _centroid_rows(spark, art)
+
+    # overwrite the corpus IN PLACE with drifted mass (forces retrain)
+    new_vecs = dict(vecs)
+    for i in range(4):
+        v = [0.0] * DIM
+        v[4 + i] = 1.0
+        new_vecs[400 + i] = v
+    _write_emb(spark, tmp_path / "corpus", new_vecs)
+    monkeypatch.setenv("SPARK_GRAFT_ARTIFACT_DIR", art)
+
+    summary = A.update_centroids_incremental(spark, d, d, art)
+    assert summary["mode"] == "retrained", summary
+    after = _centroid_rows(spark, art)
+    assert after != before  # the retrain actually happened
+    assert _meta(art, A.CENTROIDS_NAME)["lineage"]["snapshot"] == \
+        A.embeddings_digest(spark, d)
+    S.clear_centroid_cache(spark)
+
+
+def test_churn_gate_limit_override(monkeypatch):
+    """Review finding: the registered incremental_refresh section churns
+    ~40% of the derived snapshot BY CONSTRUCTION; tuning the env knob
+    below that must not break the slug. The per-call limit overrides the
+    global."""
+    ctx = {"churn": {"added": 40}, "old_digest": {"n_docs": 100}}
+    monkeypatch.setattr(A, "INCR_MAX_CHURN_FRAC", 0.1)
+    assert A._churn_gate(ctx) is not None            # global gate trips
+    assert A._churn_gate(ctx, limit=1.0) is None     # explicit bound wins
+    assert A._churn_gate(ctx, limit=0.2) is not None  # still a real gate
+
+
+def test_text_incr_section_survives_strict_churn_knob(spark, monkeypatch):
+    """End-to-end twin of the above: with a strict global churn policy the
+    driver-registered text incremental section must still build (it pins
+    its own bound — its churn is fixed by construction)."""
+    from pyspark_coding_challenge_spark.llm import text as T
+
+    monkeypatch.setattr(A, "INCR_MAX_CHURN_FRAC", 0.01)
+    T.clear_text_incr_state(spark)
+    df = T.text_incremental_refresh(spark, "/root/testdata/sf0.001")
+    assert df.count() > 0
+    T.clear_text_incr_state(spark)
+
+
+def test_vec_digest_null_embedding(spark):
+    """A NULL embedding digests as md5('{}') (to_json omits null struct
+    fields) — non-null, deterministic, distinct from any real vector."""
+    import hashlib
+
+    e = spark.createDataFrame(
+        [(1, None), (2, [1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r["vec_id"]: r["digest"]
+           for r in A.vec_digest_relation(e).collect()}
+    assert got[1] == hashlib.md5(b"{}").hexdigest()
+    assert got[2] != got[1] and got[2] is not None
+
+
+def test_env_float_rejects_nonfinite(monkeypatch):
+    """Review finding: 'nan' parses as float but poisons every gate
+    comparison into False (a 100%-churn snapshot would be carried);
+    negatives and inf are equally gate-disabling."""
+    for bad in ("nan", "inf", "-1"):
+        monkeypatch.setenv("SPARK_GRAFT_TEST_FLOAT_KNOB", bad)
+        with pytest.raises(RuntimeError, match="finite non-negative"):
+            A._env_float("SPARK_GRAFT_TEST_FLOAT_KNOB", "0.5")
 
 
 def test_env_float_rejects_typos(monkeypatch):
