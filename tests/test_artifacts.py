@@ -930,6 +930,9 @@ def test_update_all_incremental_one_context(spark, tmp_path, monkeypatch):
     assert got["dedup"]["cc_mode"] == "incremental"
     assert got["text"][A.SIGNALS_NAME] == "patched"
     assert got["text"][A.SPANPOS_NAME] == "patched"
+    # a documents-only snapshot (this one) must record the embeddings side
+    # as skipped, not fail the text/dedup refresh (r12)
+    assert got["embeddings"]["mode"] == "skipped"
     D.clear_pair_cache(spark)
     _clear_text_caches(spark)
 

@@ -273,6 +273,46 @@ def test_carried_quantizer_clears_recall_floor(spark, tmp_path):
     S.clear_topk_cache(spark)
 
 
+def test_update_all_runs_embeddings_side(spark, tmp_path):
+    """update_all_incremental on a snapshot WITH an embeddings table runs
+    the centroid refresh (carried here) alongside the text/dedup chains
+    and surfaces its summary under 'embeddings'."""
+    from pyspark_coding_challenge_spark.llm import dedup as D
+    from pyspark_coding_challenge_spark.llm import text as T
+
+    def _docs(sf_dir, texts):
+        spark.createDataFrame(
+            [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)],
+            "doc_id long, text string, lang string, source string, n_chars int",
+        ).coalesce(1).write.mode("overwrite") \
+            .parquet(f"{sf_dir}/documents.parquet")
+
+    vecs = _base_vecs()
+    old = str(tmp_path / "old")
+    new = str(tmp_path / "new")
+    _docs(old, ["alpha beta gamma delta"] * 3 + ["epsilon zeta"])
+    _docs(new, ["alpha beta gamma delta"] * 3 + ["epsilon zeta CHANGED"])
+    _write_emb(spark, tmp_path / "old", vecs)
+    new_vecs = dict(vecs)
+    new_vecs[500] = vecs[11]
+    _write_emb(spark, tmp_path / "new", new_vecs)
+    art = str(tmp_path / "art")
+    emb_digest = A.embeddings_digest(spark, old)
+    A.materialize_ivf_centroids(spark, old, art, emb_digest=emb_digest)
+    A.materialize_vec_digests(spark, old, art, emb_digest=emb_digest)
+    S.clear_centroid_cache(spark)
+
+    got = A.update_all_incremental(spark, old, new, art)
+    assert got["embeddings"]["mode"] == "carried"
+    assert got["embeddings"]["churn"] == {"added": 1}
+    assert got["embeddings"]["walls"][A.CENTROIDS_NAME] >= 0
+    D.clear_pair_cache(spark)
+    T.clear_doc_signals_cache(spark)
+    T.clear_token_spine_cache(spark)
+    T.clear_span_cache(spark)
+    S.clear_centroid_cache(spark)
+
+
 def test_quantization_gap_extremes(spark):
     """gap==0 for a vector equal to a centroid, ==1 for one orthogonal to
     every centroid (any scale — the statistic is scale-free), and ==1 for
