@@ -58,6 +58,7 @@ CC_NAME = "cc_labels"
 DIGESTS_NAME = "doc_digests"
 SPANPOS_NAME = "span_pos_index"
 VECDIG_NAME = "vec_digests"
+ASSIGN_NAME = "ivf_assignments"
 
 ENV_ARTIFACT_DIR = "SPARK_GRAFT_ARTIFACT_DIR"
 
@@ -370,6 +371,34 @@ def _centroid_params() -> dict:
 
 def _vecdig_params() -> dict:
     return {"digest": "md5(to_json(struct(embedding)))"}
+
+
+def _assign_params() -> dict:
+    # the inverted index inherits every quantizer knob plus its own
+    # assignment rule version
+    return {**_centroid_params(), "assignment": "argmax-dot, ties to lowest lid"}
+
+
+def _centroid_fold(cent: DataFrame) -> str:
+    """Order-independent content fold of a centroid relation — the
+    identity key pairing an ``ivf_assignments`` artifact with the EXACT
+    quantizer it was assigned under (same bytes => same doubles => same
+    to_json => same fold). A retrained quantizer changes the fold, so
+    stale assignments fail loudly instead of silently mis-bucketing the
+    probe join. Bounded scalar collect over n_lists rows."""
+    from pyspark_coding_challenge_spark.llm.dedup import md5_fold60
+
+    row = (
+        cent.select(
+            md5_fold60(
+                F.concat_ws(":", F.col("lid").cast("string"),
+                            F.to_json(F.struct(F.col("cvec").alias("c"))))
+            ).alias("h")
+        )
+        .agg(F.sum(F.col("h").cast("decimal(38,0)")).cast("string").alias("s"))
+        .collect()[0]
+    )
+    return row["s"] if row["s"] is not None else "0"
 
 
 def _spine_params() -> dict:
@@ -837,6 +866,114 @@ def materialize_vec_digests(spark: SparkSession, sf_dir: str,
     return path
 
 
+def materialize_ivf_assignments(spark: SparkSession, sf_dir: str,
+                                artifact_dir: str,
+                                emb_digest: dict | None = None) -> str:
+    """Land the stored inverted index (vec_id, lid): every corpus vector
+    assigned to its nearest centroid FROM THE SIBLING ``ivf_centroids``
+    ARTIFACT (materialize that first — this refuses to pair with a live
+    session quantizer, whose bytes nothing pins). This is the standard
+    IVF deployment shape: with it, a search pays probe + re-rank only;
+    without it, every search repeats the corpus x n_lists assignment
+    pass. Opt-in — nothing builds it implicitly, because inline
+    assignment costs the same as building it once.
+
+    Lineage records the embeddings snapshot AND the centroid content fold
+    (``_centroid_fold``), so an index assigned under a since-retrained
+    quantizer fails the load/seed checks loudly."""
+    from pyspark_coding_challenge_spark.llm.similarity import assign_nearest_list
+    from pyspark_coding_challenge_spark.sources.readers import (
+        read_table,
+        rebalance_for_compute,
+    )
+
+    cent_path = os.path.join(artifact_dir, CENTROIDS_NAME)
+    _check_meta(cent_path, sf_dir, _centroid_params())
+    cent = spark.read.parquet(cent_path)
+    path = os.path.join(artifact_dir, ASSIGN_NAME)
+    e = rebalance_for_compute(read_table(spark, sf_dir, "embeddings"),
+                              "vec_id").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    assign_nearest_list(e, cent).write.mode("overwrite").parquet(path)
+    _write_meta(path, sf_dir, _assign_params(),
+                lineage={"snapshot": emb_digest
+                         or embeddings_digest(spark, sf_dir),
+                         "centroids_fold": _centroid_fold(cent),
+                         "patched_from": None})
+    return path
+
+
+def _assign_artifact_gate(path: str, cent_path: str, sf_dir: str,
+                          spark: SparkSession) -> str | None:
+    """Why this assignments artifact cannot serve (sf_dir/params drift,
+    or a centroid fold that is not the sibling quantizer artifact's) —
+    or None when it can. Raises nothing; callers warn-and-skip."""
+    try:
+        _check_meta(path, sf_dir, _assign_params())
+        _check_meta(cent_path, sf_dir, _centroid_params())
+        lin = _read_meta(path).get("lineage") or {}
+        fold = _centroid_fold(spark.read.parquet(cent_path))
+        if lin.get("centroids_fold") != fold:
+            return (f"ivf_assignments at {path} was assigned under a "
+                    f"different quantizer (fold {lin.get('centroids_fold')}) "
+                    f"than the sibling ivf_centroids artifact ({fold})")
+        return None
+    except ValueError as exc:
+        return str(exc)
+    except Exception as exc:
+        return f"ivf_assignments unreadable: {exc}"
+
+
+def load_ivf_assignments(spark: SparkSession, sf_dir: str, artifact_dir: str,
+                         install: bool = True) -> DataFrame:
+    """Read a stored inverted index and (by default) seed the similarity
+    session cache so ``embedding_ann_ivf`` searches skip the assignment
+    pass. Refuses (ValueError) an index whose centroid fold does not match
+    the sibling quantizer artifact — pairing assignments with a retrained
+    quantizer would silently mis-bucket the probe join."""
+    from pyspark_coding_challenge_spark.llm import similarity as S
+
+    path = os.path.join(artifact_dir, ASSIGN_NAME)
+    cent_path = os.path.join(artifact_dir, CENTROIDS_NAME)
+    why = _assign_artifact_gate(path, cent_path, sf_dir, spark)
+    if why is not None:
+        raise ValueError(why)
+    df = _spread(spark.read.parquet(path), "vec_id")
+    if install:
+        key = (spark.sparkContext.applicationId, sf_dir)
+        with S._SIM_CACHE_LOCK:
+            S._IVF_ASSIGN_CACHE[key] = df
+            _mark_loaded(spark, sf_dir, ASSIGN_NAME, path)
+    return df
+
+
+def assignments_from_env(spark: SparkSession, sf_dir: str) -> DataFrame | None:
+    """Env-seed the stored inverted index (see ``_from_env``), with the
+    extra centroid-fold pairing check ``_from_env`` cannot express. The
+    fold read is a bounded n_lists-row scan (runs under the similarity
+    cache lock like every *_from_env — small by construction)."""
+    base = os.environ.get(ENV_ARTIFACT_DIR)
+    if not base:
+        return None
+    path = os.path.join(base, ASSIGN_NAME)
+    if not os.path.exists(os.path.join(path, _META_FILE)):
+        return None
+    why = _assign_artifact_gate(path, os.path.join(base, CENTROIDS_NAME),
+                                sf_dir, spark)
+    if why is not None:
+        warnings.warn(f"ignoring {ENV_ARTIFACT_DIR} artifact: {why}")
+        return None
+    try:
+        df = _spread(spark.read.parquet(path), "vec_id").persist()
+    except Exception as exc:
+        warnings.warn(f"ignoring unreadable {ENV_ARTIFACT_DIR} artifact "
+                      f"at {path}: {exc}")
+        return None
+    _mark_loaded(spark, sf_dir, ASSIGN_NAME, path)
+    return df
+
+
 def load_ivf_centroids(spark: SparkSession, sf_dir: str, artifact_dir: str,
                        install: bool = True) -> DataFrame:
     from pyspark_coding_challenge_spark.llm import similarity as S
@@ -965,6 +1102,9 @@ def materialize_all(spark: SparkSession, sf_dir: str, artifact_dir: str) -> dict
                                                   emb_digest=emb_digest),
         VECDIG_NAME: materialize_vec_digests(spark, sf_dir, artifact_dir,
                                              emb_digest=emb_digest),
+        # after centroids — the index is assigned from the landed artifact
+        ASSIGN_NAME: materialize_ivf_assignments(spark, sf_dir, artifact_dir,
+                                                 emb_digest=emb_digest),
         SPINE_NAME: materialize_spine(spark, sf_dir, artifact_dir, digest),
         SIGNALS_NAME: materialize_signals(spark, sf_dir, artifact_dir, digest),
     }
@@ -991,6 +1131,15 @@ def load_all(spark: SparkSession, sf_dir: str, artifact_dir: str) -> dict:
         warnings.warn(f"cc_labels not loaded ({exc}); cluster labels will "
                       "be recomputed from the loaded pair graph")
         out[CC_NAME] = None
+    # ivf_assignments is r12-new and opt-in — a pre-r12 artifact dir (or
+    # one that chose not to store the index) must not fail the load; IVF
+    # searches then just assign inline (same results)
+    try:
+        out[ASSIGN_NAME] = load_ivf_assignments(spark, sf_dir, artifact_dir)
+    except ValueError as exc:
+        warnings.warn(f"ivf_assignments not loaded ({exc}); IVF searches "
+                      "will assign inline")
+        out[ASSIGN_NAME] = None
     return out
 
 
@@ -1503,13 +1652,17 @@ def update_centroids_incremental(spark: SparkSession, old_sf_dir: str,
 
     ``vec_digests`` itself patches by delete+append with fold-arithmetic
     lineage (the ``doc_digests`` pattern) whenever the stored artifact is
-    valid, regardless of which way the quantizer decision went.
+    valid, regardless of which way the quantizer decision went. A stored
+    ``ivf_assignments`` inverted index (opt-in) patches churn-sized under
+    a carry — delete gone rows, assign only the churn against the carried
+    quantizer (identical to full reassignment: assignment is
+    deterministic per vector) — and rebuilds under a retrain.
 
     Returns a summary: ``mode`` ('carried' | 'retrained'), ``churn``
     counts, ``reason`` (why retrained, or why the drift check was
     skipped), ``churn_qe``/``trained_qe`` when the drift gate ran,
-    per-artifact ``walls``, and ``vec_digests`` ('patched' |
-    'full_rebuild')."""
+    per-artifact ``walls``, ``vec_digests`` ('patched' | 'full_rebuild'),
+    and ``ivf_assignments`` ('patched' | 'full_rebuild' | 'absent')."""
     from pyspark_coding_challenge_spark.llm import dedup as D
     from pyspark_coding_challenge_spark.llm import similarity as S
     from pyspark_coding_challenge_spark.sources.readers import (
@@ -1543,6 +1696,18 @@ def update_centroids_incremental(spark: SparkSession, old_sf_dir: str,
         summary.update({"mode": "retrained",
                         "reason": f"bootstrap ({vd_note})",
                         VECDIG_NAME: "full_rebuild"})
+        assign_path = os.path.join(artifact_dir, ASSIGN_NAME)
+        if os.path.exists(os.path.join(assign_path, _META_FILE)):
+            # an index assigned under the pre-bootstrap quantizer must not
+            # survive it
+            t0 = time.perf_counter()
+            _drop_stale_meta(assign_path)
+            materialize_ivf_assignments(spark, new_sf_dir, artifact_dir,
+                                        emb_digest=emb_digest)
+            summary[ASSIGN_NAME] = "full_rebuild"
+            walls[ASSIGN_NAME] = round(time.perf_counter() - t0, 3)
+        else:
+            summary[ASSIGN_NAME] = "absent"
         return summary
     new_emb = rebalance_for_compute(
         read_table(spark, new_sf_dir, "embeddings"), "vec_id"
@@ -1679,6 +1844,60 @@ def update_centroids_incremental(spark: SparkSession, old_sf_dir: str,
     summary[VECDIG_NAME] = ("patched" if old_vd is not None
                             else "full_rebuild")
     walls[VECDIG_NAME] = round(time.perf_counter() - t0, 3)
+
+    # --- stored inverted index (opt-in): patch under a carry ---------------
+    assign_path = os.path.join(artifact_dir, ASSIGN_NAME)
+    if os.path.exists(os.path.join(assign_path, _META_FILE)):
+        t0 = time.perf_counter()
+        cent = spark.read.parquet(cent_path)  # post-decision bytes
+        why = _lineage_gate(assign_path, old_sf_dir, _assign_params(),
+                            old_digest)
+        if why is None and summary["mode"] == "carried":
+            lin = _read_meta(assign_path).get("lineage") or {}
+            cur_fold = _centroid_fold(cent)
+            if lin.get("centroids_fold") != cur_fold:
+                why = ("stored assignments were made under a different "
+                       "quantizer than the carried one")
+        elif summary["mode"] == "retrained":
+            why = "quantizer retrained — every vector reassigns"
+        if why is None:
+            # delete gone rows, assign ONLY the churn against the carried
+            # quantizer (churn x n_lists dots) — identical to a full
+            # reassignment because assignment is deterministic per vector
+            from pyspark_coding_challenge_spark.llm.similarity import (
+                assign_nearest_list,
+            )
+
+            churn_e = new_emb.select(
+                "vec_id",
+                F.col("embedding").cast("array<double>").alias("emb"),
+            ).join(delta_ids, on="vec_id", how="left_semi")
+            patched = (
+                spark.read.parquet(assign_path)
+                .join(gone, on="vec_id", how="left_anti")
+                .unionByName(assign_nearest_list(churn_e, cent))
+                # reads the path being overwritten — pin first
+                .localCheckpoint()
+            )
+            patched.write.mode("overwrite").parquet(assign_path)
+            _write_meta(assign_path, new_sf_dir, _assign_params(),
+                        lineage={"snapshot": new_digest,
+                                 "centroids_fold": cur_fold,
+                                 "patched_from": old_digest})
+            summary[ASSIGN_NAME] = "patched"
+        else:
+            if summary["mode"] != "retrained":
+                # a retrain REASSIGNING everything is by design, not a
+                # degradation — only a carried-mode patch failure warns
+                warnings.warn(f"{ASSIGN_NAME}: cannot patch ({why}); "
+                              "full rebuild")
+            _drop_stale_meta(assign_path)
+            materialize_ivf_assignments(spark, new_sf_dir, artifact_dir,
+                                        emb_digest=new_digest)
+            summary[ASSIGN_NAME] = "full_rebuild"
+        walls[ASSIGN_NAME] = round(time.perf_counter() - t0, 3)
+    else:
+        summary[ASSIGN_NAME] = "absent"
     return summary
 
 

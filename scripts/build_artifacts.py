@@ -68,6 +68,7 @@ def main() -> None:
         A.SPANS_NAME: A.materialize_spans,
         A.CENTROIDS_NAME: A.materialize_ivf_centroids,
         A.VECDIG_NAME: A.materialize_vec_digests,
+        A.ASSIGN_NAME: A.materialize_ivf_assignments,
         A.SPINE_NAME: A.materialize_spine,
         A.SIGNALS_NAME: A.materialize_signals,
     }
@@ -99,7 +100,7 @@ def main() -> None:
         emb_digest = None
         for n in names:
             fn = builders[n]
-            if n in (A.CENTROIDS_NAME, A.VECDIG_NAME):
+            if n in (A.CENTROIDS_NAME, A.VECDIG_NAME, A.ASSIGN_NAME):
                 if emb_digest is None:
                     emb_digest = A.embeddings_digest(spark, sf_dir)
                 path = fn(spark, sf_dir, artifact_dir, emb_digest=emb_digest)

@@ -620,6 +620,8 @@ def probe_incr_artifacts(spark, old_dir: str, new_dir: str) -> dict:
                                 emb_digest=old_emb_digest)
     A.materialize_vec_digests(spark, old_dir, art,
                               emb_digest=old_emb_digest)
+    A.materialize_ivf_assignments(spark, old_dir, art,
+                                  emb_digest=old_emb_digest)
     _clear_all_artifact_caches(spark)
 
     out: dict = {}
@@ -638,6 +640,7 @@ def probe_incr_artifacts(spark, old_dir: str, new_dir: str) -> dict:
         A.SPANS_NAME: summary["text"].get(A.SPANS_NAME),
         A.CENTROIDS_NAME: summary["embeddings"].get("mode"),
         A.VECDIG_NAME: summary["embeddings"].get(A.VECDIG_NAME),
+        A.ASSIGN_NAME: summary["embeddings"].get(A.ASSIGN_NAME),
     }
     _clear_all_artifact_caches(spark)
 
@@ -656,6 +659,10 @@ def probe_incr_artifacts(spark, old_dir: str, new_dir: str) -> dict:
     A.materialize_vec_digests(spark, new_dir, full_art,
                               emb_digest=new_emb_digest)
     full_walls[A.VECDIG_NAME] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    A.materialize_ivf_assignments(spark, new_dir, full_art,
+                                  emb_digest=new_emb_digest)
+    full_walls[A.ASSIGN_NAME] = round(time.perf_counter() - t0, 3)
     out["full_walls"] = full_walls
     out["full_total"] = round(sum(full_walls.values()), 3)
     out["patch_over_full"] = round(
@@ -904,8 +911,9 @@ def main() -> None:
                     "including the embeddings side: replicated embeddings "
                     "with FIXED 300-vector churn (100 removed, 100 modified "
                     "in-distribution, 100 added), so the quantizer CARRY "
-                    "wall is measured against a full retrain + vec_digests "
-                    "rebuild"
+                    "wall is measured against a full retrain, and the "
+                    "stored inverted index's churn-sized reassignment "
+                    "against a full corpus x n_lists assignment pass"
                 ),
                 "factors": {},
             })

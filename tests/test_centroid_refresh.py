@@ -273,6 +273,116 @@ def test_carried_quantizer_clears_recall_floor(spark, tmp_path):
     S.clear_topk_cache(spark)
 
 
+def test_assignments_artifact_serves_search_identically(spark, tmp_path):
+    """The stored inverted index is a pure cost optimization: search
+    results are IDENTICAL with and without it (assignment is
+    deterministic given the quantizer), and the with-artifact plan scans
+    the artifact instead of re-deriving the corpus x n_lists argmax."""
+    new = _write_emb(spark, tmp_path / "c", _base_vecs())
+    art = str(tmp_path / "art")
+    S.clear_centroid_cache(spark)
+    emb_digest = A.embeddings_digest(spark, new)
+    A.materialize_ivf_centroids(spark, new, art, emb_digest=emb_digest)
+    A.materialize_ivf_assignments(spark, new, art, emb_digest=emb_digest)
+
+    S.clear_centroid_cache(spark)
+    baseline = sorted(tuple(r)
+                      for r in S.embedding_ann_ivf(spark, new).collect())
+    A.load_ivf_assignments(spark, new, art)
+    served = S.embedding_ann_ivf(spark, new)
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    # the artifact's thin (vec_id, lid) parquet scan replaces the inline
+    # derivation (plan paths truncate, so gate on the scan schema — no
+    # other parquet relation in this plan has it)
+    assert "ReadSchema: struct<vec_id:bigint,lid:int>" in plan, plan
+    assert sorted(tuple(r) for r in served.collect()) == baseline
+    S.clear_centroid_cache(spark)
+    S.clear_topk_cache(spark)
+
+
+def test_assignments_patch_under_carry_equals_full(spark, tmp_path):
+    """Carry refresh with a stored index present: the churn-sized patch
+    (delete gone + assign churn) must equal a from-scratch reassignment
+    of the whole new corpus — assignment is deterministic per vector, so
+    this is an exact-rows gate, the dedup-side patch==full pattern."""
+    from pyspark_coding_challenge_spark.llm.similarity import (
+        assign_nearest_list,
+    )
+    from pyspark.sql import functions as F
+
+    vecs = _base_vecs()
+    old, art = _build_old(spark, tmp_path, vecs)
+    emb_digest = A.embeddings_digest(spark, old)
+    A.materialize_ivf_assignments(spark, old, art, emb_digest=emb_digest)
+
+    new_vecs = dict(vecs)
+    del new_vecs[37]
+    new_vecs[12] = vecs[16]
+    new_vecs[600] = vecs[25]
+    new = _write_emb(spark, tmp_path / "new", new_vecs)
+    summary = A.update_centroids_incremental(spark, old, new, art)
+    assert summary["mode"] == "carried"
+    assert summary[A.ASSIGN_NAME] == "patched"
+    assert summary["walls"][A.ASSIGN_NAME] >= 0
+
+    patched = sorted(
+        tuple(r) for r in
+        spark.read.parquet(os.path.join(art, A.ASSIGN_NAME)).collect()
+    )
+    from pyspark_coding_challenge_spark.sources.readers import read_table
+
+    e = read_table(spark, new, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    cent = spark.read.parquet(os.path.join(art, A.CENTROIDS_NAME))
+    full = sorted(tuple(r) for r in assign_nearest_list(e, cent).collect())
+    assert patched == full
+    meta = _meta(art, A.ASSIGN_NAME)
+    assert meta["lineage"]["snapshot"] == A.embeddings_digest(spark, new)
+    S.clear_centroid_cache(spark)
+
+
+def test_assignments_rebuild_under_retrain(spark, tmp_path):
+    """A retrain reassigns everything: the stored index rebuilds (no
+    warning — by design, not degradation) and its recorded centroid fold
+    matches the NEW quantizer."""
+    vecs = _base_vecs()
+    old, art = _build_old(spark, tmp_path, vecs)
+    A.materialize_ivf_assignments(
+        spark, old, art, emb_digest=A.embeddings_digest(spark, old))
+    new_vecs = {i: v for i, v in vecs.items() if i >= 15}  # churn gate
+    new = _write_emb(spark, tmp_path / "new", new_vecs)
+    summary = A.update_centroids_incremental(spark, old, new, art)
+    assert summary["mode"] == "retrained"
+    assert summary[A.ASSIGN_NAME] == "full_rebuild"
+    # pairing invariant: fold recorded == fold of the retrained quantizer
+    cent = spark.read.parquet(os.path.join(art, A.CENTROIDS_NAME))
+    assert _meta(art, A.ASSIGN_NAME)["lineage"]["centroids_fold"] == \
+        A._centroid_fold(cent)
+    S.clear_centroid_cache(spark)
+
+
+def test_assignments_refuse_foreign_quantizer(spark, tmp_path):
+    """An index whose recorded centroid fold does not match the sibling
+    quantizer artifact must refuse to load — pairing assignments with a
+    retrained quantizer would silently mis-bucket the probe join."""
+    new = _write_emb(spark, tmp_path / "c", _base_vecs())
+    art = str(tmp_path / "art")
+    S.clear_centroid_cache(spark)
+    emb_digest = A.embeddings_digest(spark, new)
+    A.materialize_ivf_centroids(spark, new, art, emb_digest=emb_digest)
+    A.materialize_ivf_assignments(spark, new, art, emb_digest=emb_digest)
+    meta_path = os.path.join(art, A.ASSIGN_NAME, "_artifact_meta.json")
+    with open(meta_path) as f:
+        meta = json.load(f)
+    meta["lineage"]["centroids_fold"] = "12345"
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
+    with pytest.raises(ValueError, match="different quantizer"):
+        A.load_ivf_assignments(spark, new, art)
+    S.clear_centroid_cache(spark)
+
+
 def test_update_all_runs_embeddings_side(spark, tmp_path):
     """update_all_incremental on a snapshot WITH an embeddings table runs
     the centroid refresh (carried here) alongside the text/dedup chains
