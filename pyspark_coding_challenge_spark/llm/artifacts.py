@@ -875,8 +875,11 @@ def materialize_ivf_assignments(spark: SparkSession, sf_dir: str,
     session quantizer, whose bytes nothing pins). This is the standard
     IVF deployment shape: with it, a search pays probe + re-rank only;
     without it, every search repeats the corpus x n_lists assignment
-    pass. Opt-in — nothing builds it implicitly, because inline
-    assignment costs the same as building it once.
+    pass. Opt-in at BUILD time: the search and refresh layers never
+    create it implicitly (inline assignment costs the same as building
+    it once, so a cache-miss build would only add a write);
+    ``materialize_all`` — the full production build — includes it, and
+    ``build_artifacts.py`` with explicit names skips it.
 
     Lineage records the embeddings snapshot AND the centroid content fold
     (``_centroid_fold``), so an index assigned under a since-retrained
@@ -887,10 +890,14 @@ def materialize_ivf_assignments(spark: SparkSession, sf_dir: str,
         rebalance_for_compute,
     )
 
+    path = os.path.join(artifact_dir, ASSIGN_NAME)
+    if _loaded_from(spark, sf_dir, ASSIGN_NAME) == os.path.abspath(path):
+        return path  # session cache was seeded FROM this path — see
+        # materialize_pairs (rewriting part files under a live lazily-read
+        # handle dies with FileNotFoundException at next execution)
     cent_path = os.path.join(artifact_dir, CENTROIDS_NAME)
     _check_meta(cent_path, sf_dir, _centroid_params())
     cent = spark.read.parquet(cent_path)
-    path = os.path.join(artifact_dir, ASSIGN_NAME)
     e = rebalance_for_compute(read_table(spark, sf_dir, "embeddings"),
                               "vec_id").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
@@ -905,10 +912,16 @@ def materialize_ivf_assignments(spark: SparkSession, sf_dir: str,
 
 
 def _assign_artifact_gate(path: str, cent_path: str, sf_dir: str,
-                          spark: SparkSession) -> str | None:
-    """Why this assignments artifact cannot serve (sf_dir/params drift,
-    or a centroid fold that is not the sibling quantizer artifact's) —
-    or None when it can. Raises nothing; callers warn-and-skip."""
+                          spark: SparkSession) -> tuple[str | None, str | None]:
+    """(why-not, centroid_fold): why this assignments artifact cannot
+    serve — sf_dir/params drift, a centroid fold that is not the sibling
+    quantizer artifact's, or a row count that is not the CURRENT corpus's
+    (an in-place corpus regeneration would otherwise silently drop
+    added vectors from every search via the inner join; both counts are
+    parquet metadata reads). A modified-in-place vector with an unchanged
+    count keeps its stale list — the same load-time staleness exposure
+    every artifact here accepts, resolved at refresh time by the lineage
+    gate. Raises nothing; callers warn-and-skip."""
     try:
         _check_meta(path, sf_dir, _assign_params())
         _check_meta(cent_path, sf_dir, _centroid_params())
@@ -917,61 +930,75 @@ def _assign_artifact_gate(path: str, cent_path: str, sf_dir: str,
         if lin.get("centroids_fold") != fold:
             return (f"ivf_assignments at {path} was assigned under a "
                     f"different quantizer (fold {lin.get('centroids_fold')}) "
-                    f"than the sibling ivf_centroids artifact ({fold})")
-        return None
+                    f"than the sibling ivf_centroids artifact ({fold})"), None
+        from pyspark_coding_challenge_spark.sources.readers import read_table
+
+        n_idx = spark.read.parquet(path).count()
+        n_corpus = read_table(spark, sf_dir, "embeddings").count()
+        if n_idx != n_corpus:
+            return (f"ivf_assignments at {path} indexes {n_idx} vectors "
+                    f"but the corpus has {n_corpus} — stale vs an "
+                    "in-place corpus change; refresh the artifacts"), None
+        return None, fold
     except ValueError as exc:
-        return str(exc)
+        return str(exc), None
     except Exception as exc:
-        return f"ivf_assignments unreadable: {exc}"
+        return f"ivf_assignments unreadable: {exc}", None
 
 
 def load_ivf_assignments(spark: SparkSession, sf_dir: str, artifact_dir: str,
                          install: bool = True) -> DataFrame:
     """Read a stored inverted index and (by default) seed the similarity
-    session cache so ``embedding_ann_ivf`` searches skip the assignment
-    pass. Refuses (ValueError) an index whose centroid fold does not match
-    the sibling quantizer artifact — pairing assignments with a retrained
-    quantizer would silently mis-bucket the probe join."""
+    session cache — as ``(df, centroid_fold)``, so the search layer can
+    verify the quantizer IT holds is the one the index was assigned under
+    — so ``embedding_ann_ivf`` searches skip the assignment pass. Refuses
+    (ValueError) an index whose centroid fold does not match the sibling
+    quantizer artifact, or whose row count is not the current corpus's."""
     from pyspark_coding_challenge_spark.llm import similarity as S
 
     path = os.path.join(artifact_dir, ASSIGN_NAME)
     cent_path = os.path.join(artifact_dir, CENTROIDS_NAME)
-    why = _assign_artifact_gate(path, cent_path, sf_dir, spark)
+    why, fold = _assign_artifact_gate(path, cent_path, sf_dir, spark)
     if why is not None:
         raise ValueError(why)
-    df = _spread(spark.read.parquet(path), "vec_id")
+    try:
+        df = _spread(spark.read.parquet(path), "vec_id")
+    except Exception as exc:
+        # a corrupt/deleted parquet under an intact meta must surface as
+        # the ValueError load_all's per-artifact grace expects (r12 review
+        # finding — _from_env guards the same class)
+        raise ValueError(f"ivf_assignments unreadable: {exc}") from exc
     if install:
         key = (spark.sparkContext.applicationId, sf_dir)
         with S._SIM_CACHE_LOCK:
-            S._IVF_ASSIGN_CACHE[key] = df
+            S._IVF_ASSIGN_CACHE[key] = (df, fold)
             _mark_loaded(spark, sf_dir, ASSIGN_NAME, path)
     return df
 
 
-def assignments_from_env(spark: SparkSession, sf_dir: str) -> DataFrame | None:
-    """Env-seed the stored inverted index (see ``_from_env``), with the
-    extra centroid-fold pairing check ``_from_env`` cannot express. The
-    fold read is a bounded n_lists-row scan (runs under the similarity
-    cache lock like every *_from_env — small by construction)."""
+def assignments_from_env(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, str] | None:
+    """Env-seed the stored inverted index: the shared ``_from_env``
+    protocol plus the pairing checks it cannot express, returning
+    ``(df, centroid_fold)`` for the search layer's use-time fold gate.
+    The gate's reads are bounded (two metas, an n_lists-row fold scan,
+    two parquet metadata counts) and run under the similarity cache lock
+    like every *_from_env — small by construction."""
     base = os.environ.get(ENV_ARTIFACT_DIR)
     if not base:
         return None
     path = os.path.join(base, ASSIGN_NAME)
     if not os.path.exists(os.path.join(path, _META_FILE)):
         return None
-    why = _assign_artifact_gate(path, os.path.join(base, CENTROIDS_NAME),
-                                sf_dir, spark)
+    why, fold = _assign_artifact_gate(path, os.path.join(base, CENTROIDS_NAME),
+                                      sf_dir, spark)
     if why is not None:
         warnings.warn(f"ignoring {ENV_ARTIFACT_DIR} artifact: {why}")
         return None
-    try:
-        df = _spread(spark.read.parquet(path), "vec_id").persist()
-    except Exception as exc:
-        warnings.warn(f"ignoring unreadable {ENV_ARTIFACT_DIR} artifact "
-                      f"at {path}: {exc}")
+    df = _from_env(spark, sf_dir, ASSIGN_NAME, _assign_params(),
+                   spread_key="vec_id")
+    if df is None:
         return None
-    _mark_loaded(spark, sf_dir, ASSIGN_NAME, path)
-    return df
+    return df, fold
 
 
 def load_ivf_centroids(spark: SparkSession, sf_dir: str, artifact_dir: str,

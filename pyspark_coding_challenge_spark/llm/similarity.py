@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import itertools
 import threading
+import warnings
 
 import random
 
@@ -495,13 +496,29 @@ def clear_centroid_cache(spark: SparkSession | None = None) -> int:
     return released
 
 
-def ivf_assignments_for_dir(spark: SparkSession, sf_dir: str) -> DataFrame | None:
+# negative-cache sentinel: a failed env gate must not re-run its meta
+# reads + fold collect (a Spark job) inside the cache lock on EVERY
+# search, nor re-emit its warning (review finding)
+_ASSIGN_MISS = object()
+
+
+def ivf_assignments_for_dir(spark: SparkSession, sf_dir: str,
+                            cent: DataFrame | None = None) -> DataFrame | None:
     """Session-cached stored inverted index for ``sf_dir``, or None. Reads
     the cache, then the ``ivf_assignments`` artifact via the env seeding
     path; NEVER builds on miss — ``ivf_search`` assigns inline at the same
     cost, so the artifact is an opt-in (materialized by a deployment that
     searches the same corpus repeatedly, patched churn-sized by
-    ``artifacts.update_centroids_incremental``)."""
+    ``artifacts.update_centroids_incremental``).
+
+    ``cent``: the quantizer the CALLER will actually search with. The
+    index is only returned when its recorded centroid fold matches that
+    quantizer's content — the artifact-vs-artifact fold gate cannot see a
+    live-trained session quantizer (review finding: with a CARRIED
+    artifact quantizer on disk and a live one trained on the new corpus,
+    artifact-gated assignments would pair with the wrong probe ranking
+    and silently drop neighbors). The fold of ``cent`` is one bounded
+    n_lists-row collect, paid only when an index is actually cached."""
     key = (spark.sparkContext.applicationId, sf_dir)
     with _SIM_CACHE_LOCK:
         cached = _IVF_ASSIGN_CACHE.get(key)
@@ -509,9 +526,22 @@ def ivf_assignments_for_dir(spark: SparkSession, sf_dir: str) -> DataFrame | Non
             from pyspark_coding_challenge_spark.llm import artifacts
 
             cached = artifacts.assignments_from_env(spark, sf_dir)
-            if cached is not None:
-                _IVF_ASSIGN_CACHE[key] = cached
-        return cached
+            _IVF_ASSIGN_CACHE[key] = cached if cached is not None \
+                else _ASSIGN_MISS
+        if cached is _ASSIGN_MISS or cached is None:
+            return None
+        df, fold = cached
+    if cent is not None:
+        from pyspark_coding_challenge_spark.llm import artifacts
+
+        if artifacts._centroid_fold(cent) != fold:
+            warnings.warn(
+                "stored ivf_assignments were made under a different "
+                "quantizer than the one this search uses — assigning "
+                "inline instead"
+            )
+            return None
+    return df
 
 
 def ivf_search(e: DataFrame, cent: DataFrame,
@@ -592,8 +622,10 @@ def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint()
     cent = ivf_centroids_for_dir(spark, sf_dir, e)
     # a stored inverted index (opt-in artifact) removes the per-search
-    # assignment pass; absent, assignment runs inline — same results
-    return ivf_search(e, cent, assignments=ivf_assignments_for_dir(spark, sf_dir))
+    # assignment pass; absent or fold-mismatched vs THIS quantizer,
+    # assignment runs inline — same results either way
+    return ivf_search(e, cent,
+                      assignments=ivf_assignments_for_dir(spark, sf_dir, cent))
 
 
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
