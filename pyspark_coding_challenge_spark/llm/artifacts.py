@@ -912,16 +912,19 @@ def materialize_ivf_assignments(spark: SparkSession, sf_dir: str,
 
 
 def _assign_artifact_gate(path: str, cent_path: str, sf_dir: str,
-                          spark: SparkSession) -> tuple[str | None, str | None]:
-    """(why-not, centroid_fold): why this assignments artifact cannot
-    serve — sf_dir/params drift, a centroid fold that is not the sibling
-    quantizer artifact's, or a row count that is not the CURRENT corpus's
-    (an in-place corpus regeneration would otherwise silently drop
-    added vectors from every search via the inner join; both counts are
-    parquet metadata reads). A modified-in-place vector with an unchanged
-    count keeps its stale list — the same load-time staleness exposure
-    every artifact here accepts, resolved at refresh time by the lineage
-    gate. Raises nothing; callers warn-and-skip."""
+                          spark: SparkSession) -> tuple[str | None, str | None, DataFrame | None]:
+    """(why-not, centroid_fold, assignments_df): why this assignments
+    artifact cannot serve — sf_dir/params drift, a centroid fold that is
+    not the sibling quantizer artifact's, or a row count that is not the
+    CURRENT corpus's (an in-place corpus regeneration would otherwise
+    silently drop added vectors from every search via the inner join;
+    both counts are parquet metadata reads). A modified-in-place vector
+    with an unchanged count keeps its stale list — the same load-time
+    staleness exposure every artifact here accepts, resolved at refresh
+    time by the lineage gate. On success the opened (and count-forced)
+    DataFrame is returned so callers do not re-open the parquet (r12
+    review finding: the gate-then-reread shape doubled every read under
+    the similarity cache lock). Raises nothing; callers warn-and-skip."""
     try:
         _check_meta(path, sf_dir, _assign_params())
         _check_meta(cent_path, sf_dir, _centroid_params())
@@ -930,20 +933,21 @@ def _assign_artifact_gate(path: str, cent_path: str, sf_dir: str,
         if lin.get("centroids_fold") != fold:
             return (f"ivf_assignments at {path} was assigned under a "
                     f"different quantizer (fold {lin.get('centroids_fold')}) "
-                    f"than the sibling ivf_centroids artifact ({fold})"), None
+                    f"than the sibling ivf_centroids artifact ({fold})"), None, None
         from pyspark_coding_challenge_spark.sources.readers import read_table
 
-        n_idx = spark.read.parquet(path).count()
+        df = spark.read.parquet(path)
+        n_idx = df.count()
         n_corpus = read_table(spark, sf_dir, "embeddings").count()
         if n_idx != n_corpus:
             return (f"ivf_assignments at {path} indexes {n_idx} vectors "
                     f"but the corpus has {n_corpus} — stale vs an "
-                    "in-place corpus change; refresh the artifacts"), None
-        return None, fold
+                    "in-place corpus change; refresh the artifacts"), None, None
+        return None, fold, df
     except ValueError as exc:
-        return str(exc), None
+        return str(exc), None, None
     except Exception as exc:
-        return f"ivf_assignments unreadable: {exc}", None
+        return f"ivf_assignments unreadable: {exc}", None, None
 
 
 def load_ivf_assignments(spark: SparkSession, sf_dir: str, artifact_dir: str,
@@ -953,21 +957,17 @@ def load_ivf_assignments(spark: SparkSession, sf_dir: str, artifact_dir: str,
     verify the quantizer IT holds is the one the index was assigned under
     — so ``embedding_ann_ivf`` searches skip the assignment pass. Refuses
     (ValueError) an index whose centroid fold does not match the sibling
-    quantizer artifact, or whose row count is not the current corpus's."""
+    quantizer artifact, or whose row count is not the current corpus's
+    (a corrupt parquet under an intact meta also surfaces as ValueError —
+    the per-artifact grace ``load_all`` expects)."""
     from pyspark_coding_challenge_spark.llm import similarity as S
 
     path = os.path.join(artifact_dir, ASSIGN_NAME)
     cent_path = os.path.join(artifact_dir, CENTROIDS_NAME)
-    why, fold = _assign_artifact_gate(path, cent_path, sf_dir, spark)
+    why, fold, raw = _assign_artifact_gate(path, cent_path, sf_dir, spark)
     if why is not None:
         raise ValueError(why)
-    try:
-        df = _spread(spark.read.parquet(path), "vec_id")
-    except Exception as exc:
-        # a corrupt/deleted parquet under an intact meta must surface as
-        # the ValueError load_all's per-artifact grace expects (r12 review
-        # finding — _from_env guards the same class)
-        raise ValueError(f"ivf_assignments unreadable: {exc}") from exc
+    df = _spread(raw, "vec_id")
     if install:
         key = (spark.sparkContext.applicationId, sf_dir)
         with S._SIM_CACHE_LOCK:
@@ -977,27 +977,27 @@ def load_ivf_assignments(spark: SparkSession, sf_dir: str, artifact_dir: str,
 
 
 def assignments_from_env(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, str] | None:
-    """Env-seed the stored inverted index: the shared ``_from_env``
-    protocol plus the pairing checks it cannot express, returning
-    ``(df, centroid_fold)`` for the search layer's use-time fold gate.
-    The gate's reads are bounded (two metas, an n_lists-row fold scan,
-    two parquet metadata counts) and run under the similarity cache lock
-    like every *_from_env — small by construction."""
+    """Env-seed the stored inverted index — the ``_from_env`` protocol
+    (warn-and-None, persist, ``_mark_loaded``) with the pairing checks it
+    cannot express, returning ``(df, centroid_fold)`` for the search
+    layer's use-time fold gate. Inlined rather than delegated to
+    ``_from_env`` so the artifact parquet is opened ONCE (the gate's
+    count already forced it; a second open per seed ran under the
+    similarity cache lock — r12 review finding). The gate's reads are
+    bounded: two metas, an n_lists-row fold scan, two metadata counts."""
     base = os.environ.get(ENV_ARTIFACT_DIR)
     if not base:
         return None
     path = os.path.join(base, ASSIGN_NAME)
     if not os.path.exists(os.path.join(path, _META_FILE)):
         return None
-    why, fold = _assign_artifact_gate(path, os.path.join(base, CENTROIDS_NAME),
-                                      sf_dir, spark)
+    why, fold, raw = _assign_artifact_gate(
+        path, os.path.join(base, CENTROIDS_NAME), sf_dir, spark)
     if why is not None:
         warnings.warn(f"ignoring {ENV_ARTIFACT_DIR} artifact: {why}")
         return None
-    df = _from_env(spark, sf_dir, ASSIGN_NAME, _assign_params(),
-                   spread_key="vec_id")
-    if df is None:
-        return None
+    df = _spread(raw, "vec_id").persist()
+    _mark_loaded(spark, sf_dir, ASSIGN_NAME, path)
     return df, fold
 
 
@@ -1159,8 +1159,14 @@ def load_all(spark: SparkSession, sf_dir: str, artifact_dir: str) -> dict:
                       "be recomputed from the loaded pair graph")
         out[CC_NAME] = None
     # ivf_assignments is r12-new and opt-in — a pre-r12 artifact dir (or
-    # one that chose not to store the index) must not fail the load; IVF
-    # searches then just assign inline (same results)
+    # one that chose not to store the index) must not fail the load NOR
+    # warn (absence is a configuration, not degradation; r12 review
+    # finding); IVF searches then just assign inline (same results). A
+    # PRESENT-but-invalid index still warns.
+    if not os.path.exists(os.path.join(artifact_dir, ASSIGN_NAME,
+                                       _META_FILE)):
+        out[ASSIGN_NAME] = None
+        return out
     try:
         out[ASSIGN_NAME] = load_ivf_assignments(spark, sf_dir, artifact_dir)
     except ValueError as exc:

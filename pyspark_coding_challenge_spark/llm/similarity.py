@@ -479,15 +479,25 @@ def clear_centroid_cache(spark: SparkSession | None = None) -> int:
     or one session's) — mirrors ``dedup.clear_pair_cache``. The
     assignments cache falls with the quantizer cache because an inverted
     index is only meaningful against the exact centroid set it was
-    assigned under. localCheckpoint blocks are reclaimed by the
-    ContextCleaner once the reference is dropped."""
+    assigned under. Quantizer entries are localCheckpoints — dropping the
+    reference releases them via the ContextCleaner — but env-seeded
+    assignment entries are ``persist()``'d and must be explicitly
+    unpersisted, or every refresh cycle of a long-lived driver would
+    strand another copy in storage memory (r12 review finding; the same
+    rule ``dedup.clear_pair_cache`` follows)."""
     released = 0
     app = spark.sparkContext.applicationId if spark is not None else None
-    for cache in (_IVF_CENTROID_CACHE, _IVF_ASSIGN_CACHE):
-        for key in list(cache):
-            if app is None or key[0] == app:
-                del cache[key]
-                released += 1
+    for key in list(_IVF_CENTROID_CACHE):
+        if app is None or key[0] == app:
+            del _IVF_CENTROID_CACHE[key]
+            released += 1
+    for key in list(_IVF_ASSIGN_CACHE):
+        if app is None or key[0] == app:
+            entry = _IVF_ASSIGN_CACHE.pop(key)
+            if isinstance(entry, tuple):
+                entry[0].unpersist()  # no-op on the never-persisted load path
+            released += 1
+    _ASSIGN_FOLD_VERDICTS.clear()
     from pyspark_coding_challenge_spark.llm import artifacts
 
     # a later materialize must rebuild, not no-op on the stale seed path
@@ -500,6 +510,12 @@ def clear_centroid_cache(spark: SparkSession | None = None) -> int:
 # reads + fold collect (a Spark job) inside the cache lock on EVERY
 # search, nor re-emit its warning (review finding)
 _ASSIGN_MISS = object()
+# memoized use-time fold verdicts: (cache key, id(quantizer)) ->
+# (quantizer strong ref, matched). The strong ref makes the id() stable
+# (the r11 conf-pin lesson: id() alone can be reused after GC); without
+# this, EVERY search re-pays the fold collect and a mismatch re-warns
+# per search (r12 review finding). Cleared with the caches.
+_ASSIGN_FOLD_VERDICTS: dict[tuple, tuple[object, bool]] = {}
 
 
 def ivf_assignments_for_dir(spark: SparkSession, sf_dir: str,
@@ -532,9 +548,17 @@ def ivf_assignments_for_dir(spark: SparkSession, sf_dir: str,
             return None
         df, fold = cached
     if cent is not None:
+        vkey = (key, id(cent))
+        with _SIM_CACHE_LOCK:
+            hit = _ASSIGN_FOLD_VERDICTS.get(vkey)
+        if hit is not None and hit[0] is cent:
+            return df if hit[1] else None
         from pyspark_coding_challenge_spark.llm import artifacts
 
-        if artifacts._centroid_fold(cent) != fold:
+        matched = artifacts._centroid_fold(cent) == fold
+        with _SIM_CACHE_LOCK:
+            _ASSIGN_FOLD_VERDICTS[vkey] = (cent, matched)
+        if not matched:
             warnings.warn(
                 "stored ivf_assignments were made under a different "
                 "quantizer than the one this search uses — assigning "

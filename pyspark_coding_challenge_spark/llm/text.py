@@ -1165,6 +1165,8 @@ _TEXT_INCR_STATE_CACHE: dict[tuple[str, str], tuple[DataFrame, DataFrame, DataFr
 # serializes the expensive state build (NOT the shared cache lock — that
 # one guards dict access for every text cache and must stay cheap to hold)
 _TEXT_INCR_BUILD_LOCK = threading.Lock()
+# temp roots with an atexit cleanup already registered (one per root)
+_TEXT_INCR_ROOTS: set[str] = set()
 
 
 def _patched_text_state(spark: SparkSession, sf_dir: str):
@@ -1194,6 +1196,14 @@ def _patched_text_state(spark: SparkSession, sf_dir: str):
     import tempfile
 
     key = (spark.sparkContext.applicationId, sf_dir)
+    # double-checked: hits (any sf_dir) must not queue behind a
+    # multi-minute build of some other corpus's state (r12 review
+    # finding) — the cheap cache lock guards the get, the build lock only
+    # serializes actual builds
+    with _TEXT_CACHE_LOCK:
+        cached = _TEXT_INCR_STATE_CACHE.get(key)
+    if cached is not None:
+        return cached
     with _TEXT_INCR_BUILD_LOCK:
         with _TEXT_CACHE_LOCK:
             cached = _TEXT_INCR_STATE_CACHE.get(key)
@@ -1212,7 +1222,9 @@ def _patched_text_state(spark: SparkSession, sf_dir: str):
         root = _os.path.join(tempfile.gettempdir(),
                              f"sg_text_incr_{_os.getpid()}_{tag}")
         _shutil.rmtree(root, ignore_errors=True)
-        atexit.register(_shutil.rmtree, root, ignore_errors=True)
+        if root not in _TEXT_INCR_ROOTS:  # one handler per root, not per build
+            _TEXT_INCR_ROOTS.add(root)
+            atexit.register(_shutil.rmtree, root, ignore_errors=True)
         old_dir = _os.path.join(root, "old")
         new_dir = _os.path.join(root, "new")
         art = _os.path.join(root, "art")

@@ -644,14 +644,23 @@ def probe_incr_artifacts(spark, old_dir: str, new_dir: str) -> dict:
     }
     _clear_all_artifact_caches(spark)
 
-    new_digest = A.corpus_digest(spark, new_dir)
+    # the digest scans are REAL full-rebuild work (every lineage sidecar
+    # needs one), timed as their own entries — excluding them deflated
+    # full_total while patch_total's _refresh_ctx digest work was always
+    # included, biasing patch_over_full (r12 review finding); they are
+    # kept separate so per-artifact ratios stay digest-free on both sides
     full_walls: dict[str, float] = {}
+    t0 = time.perf_counter()
+    new_digest = A.corpus_digest(spark, new_dir)
+    full_walls["corpus_digest_scan"] = round(time.perf_counter() - t0, 3)
     for name, fn in _refreshable_artifacts(A):
         t0 = time.perf_counter()
         fn(spark, new_dir, full_art, new_digest)
         full_walls[name] = round(time.perf_counter() - t0, 3)
     t0 = time.perf_counter()
     new_emb_digest = A.embeddings_digest(spark, new_dir)
+    full_walls["embeddings_digest_scan"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
     A.materialize_ivf_centroids(spark, new_dir, full_art,
                                 emb_digest=new_emb_digest)
     full_walls[A.CENTROIDS_NAME] = round(time.perf_counter() - t0, 3)
