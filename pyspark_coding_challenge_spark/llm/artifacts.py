@@ -1656,7 +1656,8 @@ def _old_vecdig_state(spark: SparkSession, old_sf_dir: str,
 
 
 def update_centroids_incremental(spark: SparkSession, old_sf_dir: str,
-                                 new_sf_dir: str, artifact_dir: str) -> dict:
+                                 new_sf_dir: str, artifact_dir: str,
+                                 max_churn_frac: float | None = None) -> dict:
     """Refresh the EMBEDDINGS-side artifacts (``ivf_centroids`` +
     ``vec_digests``) from the embeddings snapshot diff. The quantizer is a
     trained model, not a per-row relation, so there is no row patch; the
@@ -1695,7 +1696,14 @@ def update_centroids_incremental(spark: SparkSession, old_sf_dir: str,
     counts, ``reason`` (why retrained, or why the drift check was
     skipped), ``churn_qe``/``trained_qe`` when the drift gate ran,
     per-artifact ``walls``, ``vec_digests`` ('patched' | 'full_rebuild'),
-    and ``ivf_assignments`` ('patched' | 'full_rebuild' | 'absent')."""
+    and ``ivf_assignments`` ('patched' | 'full_rebuild' | 'absent').
+
+    ``max_churn_frac`` overrides the env-tuned ``CENTROID_MAX_CHURN_FRAC``
+    gate for this call only — the registered ``stored_index`` section
+    derives ~40% churn by construction, and the operator knob must not be
+    able to break a driver-gated slug (the same override contract as
+    ``update_text_incremental``). The lineage and drift gates are NOT
+    overridable: a wrong-snapshot or drifted quantizer always retrains."""
     from pyspark_coding_challenge_spark.llm import dedup as D
     from pyspark_coding_challenge_spark.llm import similarity as S
     from pyspark_coding_challenge_spark.sources.readers import (
@@ -1804,12 +1812,13 @@ def update_centroids_incremental(spark: SparkSession, old_sf_dir: str,
         if not stored_stats or "mean_qe" not in stored_stats:
             reason = ("stored quantizer meta records no training stats "
                       "(pre-r12 artifact) — no drift baseline to carry against")
-    if reason is None and n_old > 0 and \
-            n_churn > CENTROID_MAX_CHURN_FRAC * n_old:
+    churn_limit = (CENTROID_MAX_CHURN_FRAC if max_churn_frac is None
+                   else max_churn_frac)
+    if reason is None and n_old > 0 and n_churn > churn_limit * n_old:
         reason = (
             f"churn of {n_churn} vectors is {n_churn / n_old:.0%} of the "
             f"{n_old}-vector old snapshot "
-            f"(limit {CENTROID_MAX_CHURN_FRAC:.0%})"
+            f"(limit {churn_limit:.0%})"
         )
     if reason is None:
         fresh = new_emb.select(

@@ -1165,8 +1165,42 @@ _TEXT_INCR_STATE_CACHE: dict[tuple[str, str], tuple[DataFrame, DataFrame, DataFr
 # serializes the expensive state build (NOT the shared cache lock — that
 # one guards dict access for every text cache and must stay cheap to hold)
 _TEXT_INCR_BUILD_LOCK = threading.Lock()
-# temp roots with an atexit cleanup already registered (one per root)
-_TEXT_INCR_ROOTS: set[str] = set()
+# the one mkdtemp-created per-process parent under which every build root
+# lives (list used as a write-once cell; guarded by the build lock)
+_TEXT_INCR_PARENT: list[str] = []
+
+
+def _text_incr_root(app_id: str, sf_dir: str) -> str:
+    """A fresh private build root for one (session, corpus) state build.
+    The r12 deterministic ``/tmp/sg_text_incr_<pid>_<tag>`` path was a
+    CWE-377 regression (r12 ADVICE): predictable and world-visible, another
+    user could pre-create it or plant a symlink (``rmtree(ignore_errors)``
+    silently no-ops on a symlink root and the parquet writes then follow
+    it), and keying by pid while the cache keys by applicationId let a
+    second SparkSession in the same process rmtree the files backing the
+    first session's cached lazily-read DataFrames. Now: ONE
+    ``mkdtemp``-created parent per process (0700, unpredictable name,
+    cleaned at exit — the leak the deterministic path existed to fix stays
+    fixed), with per-(applicationId, corpus) roots under it created
+    ``exist_ok=False`` so nothing can pre-create them; distinct sessions
+    get distinct roots. Callers hold ``_TEXT_INCR_BUILD_LOCK``."""
+    import atexit
+    import hashlib
+    import os as _os
+    import shutil as _shutil
+    import tempfile
+
+    if not _TEXT_INCR_PARENT:
+        parent = tempfile.mkdtemp(prefix="sg_text_incr_")
+        atexit.register(_shutil.rmtree, parent, ignore_errors=True)
+        _TEXT_INCR_PARENT.append(parent)
+    tag = hashlib.md5(f"{app_id}:{sf_dir}".encode()).hexdigest()[:16]
+    root = _os.path.join(_TEXT_INCR_PARENT[0], tag)
+    # a rebuild of the SAME (session, corpus) state (cache cleared by a
+    # refresh) reuses its slot: wipe, then recreate private
+    _shutil.rmtree(root, ignore_errors=True)
+    _os.makedirs(root, mode=0o700, exist_ok=False)
+    return root
 
 
 def _patched_text_state(spark: SparkSession, sf_dir: str):
@@ -1189,11 +1223,7 @@ def _patched_text_state(spark: SparkSession, sf_dir: str):
     must not each run the multi-minute double-corpus build, and the
     loser's end-of-refresh cache clears must not invalidate relations the
     winner's sibling sections are consuming mid-flight."""
-    import atexit
-    import hashlib
     import os as _os
-    import shutil as _shutil
-    import tempfile
 
     key = (spark.sparkContext.applicationId, sf_dir)
     # double-checked: hits (any sf_dir) must not queue behind a
@@ -1214,17 +1244,10 @@ def _patched_text_state(spark: SparkSession, sf_dir: str):
 
         docs = read_table(spark, sf_dir, "documents")
         old, new = snapshot_versions(docs)
-        # deterministic per-(pid, corpus) root, wiped before reuse and at
-        # process exit: mkdtemp leaked one two-corpus tree per build (and
-        # the degraded-raise path leaked it forever) — long-lived bench
-        # hosts would accumulate corpus copies until /tmp filled
-        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-        root = _os.path.join(tempfile.gettempdir(),
-                             f"sg_text_incr_{_os.getpid()}_{tag}")
-        _shutil.rmtree(root, ignore_errors=True)
-        if root not in _TEXT_INCR_ROOTS:  # one handler per root, not per build
-            _TEXT_INCR_ROOTS.add(root)
-            atexit.register(_shutil.rmtree, root, ignore_errors=True)
+        # private per-(session, corpus) root under the process's mkdtemp
+        # parent (see _text_incr_root): wiped before reuse and at process
+        # exit, so long-lived bench hosts never accumulate corpus copies
+        root = _text_incr_root(key[0], sf_dir)
         old_dir = _os.path.join(root, "old")
         new_dir = _os.path.join(root, "new")
         art = _os.path.join(root, "art")

@@ -47,6 +47,51 @@ import os
 import shutil
 import subprocess
 import sys
+import time
+
+
+# ---------------------------------------------------------------------------
+# no-concurrent-load guard (r12 judge item #4): twice (r10, r12) the paired
+# bench overlapped the builder's own pytest/oracle jobs and needed idle
+# re-measures. The rule now lives here as code, not in prose: before each
+# slug's measurement window, wait (bounded) for the 1-min loadavg to drop
+# under a threshold, and record what was actually seen in the artifact so
+# a reviewer can audit every row's ambient conditions.
+#
+# Threshold default = half the CPUs given to the bench's own Spark
+# sessions: the previous slug's just-exited local[32] JVM leaves a DECAYING
+# 1-min average behind (the bench's own honest load), so an aggressive
+# threshold would deadlock the bench against itself; a whole concurrent
+# pytest/oracle run adds tens of runnable tasks on top and clears the bar.
+# ---------------------------------------------------------------------------
+
+LOAD_RETRY_SLEEP_S = 30.0
+LOAD_MAX_RETRIES = 8
+
+
+def wait_for_idle(max_load: float, retries: int = LOAD_MAX_RETRIES,
+                  sleep_s: float = LOAD_RETRY_SLEEP_S,
+                  _getloadavg=os.getloadavg, _sleep=time.sleep) -> dict:
+    """Block until the 1-min loadavg is <= ``max_load`` or ``retries``
+    bounded sleeps have elapsed. Returns the per-row audit record:
+    ``loadavg1`` (the value the measurement actually started under),
+    ``load_waited_s``, and ``load_exceeded`` (True = gave up waiting —
+    the row ran under load and its timing should be read accordingly)."""
+    waited = 0.0
+    load = _getloadavg()[0]
+    for _ in range(retries):
+        if load <= max_load:
+            break
+        print(f"loadavg {load:.1f} > {max_load:.1f} — waiting "
+              f"{sleep_s:.0f}s for the machine to go idle", file=sys.stderr)
+        _sleep(sleep_s)
+        waited += sleep_s
+        load = _getloadavg()[0]
+    return {
+        "loadavg1": round(load, 2),
+        "load_waited_s": round(waited, 1),
+        "load_exceeded": load > max_load,
+    }
 
 # Since r7 the slug list is the WHOLE registry (in registration order);
 # BASELINE.md documents 1.3-1.9x ambient drift in the shared-session
@@ -176,6 +221,8 @@ def main() -> None:
             raise SystemExit(2)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    max_load = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD",
+                                    str(max(int(cpus) / 2, 4.0))))
     # r4 anchors were measured at sf0.1/local[32]; a different protocol
     # makes the ratio meaningless — omit it rather than publish a bogus one
     anchor_protocol = sf_dir.rstrip("/").endswith("sf0.1") and cpus == "32"
@@ -247,6 +294,11 @@ def main() -> None:
             # item #6); n_runs is recorded per entry so future vs_prev
             # readers know which protocol produced each number
             n_runs = 5 if slug.startswith("streaming_") else 3
+            # no-concurrent-load guard: wait (bounded) for ambient load to
+            # clear BEFORE the slug's window — for paired slugs this
+            # covers both trees' runs, which is the point (overlap skews
+            # the pair's shared window identically or not at all)
+            load_rec = wait_for_idle(max_load)
             if ab_ref and slug in ab_sections:
                 # one child per tree, order alternating per eligible slug
                 # (see module docstring for the drift-cancellation design)
@@ -297,6 +349,7 @@ def main() -> None:
                 entry = {"cold": rec["cold"], "runs": rec["runs"],
                          "best": rec["best"]}
             entry["n_runs"] = n_runs
+            entry.update(load_rec)  # per-row ambient-load audit fields
             if slug in R4_PROSE_ANCHORS and anchor_protocol:
                 entry["r4_best"] = R4_PROSE_ANCHORS[slug]
                 entry["vs_r4"] = round(entry["best"] / R4_PROSE_ANCHORS[slug], 3)
@@ -377,6 +430,7 @@ def main() -> None:
         "ab_summary": ab_summary,
         "sf": sf_dir,
         "cpus": cpus,
+        "max_load": max_load,
         "slugs": slugs,
         "section_counts": section_counts,
         "r4_anchor_source": "BASELINE.md end-of-r4 prose note (best-of-3, no cold recorded)",

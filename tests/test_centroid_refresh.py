@@ -538,3 +538,134 @@ def test_env_float_rejects_typos(monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_TEST_FLOAT_KNOB", "O.25")
     with pytest.raises(RuntimeError, match="not a valid float"):
         A._env_float("SPARK_GRAFT_TEST_FLOAT_KNOB", "0.5")
+
+
+# ---------------------------------------------------------------------------
+# r12 ADVICE regressions: similarity-cache locking discipline
+# ---------------------------------------------------------------------------
+
+def test_assign_seed_runs_outside_cache_lock(spark, monkeypatch):
+    """r12 ADVICE (similarity.py:544): the first env-seed runs Spark jobs
+    (meta reads, fold collect, metadata counts) and must NOT hold the
+    global ``_SIM_CACHE_LOCK`` for their duration — that blocked every
+    concurrent similarity-cache caller for multiple seconds. The seed
+    callable observes the lock state at call time."""
+    S.clear_centroid_cache(spark)
+    seen: dict = {}
+
+    def fake_seed(sp, d):
+        seen["locked"] = S._SIM_CACHE_LOCK.locked()
+        return None
+
+    monkeypatch.setattr(A, "assignments_from_env", fake_seed)
+    assert S.ivf_assignments_for_dir(spark, "/no/such/corpus") is None
+    assert seen == {"locked": False}
+    # and the negative result is cached — a second call must not re-seed
+    seen.clear()
+    assert S.ivf_assignments_for_dir(spark, "/no/such/corpus") is None
+    assert seen == {}
+    S.clear_centroid_cache(spark)
+
+
+def test_assign_seed_loser_unpersists_duplicate(spark, monkeypatch):
+    """With the seed outside the lock, two concurrent seeders can race;
+    the loser must unpersist its duplicate persisted artifact read
+    instead of stranding a cached copy in storage memory."""
+    S.clear_centroid_cache(spark)
+    key = (spark.sparkContext.applicationId, "/race/corpus")
+    winner = spark.createDataFrame([(1, 0)], "vec_id long, lid int")
+    loser = spark.createDataFrame([(1, 0)], "vec_id long, lid int").persist()
+    loser.count()
+
+    def fake_seed(sp, d):
+        # simulate another thread winning the install race mid-seed
+        with S._SIM_CACHE_LOCK:
+            S._IVF_ASSIGN_CACHE[key] = (winner, "fold_w")
+        return (loser, "fold_l")
+
+    monkeypatch.setattr(A, "assignments_from_env", fake_seed)
+    got = S.ivf_assignments_for_dir(spark, "/race/corpus")
+    assert got is winner
+    assert not loser.storageLevel.useMemory, "loser's persist leaked"
+    S.clear_centroid_cache(spark)
+
+
+def test_clear_centroid_cache_takes_the_lock(spark):
+    """r12 ADVICE (similarity.py:477): the clear must mutate the caches
+    under ``_SIM_CACHE_LOCK`` — an unlocked clear races readers, which
+    can fetch a (df, fold) tuple and have the df unpersisted out from
+    under them mid-refresh. Holding the lock here must block the clear."""
+    import threading
+
+    done = threading.Event()
+    S._SIM_CACHE_LOCK.acquire()
+    try:
+        t = threading.Thread(
+            target=lambda: (S.clear_centroid_cache(spark), done.set()),
+            daemon=True,
+        )
+        t.start()
+        assert not done.wait(0.5), "clear mutated the caches lock-free"
+    finally:
+        S._SIM_CACHE_LOCK.release()
+    assert done.wait(10), "clear never completed after the lock released"
+
+
+# ---------------------------------------------------------------------------
+# r13 (judge item #1): the driver-gated stored_index section
+# ---------------------------------------------------------------------------
+
+def test_stored_section_equals_inline_search(spark):
+    """The registered stored_index section (artifact-served: carried
+    quantizer + patched inverted index) must return EXACTLY the rows of
+    an inline search with the same quantizer over the same derived new
+    snapshot — assignment is deterministic, so the artifact is a pure
+    cost optimization. This is the Spark-side half of the driver's
+    cross-engine hash gate."""
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    S.clear_stored_ivf_state(spark)
+    S.clear_centroid_cache(spark)
+    stored = S.embedding_ann_ivf_stored(spark, sf)
+    assert stored.columns[-2:] == ["quantizer_mode", "index_mode"]
+    core = stored.select("query_id", "neighbor_id", "rank", "sim")
+    e_new, cent, _ = S._stored_ivf_state(spark, sf)
+    inline = S.ivf_search(e_new, cent, assignments=None).select(
+        "query_id", "neighbor_id", "rank", "sim")
+    assert core.exceptAll(inline).count() == 0
+    assert inline.exceptAll(core).count() == 0
+    modes = stored.select("quantizer_mode", "index_mode").distinct().collect()
+    assert [(r[0], r[1]) for r in modes] == [("carried", "patched")]
+
+
+def test_stored_section_raises_on_degrade(spark, monkeypatch):
+    """The mode literals pin CARRIED/PATCHED; if the refresh degrades (a
+    retrain, or an index rebuild), the builder must RAISE rather than
+    serve rows a full rebuild produced — the hash gate must prove the
+    artifact-served path, not value-equality by accident."""
+    import pyspark_coding_challenge_spark.llm.artifacts as A_mod
+
+    S.clear_stored_ivf_state(spark)
+    real = A_mod.update_centroids_incremental
+
+    def degraded(*a, **k):
+        summary = real(*a, **k)
+        summary["mode"] = "retrained"
+        return summary
+
+    monkeypatch.setattr(A_mod, "update_centroids_incremental", degraded)
+    with pytest.raises(RuntimeError, match="degraded"):
+        S._stored_ivf_state(spark, "/root/testdata/sf0.001")
+    S.clear_stored_ivf_state(spark)
+
+
+def test_stored_state_cached_per_session(spark):
+    """One expensive double-snapshot build per (session, corpus): the
+    second call returns the same handles without rebuilding."""
+    sf = "/root/testdata/sf0.001"
+    S.clear_stored_ivf_state(spark)
+    a = S._stored_ivf_state(spark, sf)
+    b = S._stored_ivf_state(spark, sf)
+    assert a is b
+    assert S.clear_stored_ivf_state(spark) == 1

@@ -1,0 +1,109 @@
+"""Timing-boundary invariants for the incremental refresh probe
+(r12 judge item #5).
+
+``SCALE_PROBE_INCR_r12.json`` shipped on its FOURTH revision because the
+full arm hid its digest scans outside the wall while the patch arm always
+timed its own — a fairness asymmetry that had to be review-caught. This
+test makes the boundary a tested invariant: with every heavy callee
+replaced by a stub that advances a FAKE clock, both arms of
+``probe_incr_artifacts`` must account their digest work inside their own
+walls — the full side as the named ``corpus_digest_scan`` /
+``embeddings_digest_scan`` entries summed into ``full_total``, the patch
+side inside the single wall-to-wall ``update_all_incremental`` timing.
+The second-revision logic (digest computed before the timed loop) fails
+the named-entry assertions; the shipped logic passes. No Spark session,
+no sleeping — pure clock arithmetic."""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+DIGEST_COST = 7.0       # fake seconds per corpus digest scan
+EMB_DIGEST_COST = 3.0   # fake seconds per embeddings digest scan
+MAT_COST = 1.0          # fake seconds per materialize_* call
+PATCH_COST = 5.0        # fake seconds for the whole update_all_incremental
+
+
+def _scale_probe():
+    spec = importlib.util.spec_from_file_location(
+        "scale_probe", os.path.join(REPO, "scripts", "scale_probe.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_both_arms_time_their_digest_scans(tmp_path, monkeypatch):
+    sp = _scale_probe()
+    from pyspark_coding_challenge_spark.llm import artifacts as A
+
+    clock = [0.0]
+    monkeypatch.setattr(sp.time, "perf_counter", lambda: clock[0])
+
+    def spend(cost):
+        def fn(*a, **k):
+            clock[0] += cost
+            return {}
+        return fn
+
+    # stored-state build + full arm callees: every digest scan and
+    # materializer advances the fake clock by a known amount
+    monkeypatch.setattr(A, "corpus_digest", spend(DIGEST_COST))
+    monkeypatch.setattr(A, "embeddings_digest", spend(EMB_DIGEST_COST))
+    # the 8 text/dedup materializers resolve through _refreshable_artifacts
+    # — replace the resolver output wholesale
+    monkeypatch.setattr(
+        sp, "_refreshable_artifacts",
+        lambda mod: [(n, spend(MAT_COST)) for n, _ in (
+            (A.PAIRS_NAME, None), (A.BANDS_NAME, None), (A.CC_NAME, None),
+            (A.DIGESTS_NAME, None), (A.SPANPOS_NAME, None),
+            (A.SPANS_NAME, None), (A.SPINE_NAME, None),
+            (A.SIGNALS_NAME, None),
+        )],
+    )
+    monkeypatch.setattr(A, "materialize_ivf_centroids", spend(MAT_COST))
+    monkeypatch.setattr(A, "materialize_vec_digests", spend(MAT_COST))
+    monkeypatch.setattr(A, "materialize_ivf_assignments", spend(MAT_COST))
+    monkeypatch.setattr(sp, "_clear_all_artifact_caches", lambda s: None)
+
+    def fake_update_all(spark, old, new, art):
+        # the patch arm's digest work (refresh ctx + per-artifact walls)
+        # happens INSIDE this call — the probe times it wall-to-wall
+        clock[0] += PATCH_COST
+        return {
+            "text": {"walls": {"doc_signals": 1.0},
+                     A.SIGNALS_NAME: "patched", A.SPINE_NAME: "patched",
+                     A.SPANPOS_NAME: "patched", A.SPANS_NAME: "rederived"},
+            "dedup": {"walls": {"pairs_bands_patch": 2.0},
+                      "mode": "incremental", "cc_mode": "incremental"},
+            "embeddings": {"walls": {"diff": 1.0}, "mode": "carried",
+                           A.VECDIG_NAME: "patched",
+                           A.ASSIGN_NAME: "patched"},
+        }
+
+    monkeypatch.setattr(A, "update_all_incremental", fake_update_all)
+
+    out = sp.probe_incr_artifacts(None, str(tmp_path / "old"),
+                                  str(tmp_path / "new"))
+
+    # --- full arm: digest scans are NAMED entries, counted in the total
+    fw = out["full_walls"]
+    assert fw["corpus_digest_scan"] == DIGEST_COST, fw
+    assert fw["embeddings_digest_scan"] == EMB_DIGEST_COST, fw
+    # 8 text/dedup materializers + centroids + vec_digests + assignments
+    assert out["full_total"] == round(sum(fw.values()), 3)
+    assert out["full_total"] == DIGEST_COST + EMB_DIGEST_COST + 11 * MAT_COST
+
+    # --- patch arm: the wall-to-wall timing covers the whole refresh,
+    # digest work included (it runs inside update_all_incremental)
+    assert out["patch_total"] == PATCH_COST
+    # and the per-artifact patch walls surface the updaters' own timings
+    assert out["patch_walls"]["pairs_bands_patch"] == 2.0
+    assert out["patch_walls"]["diff"] == 1.0
+
+    # --- the ratio compares the two like-bounded walls
+    assert out["patch_over_full"] == round(
+        PATCH_COST / out["full_total"], 3)
