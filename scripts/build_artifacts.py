@@ -66,6 +66,7 @@ def main() -> None:
         A.DIGESTS_NAME: A.materialize_doc_digests,
         A.SPANPOS_NAME: A.materialize_span_pos,
         A.SPANS_NAME: A.materialize_spans,
+        A.SPANSTATS_NAME: A.materialize_span_stats,
         A.CENTROIDS_NAME: A.materialize_ivf_centroids,
         A.VECDIG_NAME: A.materialize_vec_digests,
         A.ASSIGN_NAME: A.materialize_ivf_assignments,

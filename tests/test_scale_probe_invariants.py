@@ -60,8 +60,8 @@ def test_both_arms_time_their_digest_scans(tmp_path, monkeypatch):
         lambda mod: [(n, spend(MAT_COST)) for n, _ in (
             (A.PAIRS_NAME, None), (A.BANDS_NAME, None), (A.CC_NAME, None),
             (A.DIGESTS_NAME, None), (A.SPANPOS_NAME, None),
-            (A.SPANS_NAME, None), (A.SPINE_NAME, None),
-            (A.SIGNALS_NAME, None),
+            (A.SPANS_NAME, None), (A.SPANSTATS_NAME, None),
+            (A.SPINE_NAME, None), (A.SIGNALS_NAME, None),
         )],
     )
     monkeypatch.setattr(A, "materialize_ivf_centroids", spend(MAT_COST))
@@ -69,22 +69,34 @@ def test_both_arms_time_their_digest_scans(tmp_path, monkeypatch):
     monkeypatch.setattr(A, "materialize_ivf_assignments", spend(MAT_COST))
     monkeypatch.setattr(sp, "_clear_all_artifact_caches", lambda s: None)
 
-    def fake_update_all(spark, old, new, art):
+    calls = []
+
+    def fake_update_all(spark, old, new, art, **kw):
         # the patch arm's digest work (refresh ctx + per-artifact walls)
         # happens INSIDE this call — the probe times it wall-to-wall
+        calls.append(sorted(k for k, v in kw.items() if v is not None))
         clock[0] += PATCH_COST
+        sup = "supplied" if kw.get("new_digests") is not None else None
         return {
             "text": {"walls": {"doc_signals": 1.0},
                      A.SIGNALS_NAME: "patched", A.SPINE_NAME: "patched",
-                     A.SPANPOS_NAME: "patched", A.SPANS_NAME: "rederived"},
+                     A.SPANPOS_NAME: "patched", A.SPANS_NAME: "patched",
+                     A.SPANSTATS_NAME: "patched"},
             "dedup": {"walls": {"pairs_bands_patch": 2.0},
-                      "mode": "incremental", "cc_mode": "incremental"},
+                      "mode": "incremental", "cc_mode": "incremental",
+                      "new_digests": sup},
             "embeddings": {"walls": {"diff": 1.0}, "mode": "carried",
                            A.VECDIG_NAME: "patched",
-                           A.ASSIGN_NAME: "patched"},
+                           A.ASSIGN_NAME: "patched",
+                           "new_vec_digests": sup},
         }
 
     monkeypatch.setattr(A, "update_all_incremental", fake_update_all)
+    # the supplied relations are ingest's write-time cost — the stub
+    # advances the clock OUTSIDE any timer; if the probe ever timed it,
+    # patch_total_supplied would read 2.0s too high and fail below
+    monkeypatch.setattr(sp, "_supplied_relations",
+                        lambda s, d: (spend(2.0)(), {}))
 
     out = sp.probe_incr_artifacts(None, str(tmp_path / "old"),
                                   str(tmp_path / "new"))
@@ -93,9 +105,9 @@ def test_both_arms_time_their_digest_scans(tmp_path, monkeypatch):
     fw = out["full_walls"]
     assert fw["corpus_digest_scan"] == DIGEST_COST, fw
     assert fw["embeddings_digest_scan"] == EMB_DIGEST_COST, fw
-    # 8 text/dedup materializers + centroids + vec_digests + assignments
+    # 9 text/dedup materializers + centroids + vec_digests + assignments
     assert out["full_total"] == round(sum(fw.values()), 3)
-    assert out["full_total"] == DIGEST_COST + EMB_DIGEST_COST + 11 * MAT_COST
+    assert out["full_total"] == DIGEST_COST + EMB_DIGEST_COST + 12 * MAT_COST
 
     # --- patch arm: the wall-to-wall timing covers the whole refresh,
     # digest work included (it runs inside update_all_incremental)
@@ -104,6 +116,17 @@ def test_both_arms_time_their_digest_scans(tmp_path, monkeypatch):
     assert out["patch_walls"]["pairs_bands_patch"] == 2.0
     assert out["patch_walls"]["diff"] == 1.0
 
-    # --- the ratio compares the two like-bounded walls
+    # --- supplied arm (r13): one run per arm, the supplied one carrying
+    # both digest relations; its wall covers ONLY the refresh — the
+    # ingest-side digest build (stubbed at 2.0 fake seconds) stays
+    # outside, by design and by this assertion
+    assert calls == [[], ["new_digests", "new_vec_digests"]]
+    assert out["patch_total_supplied"] == PATCH_COST
+    assert out["modes_supplied"]["new_digests"] == "supplied"
+    assert out["modes_supplied"]["new_vec_digests"] == "supplied"
+
+    # --- the ratios compare like-bounded walls
     assert out["patch_over_full"] == round(
+        PATCH_COST / out["full_total"], 3)
+    assert out["patch_supplied_over_full"] == round(
         PATCH_COST / out["full_total"], 3)
