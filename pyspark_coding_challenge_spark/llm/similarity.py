@@ -306,6 +306,17 @@ N_LISTS = 16       # coarse centroids (scale: ~sqrt(N), e.g. 4096 at 1e9 vecs)
 N_PROBE = 4        # lists probed per query
 KMEANS_ITERS = 2   # Lloyd iterations (deterministic init -> deterministic out)
 
+# Product quantization (the IVF-PQ compressed-domain search, r13): DIM is
+# split into M_SUB contiguous subspaces, each quantized independently to
+# K_SUB sub-centroids -> a vector's code is M_SUB small ints. At these test
+# sizes the code is 4 x 3 bits; the production shape is 8-16 subspaces x
+# 256 centroids (8-bit codes), compressing a 100 TB float corpus ~64x so
+# the scan working set fits executor memory.
+M_SUB = 4          # subspaces (DIM 64 -> 16 dims each)
+K_SUB = 8          # sub-centroids per subspace
+PQ_ITERS = 2       # Lloyd iterations per sub-quantizer (same determinism)
+PQ_REFINE = 60     # ADC shortlist exact-re-ranked per query (IVFPQ+refine)
+
 
 def _normalize_cvec(cent: DataFrame) -> DataFrame:
     """L2-normalize the ``cvec`` column (so argmax-dot == argmin-L2). The
@@ -503,6 +514,12 @@ def clear_centroid_cache(spark: SparkSession | None = None) -> int:
                 if isinstance(entry, tuple):
                     # no-op on the never-persisted load path
                     to_unpersist.append(entry[0])
+                released += 1
+        # PQ codebooks fall with the quantizer caches for the same refresh
+        # contract (localCheckpoints — dropping the reference releases them)
+        for key in list(_PQ_CODEBOOK_CACHE):
+            if app is None or key[0] == app:
+                del _PQ_CODEBOOK_CACHE[key]
                 released += 1
         _ASSIGN_FOLD_VERDICTS.clear()
     for df in to_unpersist:
@@ -830,6 +847,221 @@ def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                       assignments=ivf_assignments_for_dir(spark, sf_dir, cent))
 
 
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — compressed-domain ADC search (IVF-PQ, r13)
+# ---------------------------------------------------------------------------
+
+def train_pq_codebooks(e: DataFrame, m: int = M_SUB, k: int = K_SUB,
+                       iters: int = PQ_ITERS, dim: int = DIM) -> DataFrame:
+    """(sub, lid, cvec) — one deterministic Lloyd sub-quantizer per
+    contiguous ``dim/m``-dim subspace, trained by the SAME relational
+    k-means as the coarse quantizer (``train_ivf_centroids`` on the sliced
+    corpus: lowest-vec_id init, argmax-dot assignment with lowest-lid
+    ties, element-wise mean, L2 renormalize) so the DuckDB oracle can
+    unroll it per subspace exactly like ``_ivf_oracle`` does. m corpus
+    scans over a SLICED (dim/m-wide) projection — at 100 TB, train on a
+    sample exactly like the coarse quantizer. Result is m x k rows,
+    localCheckpoint-pinned like every quantizer artifact here."""
+    sub_dim = dim // m
+    out = None
+    for j in range(m):
+        sub_e = e.select(
+            "vec_id", F.slice("emb", j * sub_dim + 1, sub_dim).alias("emb")
+        )
+        cb = train_ivf_centroids(sub_e, n_lists=k, iters=iters).select(
+            F.lit(j).alias("sub"), "lid", "cvec"
+        )
+        out = cb if out is None else out.unionByName(cb)
+    final = out.localCheckpoint()
+    return final
+
+
+def pq_encode(e: DataFrame, codebooks: DataFrame, m: int = M_SUB,
+              dim: int = DIM) -> DataFrame:
+    """(vec_id, sub, code): each vector's nearest sub-centroid per
+    subspace — ONE corpus scan: the m x k codebook rows broadcast, each
+    corpus row sliced per codebook row's ``sub`` (``F.slice`` takes the
+    column start), argmin via the same skinny (neg-dot, lid) struct-min
+    partial aggregation as ``assign_nearest_list``. No stage holds more
+    than (corpus x m x k) skinny rows; the shuffle key is (vec_id, sub).
+    At scale this relation IS the compressed corpus (the stored
+    ``pq_codes`` shape — m small ints per vector)."""
+    sub_dim = dim // m
+    start = F.col("sub") * sub_dim + 1
+    scored = e.crossJoin(F.broadcast(codebooks)).select(
+        "vec_id",
+        "sub",
+        F.struct(
+            (-dot(F.slice(F.col("emb"), start, F.lit(sub_dim)), F.col("cvec"))).alias("nd"),
+            F.col("lid").alias("lid"),
+        ).alias("s"),
+    )
+    return (
+        scored.groupBy("vec_id", "sub")
+        .agg(F.min("s").alias("best"))
+        .select("vec_id", "sub", F.col("best.lid").alias("code"))
+    )
+
+
+def pq_adc_scores(e: DataFrame, cent: DataFrame, codebooks: DataFrame,
+                  assignments: DataFrame | None = None,
+                  m: int = M_SUB, dim: int = DIM) -> DataFrame:
+    """(query_id, vec_id, adc): coarse-probe candidates scored in the
+    COMPRESSED domain — asymmetric distance computation (ADC): per query, a
+    (sub, code) -> dot(query_subvector, sub_centroid) lookup table
+    (queries x m x k rows, broadcast), and a candidate's score is the
+    sub-ordered sequential sum of its m table hits. Candidate embeddings
+    are never read here — the scan touches only the (vec_id, lid) index,
+    the (vec_id, sub, code) codes, and two broadcast relations, which is
+    the entire point of PQ: at 100 TB the float corpus stays on disk and
+    the scored working set is the ~64x-smaller code relation.
+
+    Determinism: codes are argmax-dot with lowest-lid ties; the ADC sum is
+    folded in subspace order on BOTH engines (Spark: ``F.aggregate`` over
+    the sub-sorted struct array; DuckDB: ``list_dot_product`` of the
+    sub-ordered lut list against ones) — same sequential-fold robustness
+    class as every other cross-engine float kernel here. Rank flips need
+    two ADC scores within ~1e-13."""
+    sub_dim = dim // m
+    codes = pq_encode(e, codebooks, m=m, dim=dim)
+    q = e.filter(F.col("vec_id") < N_QUERIES)
+    qscored = q.crossJoin(F.broadcast(cent)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("qemb"),
+        "lid",
+        dot(F.col("emb"), F.col("cvec")).alias("dp"),
+    )
+    qw = Window.partitionBy("query_id").orderBy(F.col("dp").desc(), F.col("lid").asc())
+    probe = (
+        qscored.withColumn("rn", F.row_number().over(qw))
+        .filter(F.col("rn") <= N_PROBE)
+        .select("query_id", "lid")
+    )
+    start = F.col("sub") * sub_dim + 1
+    lut = q.crossJoin(F.broadcast(codebooks)).select(
+        F.col("vec_id").alias("query_id"),
+        "sub",
+        F.col("lid").alias("code"),
+        dot(F.slice(F.col("emb"), start, F.lit(sub_dim)), F.col("cvec")).alias("lut"),
+    )
+    inv = assignments if assignments is not None else assign_nearest_list(e, cent)
+    cand = (
+        inv.join(F.broadcast(probe), on="lid")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "vec_id"])
+        .select("query_id", "vec_id")
+    )
+    return (
+        cand.join(codes, on="vec_id")
+        .join(F.broadcast(lut), on=["query_id", "sub", "code"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.array_sort(F.collect_list(F.struct("sub", "lut"))).alias("sl"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.aggregate(
+                F.col("sl"), F.lit(0.0), lambda acc, s: acc + s["lut"]
+            ).alias("adc"),
+        )
+    )
+
+
+def pq_adc_search(e: DataFrame, cent: DataFrame, codebooks: DataFrame,
+                  assignments: DataFrame | None = None,
+                  m: int = M_SUB, dim: int = DIM,
+                  refine: int = PQ_REFINE) -> DataFrame:
+    """IVF-PQ top-k with a refine stage (the FAISS ``IndexRefineFlat``
+    deployment shape): rank candidates by compressed-domain ADC
+    (``pq_adc_scores``), keep each query's top ``refine``, exact-cosine
+    re-rank ONLY that shortlist. The full-precision corpus is touched for
+    queries x refine rows per search — at 100 TB the scan stays in the
+    ~64x-smaller code domain and the refine join reads a bounded slice,
+    which is how PQ recall is made production-grade without giving up the
+    memory win. Output carries BOTH the exact ``sim`` (the ranking key)
+    and the shortlist's ``adc`` — so the driver's hash gate pins the
+    codes/LUT/ADC pipeline (shortlist membership AND values), not just the
+    exact re-rank."""
+    scored = pq_adc_scores(e, cent, codebooks, assignments, m=m, dim=dim)
+    aw = Window.partitionBy("query_id").orderBy(F.col("adc").desc(), F.col("vec_id").asc())
+    shortlist = (
+        scored.withColumn("arn", F.row_number().over(aw))
+        .filter(F.col("arn") <= refine)
+        .select("query_id", "vec_id", "adc")
+    )
+    # corpus side joins against the BROADCAST shortlist: e is never shuffled
+    exact = (
+        e.select("vec_id", F.col("emb").alias("cemb"))
+        .join(F.broadcast(shortlist), on="vec_id")
+        .join(
+            F.broadcast(
+                e.filter(F.col("vec_id") < N_QUERIES)
+                .select(F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb"))
+            ),
+            on="query_id",
+        )
+        .select(
+            "query_id", "vec_id", "adc",
+            cosine(F.col("qemb"), F.col("cemb")).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("rank").cast("int").alias("rank"),
+            F.round("sim", 6).alias("sim"),
+            F.round("adc", 6).alias("adc"),
+        )
+    )
+
+
+_PQ_CODEBOOK_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def pq_codebooks_for_dir(spark: SparkSession, sf_dir: str,
+                         e: DataFrame | None = None) -> DataFrame:
+    """Session-cached PQ codebooks for ``sf_dir`` — the
+    ``ivf_centroids_for_dir`` idiom (training is the expensive pass, the
+    result is m x k rows). Same locked check-then-act: training is eager,
+    so the lock also stops two threads from training twice."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    with _SIM_CACHE_LOCK:
+        cached = _PQ_CODEBOOK_CACHE.get(key)
+        if cached is None:
+            if e is None:
+                e = rebalance_for_compute(
+                    read_table(spark, sf_dir, "embeddings"), "vec_id"
+                ).select(
+                    "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+                ).localCheckpoint()
+            cached = train_pq_codebooks(e)
+            _PQ_CODEBOOK_CACHE[key] = cached
+    return cached
+
+
+def embedding_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``pq_adc`` section of ``embedding_ann_ivf``: IVF-PQ search —
+    coarse quantizer + per-subspace PQ codebooks, candidates from the
+    coarse probe, compressed-domain ADC shortlist, exact re-rank of the
+    shortlist. Registered AFTER the ``base`` section so the session-cached
+    coarse quantizer (and a stored inverted index, when the artifact is
+    present and fold-matched) is reused rather than retrained. The DuckDB
+    oracle (``_pq_oracle``) replays coarse + per-subspace training
+    unrolled as CTEs, so the driver hash-gates codes, LUT, candidate set,
+    shortlist, and the refined ranking end-to-end."""
+    e = rebalance_for_compute(read_table(spark, sf_dir, "embeddings"), "vec_id").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    ).localCheckpoint()
+    cent = ivf_centroids_for_dir(spark, sf_dir, e)
+    cb = pq_codebooks_for_dir(spark, sf_dir, e)
+    return pq_adc_search(
+        e, cent, cb, assignments=ivf_assignments_for_dir(spark, sf_dir, cent)
+    )
+
+
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate detection — the verification kernel,
     run on the deterministic consecutive-id pair set so DuckDB can oracle
@@ -1018,6 +1250,129 @@ WHERE rank <= {TOP_K}
 """
 
 
+def _kmeans_ctes(train: str, prefix: str, n_lists: int, iters: int) -> tuple[list[str], str]:
+    """Unrolled deterministic Lloyd k-means as DuckDB CTEs over relation
+    ``train`` (vec_id, emb) — the ``_ivf_oracle`` training block factored
+    so ``_pq_oracle`` can emit it once per subspace under a name prefix.
+    Returns (ctes, final_centroid_relation_name)."""
+    norm = "list_transform(cvec, x -> x / sqrt(list_dot_product(cvec, cvec)))"
+    ctes = [
+        f"""{prefix}seeds AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS lid, emb AS cvec
+  FROM (SELECT * FROM {train} ORDER BY vec_id LIMIT {n_lists}))""",
+        f"{prefix}cent0 AS (SELECT lid, {norm} AS cvec FROM {prefix}seeds)",
+    ]
+    prev = f"{prefix}cent0"
+    for i in range(1, iters + 1):
+        ctes.append(f"""{prefix}asg{i} AS (
+  SELECT vec_id, lid FROM (
+    SELECT e.vec_id, c.lid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_dot_product(e.emb, c.cvec) DESC, c.lid) AS rn
+    FROM {train} e CROSS JOIN {prev} c) WHERE rn = 1)""")
+        ctes.append(f"""{prefix}mean{i} AS (
+  SELECT lid, list(m ORDER BY pos) AS cvec FROM (
+    SELECT lid, pos, avg(val) AS m
+    FROM (SELECT a.lid, generate_subscripts(e.emb, 1) AS pos, unnest(e.emb) AS val
+          FROM {prefix}asg{i} a JOIN {train} e ON e.vec_id = a.vec_id)
+    GROUP BY lid, pos) GROUP BY lid)""")
+        ctes.append(f"{prefix}cent{i} AS (SELECT lid, {norm} AS cvec FROM {prefix}mean{i})")
+        prev = f"{prefix}cent{i}"
+    return ctes, prev
+
+
+def _pq_oracle(m: int = M_SUB, k: int = K_SUB, pq_iters: int = PQ_ITERS,
+               dim: int = DIM, n_lists: int = N_LISTS, n_probe: int = N_PROBE,
+               iters: int = KMEANS_ITERS) -> str:
+    """DuckDB oracle for the ``pq_adc`` section — coarse k-means AND the m
+    per-subspace sub-quantizers unrolled as CTEs (all training is the same
+    deterministic relational Lloyd, so both engines derive identical
+    codebooks), then codes, the per-query (sub, code) -> dot LUT, coarse
+    probe candidates, the ADC shortlist, and the exact re-rank of the
+    shortlist. The ADC sum folds the m lut values in subspace order via
+    ``list_dot_product`` against ones — the same sequential-fold kernel
+    every other oracle here trusts, matching Spark's sub-sorted
+    ``F.aggregate``."""
+    sub_dim = dim // m
+    ctes = [
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)",
+    ]
+    coarse, coarse_final = _kmeans_ctes("e", "", n_lists, iters)
+    ctes += coarse
+    ctes.append(f"""inv AS (
+  SELECT vec_id, lid FROM (
+    SELECT e.vec_id, c.lid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_dot_product(e.emb, c.cvec) DESC, c.lid) AS rn
+    FROM e CROSS JOIN {coarse_final} c) WHERE rn = 1)""")
+    ctes.append(f"""probe AS (
+  SELECT query_id, lid FROM (
+    SELECT e.vec_id AS query_id, c.lid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_dot_product(e.emb, c.cvec) DESC, c.lid) AS rn
+    FROM e CROSS JOIN {coarse_final} c WHERE e.vec_id < {N_QUERIES}) WHERE rn <= {n_probe})""")
+    code_parts = []
+    cbook_parts = []
+    for j in range(m):
+        lo, hi = j * sub_dim + 1, (j + 1) * sub_dim
+        ctes.append(
+            f"s{j}e AS (SELECT vec_id, list_slice(emb, {lo}, {hi}) AS emb FROM e)"
+        )
+        sub, sub_final = _kmeans_ctes(f"s{j}e", f"s{j}_", k, pq_iters)
+        ctes += sub
+        ctes.append(f"""s{j}codes AS (
+  SELECT vec_id, lid AS code FROM (
+    SELECT e.vec_id, c.lid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_dot_product(e.emb, c.cvec) DESC, c.lid) AS rn
+    FROM s{j}e e CROSS JOIN {sub_final} c) WHERE rn = 1)""")
+        code_parts.append(f"SELECT vec_id, {j} AS sub, code FROM s{j}codes")
+        cbook_parts.append(f"SELECT {j} AS sub, lid, cvec FROM {sub_final}")
+    ctes.append("codes AS (\n" + "\nUNION ALL\n".join(code_parts) + ")")
+    ctes.append("cbooks AS (\n" + "\nUNION ALL\n".join(cbook_parts) + ")")
+    ctes.append(f"""lut AS (
+  SELECT q.vec_id AS query_id, cb.sub, cb.lid AS code,
+         list_dot_product(list_slice(q.emb, cb.sub * {sub_dim} + 1,
+                                     cb.sub * {sub_dim} + {sub_dim}), cb.cvec) AS lut
+  FROM e q CROSS JOIN cbooks cb WHERE q.vec_id < {N_QUERIES})""")
+    ctes.append("""cand AS (
+  SELECT DISTINCT p.query_id, i.vec_id
+  FROM probe p JOIN inv i ON i.lid = p.lid AND i.vec_id <> p.query_id)""")
+    ones = "[" + ", ".join(["1.0"] * m) + "]"
+    ctes.append(f"""adc AS (
+  SELECT c.query_id, c.vec_id,
+         list_dot_product(list(l.lut ORDER BY l.sub), {ones}) AS adc
+  FROM cand c
+  JOIN codes kd ON kd.vec_id = c.vec_id
+  JOIN lut l ON l.query_id = c.query_id AND l.sub = kd.sub AND l.code = kd.code
+  GROUP BY c.query_id, c.vec_id)""")
+    ctes.append(f"""shortlist AS (
+  SELECT query_id, vec_id, adc FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY adc DESC, vec_id ASC) AS arn
+    FROM adc) WHERE arn <= {PQ_REFINE})""")
+    ctes.append("""ex AS (
+  SELECT s.query_id, s.vec_id, s.adc,
+         list_dot_product(qe.emb, ce.emb)
+           / (sqrt(list_dot_product(qe.emb, qe.emb))
+              * sqrt(list_dot_product(ce.emb, ce.emb))) AS sim
+  FROM shortlist s
+  JOIN e qe ON qe.vec_id = s.query_id
+  JOIN e ce ON ce.vec_id = s.vec_id)""")
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body}
+SELECT query_id, vec_id AS neighbor_id, CAST(rank AS INTEGER) AS rank,
+       ROUND(sim, 6) AS sim, ROUND(adc, 6) AS adc
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY sim DESC, vec_id ASC) AS rank
+  FROM ex
+)
+WHERE rank <= {TOP_K}
+"""
+
+
 _TOPK_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
@@ -1071,10 +1426,14 @@ def register_all(register) -> None:
     # just that the base form trains correctly. stored_index FIRST: its
     # builder ends with cache clears (the refresh contract), so it runs
     # before the base section trains and caches its quantizer.
+    # r13: pq_adc AFTER base so the session-cached coarse quantizer is
+    # reused rather than retrained (and a fold-matched stored index, when
+    # present, serves its candidate lists too)
     register_merged(register, "embedding_ann_ivf", [
         ("stored_index", embedding_ann_ivf_stored,
          _ivf_oracle(snapshot_pair=True)),
         ("base", embedding_ann_ivf, _ivf_oracle()),
+        ("pq_adc", embedding_ann_pq, _pq_oracle()),
     ])
     register("dedup_embedding_cosine", dedup_embedding_cosine, DEDUP_EMBEDDING_COSINE_ORACLE)
 

@@ -1,0 +1,177 @@
+"""Streaming document ingest with WRITE-TIME digests (r13).
+
+``artifacts.update_all_incremental`` accepts caller-supplied (id, digest)
+relations for the new snapshot so a refresh never hashes the corpus — the
+probe measures that arm, but something has to BE the caller. This module is
+that ingest: a structured-streaming pipeline whose ``foreachBatch`` sink
+appends each micro-batch's document rows AND their ``(doc_id, digest,
+batch_id)`` rows in the same pass, computing the md5 while the text is
+already in executor memory. A downstream refresh then runs fully
+churn-sized end-to-end: ingest pays the hash once at write time, the
+refresh reads two thin columns.
+
+The digest expression is ``artifacts.doc_digest_relation`` — the ONE
+definition the diff, the lineage fold, and the supplied-digest gate all
+share, so an ingest-provided relation can never disagree with what the
+refresh would have computed (the gate's bounded spot-check re-verifies a
+deterministic sample anyway; see ``artifacts._supplied_digest_gate``).
+
+Scale shape: the sink write is executor-side and distributed (foreachBatch
+hands the micro-batch to a normal distributed write — nothing lands on the
+driver); the digest side adds one md5 projection over rows already being
+written. At 100 TB/day the file source becomes Kafka/Delta and the sinks
+Delta/Iceberg tables; the digest relation stays two thin columns per doc.
+
+Exactly-once note: Spark's foreachBatch is at-least-once on task retry —
+a redelivered batch would append its rows twice to BOTH sinks. The
+registered section's ``copies`` column exists to surface exactly that (a
+duplicate ingest hash-mismatches the oracle's ``1``), and
+``ingest_digests_relation`` dedupes by (doc_id, digest) so the REFRESH
+contract survives a redelivery even though the documents sink would need
+compaction. Production sinks make the append idempotent by batch_id
+(Delta ``txn`` app-id/version); a parquet file sink cannot, which is a
+sink-format property, not a pipeline one.
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyspark_coding_challenge_spark.streaming.windows import (
+    _fresh_dirs,
+    _stream_shuffle_partitions,
+)
+
+#: leaf names inside an ingest destination directory
+DOCS_LEAF = "documents.parquet"
+DIGESTS_LEAF = "ingest_digests.parquet"
+
+_DOC_SCHEMA_CACHE: dict[tuple[str, str], object] = {}
+_DOC_SCHEMA_LOCK = threading.Lock()
+
+
+def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming reader over ``sf_dir``'s documents table — the documents
+    twin of ``windows.read_events_stream`` (footer-probed schema, cached
+    per (session, dir); glob keeps the stream off the sibling tables when
+    the dataset is the driver's single-file shape)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    with _DOC_SCHEMA_LOCK:
+        schema = _DOC_SCHEMA_CACHE.get(key)
+        if schema is None:
+            schema = spark.read.parquet(f"{sf_dir}/{DOCS_LEAF}").schema
+            _DOC_SCHEMA_CACHE[key] = schema
+    path = f"{sf_dir}/{DOCS_LEAF}"
+    if os.path.isdir(path):
+        return spark.readStream.schema(schema).parquet(path)
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", DOCS_LEAF)
+        .parquet(sf_dir)
+    )
+
+
+def clear_doc_schema_cache(spark: SparkSession | None = None) -> int:
+    """Staleness valve, mirroring ``windows.clear_stream_schema_cache``."""
+    released = 0
+    app = spark.sparkContext.applicationId if spark is not None else None
+    with _DOC_SCHEMA_LOCK:
+        for key in list(_DOC_SCHEMA_CACHE):
+            if app is None or key[0] == app:
+                del _DOC_SCHEMA_CACHE[key]
+                released += 1
+    return released
+
+
+def ingest_documents(spark: SparkSession, src_dir: str, dest_dir: str,
+                     max_files_per_trigger: int | None = None) -> dict:
+    """Drive a documents stream from ``src_dir`` into ``dest_dir``
+    (availableNow), appending per micro-batch: the document rows to
+    ``dest_dir/documents.parquet`` and their write-time ``(doc_id, digest,
+    batch_id)`` rows to ``dest_dir/ingest_digests.parquet`` — ONE pass over
+    the batch (persist, two appends, unpersist). Returns
+    ``{"batches": N, "rows": M}``."""
+    from pyspark_coding_challenge_spark.llm.artifacts import doc_digest_relation
+
+    docs_sink = os.path.join(dest_dir, DOCS_LEAF)
+    dig_sink = os.path.join(dest_dir, DIGESTS_LEAF)
+    stats = {"batches": 0, "rows": 0}
+
+    def _write(batch: DataFrame, batch_id: int) -> None:
+        batch = batch.persist()
+        try:
+            batch.write.mode("append").parquet(docs_sink)
+            dig = doc_digest_relation(batch).withColumn(
+                "batch_id", F.lit(batch_id)
+            )
+            dig.write.mode("append").parquet(dig_sink)
+            stats["batches"] += 1
+            stats["rows"] += batch.count()
+        finally:
+            batch.unpersist()
+
+    stream = read_documents_stream(spark, src_dir)
+    if max_files_per_trigger is not None:
+        # re-open with the trigger bound so the test can force multi-batch
+        reader = (
+            spark.readStream.schema(stream.schema)
+            .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        )
+        src_leaf = os.path.join(src_dir, DOCS_LEAF)
+        if os.path.isdir(src_leaf):
+            stream = reader.parquet(src_leaf)
+        else:
+            # single-file dataset: keep the glob or the stream would also
+            # ingest the sibling tables (the read_events_stream rule)
+            stream = reader.option("pathGlobFilter", DOCS_LEAF).parquet(src_dir)
+    _, ck = _fresh_dirs(f"ingest_{os.path.basename(dest_dir.rstrip('/'))}")
+    with _stream_shuffle_partitions(spark):
+        q = (
+            stream.writeStream.foreachBatch(_write)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return stats
+
+
+def ingest_digests_relation(spark: SparkSession, dest_dir: str) -> DataFrame:
+    """The ingested corpus's (doc_id, digest) — what a refresh passes as
+    ``update_all_incremental(..., new_digests=...)``. Distinct over
+    (doc_id, digest): an at-least-once redelivery appends the same rows
+    twice, and the supplied-digest gate's row-count parity would reject
+    the duplicated relation even though every digest is correct."""
+    return (
+        spark.read.parquet(os.path.join(dest_dir, DIGESTS_LEAF))
+        .select("doc_id", "digest")
+        .distinct()
+    )
+
+
+def streaming_ingest_digests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``ingest_digests`` section of ``streaming_windowed_aggs``: run
+    the real ingest stream over the corpus into a fresh sink, then emit
+    one row per ingested document — its write-time digest and how many
+    copies landed in the digest sink. The DuckDB oracle md5s the same
+    corpus directly with ``copies = 1``, so the hash gate proves (a) every
+    document flowed through the stream exactly once and (b) the write-time
+    digest equals the batch-side definition the refresh chain trusts."""
+    sink, _ = _fresh_dirs("ingest_digests_dest")
+    ingest_documents(spark, sf_dir, sink)
+    dig = spark.read.parquet(os.path.join(sink, DIGESTS_LEAF))
+    return (
+        dig.groupBy("doc_id", "digest")
+        .agg(F.count("*").cast("int").alias("copies"))
+    )
+
+
+STREAMING_INGEST_DIGESTS_ORACLE = """
+SELECT doc_id, md5(COALESCE(text, '')) AS digest, CAST(1 AS INTEGER) AS copies
+FROM documents
+"""

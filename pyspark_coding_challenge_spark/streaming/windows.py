@@ -644,9 +644,18 @@ def register_all(register) -> None:
     the slot the stream-stream join occupies."""
     from pyspark_coding_challenge_spark.plans.merge import register_merged
 
+    from pyspark_coding_challenge_spark.streaming.ingest import (
+        STREAMING_INGEST_DIGESTS_ORACLE,
+        streaming_ingest_digests,
+    )
+
     register_merged(register, "streaming_windowed_aggs", [
         ("tumbling_counts", streaming_tumbling_counts, STREAMING_TUMBLING_COUNTS_ORACLE),
         ("sliding_sum", streaming_sliding_sum, STREAMING_SLIDING_SUM_ORACLE),
+        # r13: the ingest-with-write-time-digests pipeline (streaming/
+        # ingest.py) — hash-gated exactly-once doc flow + digest parity
+        ("ingest_digests", streaming_ingest_digests,
+         STREAMING_INGEST_DIGESTS_ORACLE),
     ])
     register("streaming_session_windows", streaming_session_windows, STREAMING_SESSION_WINDOWS_ORACLE)
     register("streaming_stateful_dedup", streaming_stateful_dedup, STREAMING_STATEFUL_DEDUP_ORACLE)

@@ -402,6 +402,13 @@ def probe_ann(spark, sf_dir: str) -> dict:
     timings["recall_lsh_auto"] = recall(
         S.embedding_ann_lsh(spark, sf_dir, multiprobe="auto"))
     timings["lsh_auto_wall"] = round(time.perf_counter() - t0, 3)
+    # r13: IVF-PQ+refine — the compressed-domain path. Wall includes
+    # sub-quantizer training + encoding (cleared per factor above); its
+    # recall ceiling is recall_ivf (same coarse probe), the gap between
+    # the two is what the ADC shortlist gives up.
+    t0 = time.perf_counter()
+    timings["recall_pq"] = recall(S.embedding_ann_pq(spark, sf_dir))
+    timings["pq_wall"] = round(time.perf_counter() - t0, 3)
     return timings
 
 

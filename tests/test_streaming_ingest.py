@@ -1,0 +1,113 @@
+"""The streaming ingest with write-time digests (streaming/ingest.py, r13).
+
+``update_all_incremental`` accepts ingest-provided digest relations
+(tests/test_supplied_digests.py); this suite proves an actual ingest exists
+that produces them: a structured-streaming foreachBatch sink appending the
+document rows AND their (doc_id, digest, batch_id) rows in one pass.
+
+1. the two sinks agree: every ingested doc has exactly one digest row and
+   the digest equals the batch-side ``doc_digest_relation`` definition;
+2. multi-batch ingest (maxFilesPerTrigger=1) still covers every doc once;
+3. END-TO-END: the digests an ingest wrote feed
+   ``update_all_incremental(new_digests=...)`` and the refresh records the
+   supplied path, never hashing the new corpus (monkeypatched to raise);
+4. ``ingest_digests_relation`` dedupes an at-least-once redelivery so the
+   refresh gate's row-count parity still holds.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from pyspark_coding_challenge_spark.llm import artifacts as A
+from pyspark_coding_challenge_spark.llm import dedup as D
+from pyspark_coding_challenge_spark.streaming import ingest as I
+
+from tests.test_supplied_digests import _corpora, _stored_state, _write_docs
+
+
+def test_ingest_writes_docs_and_matching_digests(spark, tmp_path):
+    src = _write_docs(
+        spark, tmp_path / "src",
+        [(i, f"streamed doc {i} alpha") for i in range(25)],
+    )
+    dest = str(tmp_path / "dest")
+    stats = I.ingest_documents(spark, src, dest)
+    assert stats["rows"] == 25 and stats["batches"] >= 1
+    docs = spark.read.parquet(os.path.join(dest, I.DOCS_LEAF))
+    dig = spark.read.parquet(os.path.join(dest, I.DIGESTS_LEAF))
+    assert docs.count() == 25
+    assert dig.count() == 25
+    # write-time digests == the one batch-side definition, per doc
+    expect = {
+        (r.doc_id, r.digest)
+        for r in A.doc_digest_relation(docs).collect()
+    }
+    assert {(r.doc_id, r.digest) for r in dig.collect()} == expect
+
+
+def test_multibatch_ingest_covers_every_doc_once(spark, tmp_path):
+    rows = [(i, f"multi batch doc {i}") for i in range(30)]
+    df = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+    src = str(tmp_path / "src")
+    df.repartition(3).write.parquet(os.path.join(src, I.DOCS_LEAF))
+    dest = str(tmp_path / "dest")
+    stats = I.ingest_documents(spark, src, dest, max_files_per_trigger=1)
+    assert stats["batches"] >= 3, stats
+    rel = I.ingest_digests_relation(spark, dest)
+    assert rel.count() == 30
+    assert rel.select("doc_id").distinct().count() == 30
+
+
+def test_ingested_digests_feed_the_supplied_refresh(spark, tmp_path, monkeypatch):
+    """The full loop: old corpus's stored artifacts + a STREAM-ingested new
+    corpus whose write-time digests are handed to the refresh — summaries
+    record 'supplied' and the new corpus is never re-hashed."""
+    old, new_staging = _corpora(spark, tmp_path)
+    # ingest the new snapshot through the stream (docs + digests, one pass)
+    new = str(tmp_path / "ingested_new")
+    I.ingest_documents(spark, new_staging, new)
+    art = _stored_state(spark, old, tmp_path)
+    supplied = I.ingest_digests_relation(spark, new).localCheckpoint()
+
+    def boom(*a, **k):
+        raise AssertionError("refresh hashed the new corpus despite "
+                             "ingest-provided digests")
+
+    monkeypatch.setattr(D, "snapshot_diff_from_digests", boom)
+    monkeypatch.setattr(D, "snapshot_diff", boom)
+    summary = A.update_all_incremental(spark, old, new, art,
+                                       new_digests=supplied)
+    assert summary["dedup"]["new_digests"] == "supplied"
+    assert summary["text"]["new_digests"] == "supplied"
+    # the patched digest artifact folds to the ingested corpus's digest
+    patched = spark.read.parquet(os.path.join(art, A.DIGESTS_NAME))
+    assert A.digest_of_digests(patched) == A.corpus_digest(spark, new)
+
+
+def test_digest_relation_dedupes_redelivery(spark, tmp_path):
+    src = _write_docs(
+        spark, tmp_path / "src",
+        [(i, f"redelivered doc {i}") for i in range(10)],
+    )
+    dest = str(tmp_path / "dest")
+    I.ingest_documents(spark, src, dest)
+    dig_sink = os.path.join(dest, I.DIGESTS_LEAF)
+    # simulate an at-least-once redelivery: the same batch appended twice
+    dup = spark.read.parquet(dig_sink)
+    dup.write.mode("append").parquet(dig_sink)
+    assert spark.read.parquet(dig_sink).count() == 20
+    rel = I.ingest_digests_relation(spark, dest)
+    assert rel.count() == 10  # refresh-facing relation stays gate-clean
+    # ...while the registered section's `copies` column surfaces the
+    # duplication (hash gate reads 2, oracle says 1 -> red)
+    copies = (
+        spark.read.parquet(dig_sink)
+        .groupBy("doc_id").count().agg(F.max("count")).collect()[0][0]
+    )
+    assert copies == 2
