@@ -420,7 +420,14 @@ ANN_RECALL_FLOORS = {"recall_ivf": 0.8, "recall_lsh_multiprobe": 0.3,
                      # the shipped policy's contract: whatever radius auto
                      # resolves to must clear the judge-specified floor at
                      # EVERY probed scale (r12)
-                     "recall_lsh_auto": 0.8}
+                     "recall_lsh_auto": 0.8,
+                     # r13: IVF-PQ+refine, a LOSSY compressed-domain path
+                     # by design — measured 0.68-0.92 across 1x-10x
+                     # (r13 first run); floor under the measured min. Its
+                     # ceiling is recall_ivf (same coarse probe); the gap
+                     # is the ADC shortlist's concession for never
+                     # scanning full vectors.
+                     "recall_pq": 0.6}
 
 
 def build_churned(spark, factor: int) -> str:
@@ -618,6 +625,31 @@ def _supplied_relations(spark, new_dir: str):
     return dd, vd
 
 
+def _ctx_micro_arm(spark, old_dir: str, new_dir: str, art: str,
+                   dd) -> tuple[list[float], list[float]]:
+    """Interleaved median-of-3 timing of the refresh-context build on the
+    scan path vs the supplied-digests path — the ONLY code the two probe
+    arms differ in. Returns (scan_walls, supplied_walls), each sorted
+    ascending so index 1 is the median. Read-only against ``art``."""
+    from pyspark_coding_challenge_spark.llm import artifacts as A
+
+    scan_walls: list[float] = []
+    sup_walls: list[float] = []
+    for _ in range(3):
+        for walls, kwargs in ((scan_walls, {}),
+                              (sup_walls, {"new_digests": dd})):
+            _clear_all_artifact_caches(spark)
+            t0 = time.perf_counter()
+            ctx = A._refresh_ctx(spark, old_dir, new_dir, art, **kwargs)
+            # churn counts are collected inside _refresh_ctx; touch the
+            # pinned diff so the wall covers its materialization fully
+            ctx["diff"].count()
+            walls.append(time.perf_counter() - t0)
+    scan_walls.sort()
+    sup_walls.sort()
+    return scan_walls, sup_walls
+
+
 def probe_incr_artifacts(spark, old_dir: str, new_dir: str) -> dict:
     """Wall-to-wall ``update_all_incremental`` vs per-artifact full
     ``materialize_*`` on the post-churn corpus (r9 judge #6 -> r10 #1b ->
@@ -655,6 +687,21 @@ def probe_incr_artifacts(spark, old_dir: str, new_dir: str) -> dict:
     shutil.copytree(art, art_sup)
     _clear_all_artifact_caches(spark)
 
+    # r13 addendum: the scan and supplied arms differ ONLY in how
+    # ``_refresh_ctx`` derives the new snapshot's digests (hash scan vs
+    # supplied relation + spot-check gate); everything downstream is
+    # byte-identical code. One ~25 s wall per arm cannot resolve that
+    # term under ambient noise (in this probe's first r13 run, cc_patch —
+    # which never touches digests — swung 2x between the arms). So the
+    # context build is ALSO timed by itself (``_ctx_micro_arm``):
+    # interleaved A/B/A/B/A/B, median of 3 per path, against the pristine
+    # stored state (ctx is read-only; this runs BEFORE the patch arms
+    # mutate the dirs). The supplied path's wall honestly includes its
+    # spot-check gate.
+    dd, vd = _supplied_relations(spark, new_dir)
+    ctx_scan_walls, ctx_sup_walls = _ctx_micro_arm(
+        spark, old_dir, new_dir, art, dd)
+
     def _collect(summary, out, suffix=""):
         out[f"patch_walls{suffix}"] = {**summary["text"].get("walls", {}),
                                        **summary["dedup"].get("walls", {}),
@@ -686,7 +733,6 @@ def probe_incr_artifacts(spark, old_dir: str, new_dir: str) -> dict:
     # write time, amortized into the write — then the same wall-to-wall
     # refresh runs with zero new-corpus hash scans (the spot-check gate's
     # bounded reads are timed, honestly, inside the wall).
-    dd, vd = _supplied_relations(spark, new_dir)
     t0 = time.perf_counter()
     summary_sup = A.update_all_incremental(spark, old_dir, new_dir, art_sup,
                                            new_digests=dd,
@@ -731,6 +777,10 @@ def probe_incr_artifacts(spark, old_dir: str, new_dir: str) -> dict:
     out["patch_supplied_over_full"] = round(
         out["patch_total_supplied"] / out["full_total"], 3
     ) if out["full_total"] > 0 else None
+    out["ctx_wall_scan_median"] = round(ctx_scan_walls[1], 3)
+    out["ctx_wall_supplied_median"] = round(ctx_sup_walls[1], 3)
+    out["ctx_walls_scan"] = [round(w, 3) for w in ctx_scan_walls]
+    out["ctx_walls_supplied"] = [round(w, 3) for w in ctx_sup_walls]
     _clear_all_artifact_caches(spark)
     shutil.rmtree(art, ignore_errors=True)
     shutil.rmtree(art_sup, ignore_errors=True)

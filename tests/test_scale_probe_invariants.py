@@ -97,6 +97,10 @@ def test_both_arms_time_their_digest_scans(tmp_path, monkeypatch):
     # patch_total_supplied would read 2.0s too high and fail below
     monkeypatch.setattr(sp, "_supplied_relations",
                         lambda s, d: (spend(2.0)(), {}))
+    # the ctx micro-arm spends real wall on _refresh_ctx 6x; stub it with
+    # known sorted walls and assert they surface in the artifact medians
+    monkeypatch.setattr(sp, "_ctx_micro_arm",
+                        lambda *a, **k: ([0.5, 0.6, 0.7], [0.1, 0.2, 0.9]))
 
     out = sp.probe_incr_artifacts(None, str(tmp_path / "old"),
                                   str(tmp_path / "new"))
@@ -128,5 +132,13 @@ def test_both_arms_time_their_digest_scans(tmp_path, monkeypatch):
     # --- the ratios compare like-bounded walls
     assert out["patch_over_full"] == round(
         PATCH_COST / out["full_total"], 3)
+
+    # --- ctx micro-arm (r13 addendum): the medians of the stubbed walls
+    # land in the artifact, so the scan-vs-supplied comparison is the
+    # median of interleaved runs, not a single noisy reading
+    assert out["ctx_wall_scan_median"] == 0.6
+    assert out["ctx_wall_supplied_median"] == 0.2
+    assert out["ctx_walls_scan"] == [0.5, 0.6, 0.7]
+    assert out["ctx_walls_supplied"] == [0.1, 0.2, 0.9]
     assert out["patch_supplied_over_full"] == round(
         PATCH_COST / out["full_total"], 3)
