@@ -1286,6 +1286,15 @@ def _supplied_digest_gate(supplied: DataFrame, corpus: DataFrame,
     if n_sup != n_corpus:
         return (f"supplied digest relation has {n_sup} rows but the new "
                 f"snapshot has {n_corpus} — digests of a different snapshot")
+    return _digest_spot_check(supplied, corpus, id_col, digest_rel)
+
+
+def _digest_spot_check(supplied: DataFrame, corpus: DataFrame,
+                       id_col: str, digest_rel) -> str | None:
+    """The bounded re-hash kernel both gates share: the lowest-N supplied
+    (id, digest) rows are re-hashed from the actual corpus rows (broadcast
+    semi join pushes the id set into the scan) and must match
+    byte-for-byte; a supplied id absent from the corpus fails too."""
     sample = (
         supplied.select(id_col, F.col("digest").alias("_supplied"))
         .orderBy(id_col).limit(SUPPLIED_SPOT_CHECK_IDS)
@@ -1306,6 +1315,102 @@ def _supplied_digest_gate(supplied: DataFrame, corpus: DataFrame,
         return (f"supplied digest for {id_col}={bad[0][id_col]} does not "
                 "match a fresh hash of that row — wrong snapshot or wrong "
                 "digest recipe")
+    return None
+
+
+def _changelog_gate(changelog: DataFrame, old_digests: DataFrame,
+                    old_n_docs: int, corpus: DataFrame, id_col: str,
+                    digest_rel) -> str | None:
+    """Why a caller-supplied churn CHANGELOG for the NEW snapshot cannot
+    be trusted — or None when it passes. The step past supplied digests
+    (r13): a CDC-shaped ingest (op-coded upsert feed, Delta CDF, the
+    foreachBatch ingest in ``streaming/ingest.py`` for the pure-append
+    case) already KNOWS which rows it added/modified/removed — handed to
+    the refresh as (id, change, digest_new), churn detection itself
+    becomes O(churn): no corpus-wide diff join at all, the one
+    corpus-proportional term the supplied-digests path still paid.
+
+    Bounded-trust contract (every check churn-sized or a count):
+
+    * columns (id, change, digest_new); change values inside
+      {added, removed, modified}; digest_new non-null except on removed;
+      ids unique (a doc listed twice would double-patch);
+    * count identity: old_n_docs - removed + added == corpus.count()
+      (one count job — the only corpus-sized touch, and it is
+      metadata-cheap);
+    * spot check, lowest-N added/modified ids: digest_new must equal a
+      fresh hash of the corpus row (broadcast semi join, the
+      ``_supplied_digest_gate`` kernel — also catches an 'added' id that
+      is not actually present);
+    * spot check, lowest-N removed ids: ABSENT from the corpus;
+    * spot check, lowest-N removed/modified ids: PRESENT in the stored
+      old digests (a changelog cut against the wrong OLD snapshot fails
+      here deterministically).
+
+    Residual trust matches ``_supplied_digest_gate``: a changelog that
+    OMITS a change it knew about can defeat sampling — the same class as
+    a lying digest export — and the fallback on any rejection is the
+    scan path with a warning, never a silent wrong patch."""
+    cols = set(changelog.columns)
+    if not {id_col, "change", "digest_new"} <= cols:
+        return (f"changelog must carry ({id_col}, change, digest_new); "
+                f"got {sorted(cols)}")
+    # churn-sized aggregate: per-change counts + dup/validity flags in one
+    # pass over the changelog
+    stats = (
+        changelog.groupBy("change")
+        .agg(F.count("*").alias("n"),
+             F.count(F.col("digest_new")).alias("n_dig"))
+        .collect()
+    )
+    by_change = {r["change"]: r for r in stats}
+    unknown = set(by_change) - {"added", "removed", "modified"}
+    if unknown:
+        return f"changelog has unknown change values: {sorted(unknown)}"
+    for ch in ("added", "modified"):
+        r = by_change.get(ch)
+        if r is not None and r["n_dig"] != r["n"]:
+            return f"changelog has NULL digest_new on {ch} rows"
+    n_total = sum(r["n"] for r in by_change.values())
+    n_distinct = changelog.select(id_col).distinct().count()
+    if n_distinct != n_total:
+        return (f"changelog lists {n_total - n_distinct} id(s) more than "
+                "once — ambiguous patch order")
+    n_added = by_change.get("added", {"n": 0})["n"]
+    n_removed = by_change.get("removed", {"n": 0})["n"]
+    n_corpus = corpus.count()
+    if old_n_docs - n_removed + n_added != n_corpus:
+        return (f"count identity fails: old {old_n_docs} - removed "
+                f"{n_removed} + added {n_added} != new corpus {n_corpus} "
+                "— changelog of a different snapshot pair")
+    upserts = changelog.filter(F.col("change").isin("added", "modified")) \
+        .select(id_col, F.col("digest_new").alias("digest"))
+    if n_added + by_change.get("modified", {"n": 0})["n"] > 0:
+        why = _digest_spot_check(upserts, corpus, id_col, digest_rel)
+        if why is not None:
+            return f"changelog upsert rows fail the digest spot check: {why}"
+    removed_sample = (
+        changelog.filter(F.col("change") == "removed")
+        .select(id_col).orderBy(id_col).limit(SUPPLIED_SPOT_CHECK_IDS)
+        .localCheckpoint()
+    )
+    still_there = corpus.join(F.broadcast(removed_sample), on=id_col,
+                              how="left_semi").limit(1).count()
+    if still_there:
+        return ("a sampled 'removed' id is still present in the new "
+                "corpus — stale or wrong changelog")
+    gone_sample = (
+        changelog.filter(F.col("change").isin("removed", "modified"))
+        .select(id_col).orderBy(id_col).limit(SUPPLIED_SPOT_CHECK_IDS)
+        .localCheckpoint()
+    )
+    n_gone_sample = gone_sample.count()
+    n_known_old = old_digests.join(F.broadcast(gone_sample), on=id_col,
+                                   how="left_semi").count()
+    if n_known_old != n_gone_sample:
+        return ("a sampled removed/modified id is absent from the stored "
+                "old digests — changelog cut against a different OLD "
+                "snapshot")
     return None
 
 
@@ -1339,7 +1444,8 @@ def _old_digest_state(spark: SparkSession, old_sf_dir: str,
 
 
 def _refresh_ctx(spark: SparkSession, old_sf_dir: str, new_sf_dir: str,
-                 artifact_dir: str, new_digests: DataFrame | None = None) -> dict:
+                 artifact_dir: str, new_digests: DataFrame | None = None,
+                 new_changelog: DataFrame | None = None) -> dict:
     """The SHARED refresh context both incremental updaters consume: the
     old snapshot's digest (from the ``doc_digests`` artifact when valid —
     no old-corpus read), the pinned churn diff, churn counts, the gone-id
@@ -1355,7 +1461,18 @@ def _refresh_ctx(spark: SparkSession, old_sf_dir: str, new_sf_dir: str,
     arithmetic: the new corpus's text is hashed NOWHERE in the refresh
     (the last corpus-proportional hash scan, r13 judge item #2). Gated by
     ``_supplied_digest_gate``; a rejected relation falls back to the scan
-    with a warning, recorded as ``supplied`` in the ctx/summaries."""
+    with a warning, recorded as ``supplied`` in the ctx/summaries.
+
+    ``new_changelog``: an optional caller-supplied churn changelog
+    (doc_id, change, digest_new) — the step past supplied digests: a
+    CDC-shaped ingest already knows its op codes, and with them churn
+    DETECTION is O(churn) too (no corpus-wide diff join — the one
+    corpus-proportional term the supplied path still paid; the r13 ctx
+    micro-arm measured that join at 0.9->2.5 s across 1x-30x). Requires
+    a valid stored ``doc_digests`` artifact (the old side of the fold
+    arithmetic); gated by ``_changelog_gate``; any rejection falls back
+    to ``new_digests`` (if given) and then to the scan, with a warning.
+    Takes precedence over ``new_digests`` when both pass their gates."""
     from pyspark_coding_challenge_spark.llm import dedup as D
     from pyspark_coding_challenge_spark.sources.readers import read_table
 
@@ -1364,21 +1481,49 @@ def _refresh_ctx(spark: SparkSession, old_sf_dir: str, new_sf_dir: str,
     )
     new_docs = read_table(spark, new_sf_dir, "documents")
     supplied_note = None
-    if new_digests is not None:
+    changelog_diff = None
+    if new_changelog is not None:
+        if old_digests is None:
+            warnings.warn("ignoring supplied changelog: no valid stored "
+                          "doc_digests artifact to patch against")
+            supplied_note = "changelog rejected (no stored doc_digests)"
+        else:
+            why = _changelog_gate(new_changelog, old_digests,
+                                  old_digest["n_docs"], new_docs,
+                                  "doc_id", doc_digest_relation)
+            if why is not None:
+                warnings.warn(f"ignoring supplied changelog: {why}; "
+                              "falling back")
+                supplied_note = f"changelog rejected ({why})"
+            else:
+                supplied_note = "changelog"
+                changelog_diff = new_changelog.select(
+                    "doc_id",
+                    F.col("change").cast("string").alias("change"),
+                    F.col("digest_new").cast("string").alias("digest_new"),
+                )
+    if new_digests is not None and changelog_diff is None:
         why = _supplied_digest_gate(new_digests, new_docs, "doc_id",
                                     doc_digest_relation)
         if why is not None:
             warnings.warn(f"ignoring supplied doc digests: {why}; hashing "
                           "the new snapshot instead")
-            supplied_note = f"rejected ({why})"
+            dig_note_s = f"rejected ({why})"
             new_digests = None
         else:
-            supplied_note = "supplied"
+            dig_note_s = "supplied"
             new_digests = new_digests.select(
                 "doc_id", F.col("digest").cast("string").alias("digest"))
+        # a rejected changelog's note survives in front of the digests
+        # verdict so the summaries show the full fallback chain
+        supplied_note = (f"{supplied_note}; {dig_note_s}"
+                         if supplied_note else dig_note_s)
     # churn relation is consumed many times (counts, gone, delta, digest
     # folds) — pin it, WITH digest_new (the digest-artifact patch needs it)
-    if new_digests is not None:
+    if changelog_diff is not None:
+        # O(churn): the changelog IS the diff — no corpus-wide join
+        diff = changelog_diff.localCheckpoint()
+    elif new_digests is not None:
         old_side = (old_digests if old_digests is not None
                     else doc_digest_relation(
                         read_table(spark, old_sf_dir, "documents")))
@@ -2252,7 +2397,8 @@ def update_centroids_incremental(spark: SparkSession, old_sf_dir: str,
 def update_all_incremental(spark: SparkSession, old_sf_dir: str,
                            new_sf_dir: str, artifact_dir: str,
                            new_digests: DataFrame | None = None,
-                           new_vec_digests: DataFrame | None = None) -> dict:
+                           new_vec_digests: DataFrame | None = None,
+                           new_changelog: DataFrame | None = None) -> dict:
     """One-call incremental refresh of EVERY refreshable artifact — the
     ``build_artifacts.py --incremental`` entry point. Builds the shared
     diff/digest context ONCE (it must be captured before either updater
@@ -2269,9 +2415,15 @@ def update_all_incremental(spark: SparkSession, old_sf_dir: str,
     per-row digest relations for the NEW snapshot (r13 judge item #2) —
     with both, the refresh hashes no corpus anywhere; each is spot-check
     gated and falls back to the scan with a warning (recorded in the
-    summaries as ``new_digests`` / ``new_vec_digests``)."""
+    summaries as ``new_digests`` / ``new_vec_digests``).
+
+    ``new_changelog``: optional CDC-shaped churn changelog (doc_id,
+    change, digest_new) — with it, churn detection itself is O(churn)
+    (no corpus-wide diff join); gated by ``_changelog_gate``, falling
+    back to ``new_digests`` then the scan."""
     ctx = _refresh_ctx(spark, old_sf_dir, new_sf_dir, artifact_dir,
-                       new_digests=new_digests)
+                       new_digests=new_digests,
+                       new_changelog=new_changelog)
     text = update_text_incremental(spark, old_sf_dir, new_sf_dir,
                                    artifact_dir, _ctx=ctx)
     dedup = update_pairs_incremental(spark, old_sf_dir, new_sf_dir,

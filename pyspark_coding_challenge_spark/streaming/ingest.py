@@ -154,6 +154,27 @@ def ingest_digests_relation(spark: SparkSession, dest_dir: str) -> DataFrame:
     )
 
 
+def ingest_changelog_relation(spark: SparkSession, dest_dir: str,
+                              since_batch: int = 0) -> DataFrame:
+    """The ingested rows as a CDC changelog — (doc_id, change='added',
+    digest_new) for every row batch ``since_batch`` onward. A pure-append
+    ingest knows its op code by construction; handed to
+    ``update_all_incremental(new_changelog=...)`` against the
+    pre-append snapshot, churn DETECTION becomes O(churn): no corpus-
+    wide diff join anywhere in the refresh (the step past supplied
+    digests — an upsert/delete-capable CDC source emits its real op
+    codes the same shape). Dedup rule matches
+    ``ingest_digests_relation``."""
+    return (
+        spark.read.parquet(os.path.join(dest_dir, DIGESTS_LEAF))
+        .filter(F.col("batch_id") >= since_batch)
+        .select("doc_id",
+                F.lit("added").alias("change"),
+                F.col("digest").alias("digest_new"))
+        .distinct()
+    )
+
+
 def streaming_ingest_digests(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ``ingest_digests`` section of ``streaming_windowed_aggs``: run
     the real ingest stream over the corpus into a fresh sink, then emit

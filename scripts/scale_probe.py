@@ -626,18 +626,31 @@ def _supplied_relations(spark, new_dir: str):
 
 
 def _ctx_micro_arm(spark, old_dir: str, new_dir: str, art: str,
-                   dd) -> tuple[list[float], list[float]]:
+                   dd) -> tuple[list[float], list[float], list[float]]:
     """Interleaved median-of-3 timing of the refresh-context build on the
-    scan path vs the supplied-digests path — the ONLY code the two probe
-    arms differ in. Returns (scan_walls, supplied_walls), each sorted
-    ascending so index 1 is the median. Read-only against ``art``."""
+    scan path vs the supplied-digests path vs the changelog path — the
+    ONLY code the three arms differ in. The changelog (built untimed from
+    the same relations an op-coded CDC ingest would emit) removes the
+    corpus-wide diff join the supplied path still pays; its wall honestly
+    includes the changelog gate. Returns (scan, supplied, changelog)
+    walls, each sorted ascending so index 1 is the median. Read-only
+    against ``art``."""
     from pyspark_coding_challenge_spark.llm import artifacts as A
+    from pyspark_coding_challenge_spark.llm import dedup as D
 
+    old_dd = A.doc_digest_relation(
+        spark.read.parquet(f"{old_dir}/documents.parquet"))
+    changelog = (
+        D.digest_diff(old_dd, dd)
+        .select("doc_id", "change", "digest_new").localCheckpoint()
+    )
     scan_walls: list[float] = []
     sup_walls: list[float] = []
+    cl_walls: list[float] = []
     for _ in range(3):
         for walls, kwargs in ((scan_walls, {}),
-                              (sup_walls, {"new_digests": dd})):
+                              (sup_walls, {"new_digests": dd}),
+                              (cl_walls, {"new_changelog": changelog})):
             _clear_all_artifact_caches(spark)
             t0 = time.perf_counter()
             ctx = A._refresh_ctx(spark, old_dir, new_dir, art, **kwargs)
@@ -645,9 +658,16 @@ def _ctx_micro_arm(spark, old_dir: str, new_dir: str, art: str,
             # pinned diff so the wall covers its materialization fully
             ctx["diff"].count()
             walls.append(time.perf_counter() - t0)
+            if kwargs and ctx.get("supplied") not in ("supplied", "changelog"):
+                # a silently-rejected relation would make this arm measure
+                # the scan path under another name — fail the probe loudly
+                raise RuntimeError(
+                    f"ctx micro-arm {list(kwargs)} was rejected: "
+                    f"{ctx.get('supplied')}")
     scan_walls.sort()
     sup_walls.sort()
-    return scan_walls, sup_walls
+    cl_walls.sort()
+    return scan_walls, sup_walls, cl_walls
 
 
 def probe_incr_artifacts(spark, old_dir: str, new_dir: str) -> dict:
@@ -699,7 +719,7 @@ def probe_incr_artifacts(spark, old_dir: str, new_dir: str) -> dict:
     # mutate the dirs). The supplied path's wall honestly includes its
     # spot-check gate.
     dd, vd = _supplied_relations(spark, new_dir)
-    ctx_scan_walls, ctx_sup_walls = _ctx_micro_arm(
+    ctx_scan_walls, ctx_sup_walls, ctx_cl_walls = _ctx_micro_arm(
         spark, old_dir, new_dir, art, dd)
 
     def _collect(summary, out, suffix=""):
@@ -779,8 +799,10 @@ def probe_incr_artifacts(spark, old_dir: str, new_dir: str) -> dict:
     ) if out["full_total"] > 0 else None
     out["ctx_wall_scan_median"] = round(ctx_scan_walls[1], 3)
     out["ctx_wall_supplied_median"] = round(ctx_sup_walls[1], 3)
+    out["ctx_wall_changelog_median"] = round(ctx_cl_walls[1], 3)
     out["ctx_walls_scan"] = [round(w, 3) for w in ctx_scan_walls]
     out["ctx_walls_supplied"] = [round(w, 3) for w in ctx_sup_walls]
+    out["ctx_walls_changelog"] = [round(w, 3) for w in ctx_cl_walls]
     _clear_all_artifact_caches(spark)
     shutil.rmtree(art, ignore_errors=True)
     shutil.rmtree(art_sup, ignore_errors=True)

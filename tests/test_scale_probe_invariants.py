@@ -100,7 +100,8 @@ def test_both_arms_time_their_digest_scans(tmp_path, monkeypatch):
     # the ctx micro-arm spends real wall on _refresh_ctx 6x; stub it with
     # known sorted walls and assert they surface in the artifact medians
     monkeypatch.setattr(sp, "_ctx_micro_arm",
-                        lambda *a, **k: ([0.5, 0.6, 0.7], [0.1, 0.2, 0.9]))
+                        lambda *a, **k: ([0.5, 0.6, 0.7], [0.1, 0.2, 0.9],
+                                         [0.05, 0.15, 0.25]))
 
     out = sp.probe_incr_artifacts(None, str(tmp_path / "old"),
                                   str(tmp_path / "new"))
@@ -138,7 +139,9 @@ def test_both_arms_time_their_digest_scans(tmp_path, monkeypatch):
     # median of interleaved runs, not a single noisy reading
     assert out["ctx_wall_scan_median"] == 0.6
     assert out["ctx_wall_supplied_median"] == 0.2
+    assert out["ctx_wall_changelog_median"] == 0.15
     assert out["ctx_walls_scan"] == [0.5, 0.6, 0.7]
     assert out["ctx_walls_supplied"] == [0.1, 0.2, 0.9]
+    assert out["ctx_walls_changelog"] == [0.05, 0.15, 0.25]
     assert out["patch_supplied_over_full"] == round(
         PATCH_COST / out["full_total"], 3)
