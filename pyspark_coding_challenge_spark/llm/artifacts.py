@@ -2091,7 +2091,8 @@ def _old_vecdig_state(spark: SparkSession, old_sf_dir: str,
 def update_centroids_incremental(spark: SparkSession, old_sf_dir: str,
                                  new_sf_dir: str, artifact_dir: str,
                                  max_churn_frac: float | None = None,
-                                 new_vec_digests: DataFrame | None = None) -> dict:
+                                 new_vec_digests: DataFrame | None = None,
+                                 new_vec_changelog: DataFrame | None = None) -> dict:
     """Refresh the EMBEDDINGS-side artifacts (``ivf_centroids`` +
     ``vec_digests``) from the embeddings snapshot diff. The quantizer is a
     trained model, not a per-row relation, so there is no row patch; the
@@ -2187,33 +2188,68 @@ def update_centroids_incremental(spark: SparkSession, old_sf_dir: str,
     new_emb = rebalance_for_compute(
         read_table(spark, new_sf_dir, "embeddings"), "vec_id"
     )
+    # caller-supplied CDC changelog for the NEW snapshot (the doc side's
+    # ``new_changelog`` twin): with it churn DETECTION is O(churn) — no
+    # vector-corpus-wide diff join. Requires a valid stored vec_digests
+    # artifact (the old side of the fold arithmetic); falls back to
+    # ``new_vec_digests`` then the scan.
+    cl_diff = None
+    if new_vec_changelog is not None:
+        if old_vd is None:
+            warnings.warn("ignoring supplied vec changelog: no valid "
+                          "stored vec_digests artifact to patch against")
+            summary["new_vec_digests"] = \
+                "changelog rejected (no stored vec_digests)"
+        else:
+            why = _changelog_gate(new_vec_changelog, old_vd,
+                                  int(old_digest["n_docs"]), new_emb,
+                                  "vec_id", vec_digest_relation)
+            if why is not None:
+                warnings.warn(f"ignoring supplied vec changelog: {why}; "
+                              "falling back")
+                summary["new_vec_digests"] = f"changelog rejected ({why})"
+            else:
+                summary["new_vec_digests"] = "changelog"
+                cl_diff = new_vec_changelog.select(
+                    "vec_id",
+                    F.col("change").cast("string").alias("change"),
+                    F.col("digest_new").cast("string").alias("digest_new"),
+                )
     # caller-supplied (vec_id, digest) for the NEW snapshot (r13 judge
     # item #2): with it the embeddings diff never re-serializes/hashes the
     # new vectors — the side's one corpus-proportional term. Same bounded-
     # trust gate + scan fallback as the doc side.
-    if new_vec_digests is not None:
+    if new_vec_digests is not None and cl_diff is None:
         why = _supplied_digest_gate(new_vec_digests, new_emb, "vec_id",
                                     vec_digest_relation)
         if why is not None:
             warnings.warn(f"ignoring supplied vec digests: {why}; hashing "
                           "the new snapshot instead")
-            summary["new_vec_digests"] = f"rejected ({why})"
+            note = f"rejected ({why})"
             new_vec_digests = None
         else:
-            summary["new_vec_digests"] = "supplied"
+            note = "supplied"
             new_vec_digests = new_vec_digests.select(
                 "vec_id", F.col("digest").cast("string").alias("digest"))
-    new_vd_raw = (new_vec_digests if new_vec_digests is not None
-                  else vec_digest_relation(new_emb))
-    if old_vd is not None:
-        old_side = old_vd
+        prior = summary.get("new_vec_digests")
+        summary["new_vec_digests"] = f"{prior}; {note}" if prior else note
+    if cl_diff is not None:
+        # O(churn): the changelog IS the diff — no corpus-wide join.
+        # old_vd is guaranteed non-None here, so the fold-arithmetic
+        # branch below never needs the (undefined) fresh digest relation.
+        diff = cl_diff.localCheckpoint()
     else:
-        old_side = vec_digest_relation(
-            read_table(spark, old_sf_dir, "embeddings")
-        )
-    # pinned churn diff — consumed by counts, gone/delta, folds, drift
-    diff = D.digest_diff(old_side, new_vd_raw, id_col="vec_id") \
-        .localCheckpoint()
+        new_vd_raw = (new_vec_digests if new_vec_digests is not None
+                      else vec_digest_relation(new_emb))
+        if old_vd is not None:
+            old_side = old_vd
+        else:
+            old_side = vec_digest_relation(
+                read_table(spark, old_sf_dir, "embeddings")
+            )
+        # pinned churn diff — consumed by counts, gone/delta, folds, drift
+        diff = D.digest_diff(old_side, new_vd_raw, id_col="vec_id") \
+            .localCheckpoint()
     churn = {
         r["change"]: r["n"]
         for r in diff.groupBy("change").agg(F.count("*").alias("n")).collect()
@@ -2398,7 +2434,8 @@ def update_all_incremental(spark: SparkSession, old_sf_dir: str,
                            new_sf_dir: str, artifact_dir: str,
                            new_digests: DataFrame | None = None,
                            new_vec_digests: DataFrame | None = None,
-                           new_changelog: DataFrame | None = None) -> dict:
+                           new_changelog: DataFrame | None = None,
+                           new_vec_changelog: DataFrame | None = None) -> dict:
     """One-call incremental refresh of EVERY refreshable artifact — the
     ``build_artifacts.py --incremental`` entry point. Builds the shared
     diff/digest context ONCE (it must be captured before either updater
@@ -2417,10 +2454,12 @@ def update_all_incremental(spark: SparkSession, old_sf_dir: str,
     gated and falls back to the scan with a warning (recorded in the
     summaries as ``new_digests`` / ``new_vec_digests``).
 
-    ``new_changelog``: optional CDC-shaped churn changelog (doc_id,
-    change, digest_new) — with it, churn detection itself is O(churn)
-    (no corpus-wide diff join); gated by ``_changelog_gate``, falling
-    back to ``new_digests`` then the scan."""
+    ``new_changelog`` / ``new_vec_changelog``: optional CDC-shaped churn
+    changelogs ((id, change, digest_new)) for the documents and
+    embeddings sides — with them, churn detection itself is O(churn)
+    (no corpus-wide diff join on either side); each gated by
+    ``_changelog_gate``, falling back to the supplied digests then the
+    scan."""
     ctx = _refresh_ctx(spark, old_sf_dir, new_sf_dir, artifact_dir,
                        new_digests=new_digests,
                        new_changelog=new_changelog)
@@ -2431,7 +2470,8 @@ def update_all_incremental(spark: SparkSession, old_sf_dir: str,
     if os.path.exists(os.path.join(new_sf_dir, "embeddings.parquet")):
         emb = update_centroids_incremental(spark, old_sf_dir, new_sf_dir,
                                            artifact_dir,
-                                           new_vec_digests=new_vec_digests)
+                                           new_vec_digests=new_vec_digests,
+                                           new_vec_changelog=new_vec_changelog)
     else:
         emb = {"mode": "skipped",
                "reason": "no embeddings table in the new snapshot"}

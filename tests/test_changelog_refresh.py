@@ -198,3 +198,114 @@ def test_append_only_ingest_changelog_end_to_end(spark, tmp_path, monkeypatch):
     assert summary["dedup"]["new_digests"] == "changelog"
     patched = spark.read.parquet(os.path.join(art, A.DIGESTS_NAME))
     assert A.digest_of_digests(patched) == A.corpus_digest(spark, appended)
+
+
+# ---------------------------------------------------------------------------
+# embeddings side (new_vec_changelog) — the vec twin
+# ---------------------------------------------------------------------------
+
+import math  # noqa: E402
+
+VDIM = 8
+
+
+def _vecs(n=40):
+    out = {}
+    for i in range(n):
+        d = i % 4
+        v = [0.0] * VDIM
+        v[d] = 1.0
+        v[(d + 1) % 4] = 0.05 * (i // 4)
+        nrm = math.sqrt(sum(x * x for x in v))
+        out[i] = [x / nrm for x in v]
+    return out
+
+
+def _write_emb(spark, sf_dir, vecs):
+    rows = [(i, [float(x) for x in v], 0) for i, v in sorted(vecs.items())]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{sf_dir}/embeddings.parquet")
+    return str(sf_dir)
+
+
+def _emb_pair(spark, tmp_path):
+    """old = 40 vectors; new = drop %10, add 4 in-distribution, no mods."""
+    base = _vecs()
+    old = _write_emb(spark, tmp_path / "vold", base)
+    newv = {i: v for i, v in base.items() if i % 10 != 0}
+    extra = _vecs(44)
+    for i in range(40, 44):
+        newv[i] = extra[i]
+    new = _write_emb(spark, tmp_path / "vnew", newv)
+    return old, new
+
+
+def _vec_stored(spark, old, tmp_path):
+    art = str(tmp_path / "vart")
+    dig = A.embeddings_digest(spark, old)
+    A.materialize_ivf_centroids(spark, old, art, emb_digest=dig)
+    A.materialize_vec_digests(spark, old, art, emb_digest=dig)
+    from pyspark_coding_challenge_spark.llm.similarity import clear_centroid_cache
+    clear_centroid_cache(spark)
+    return art
+
+
+def _true_vec_changelog(spark, old, new):
+    ov = A.vec_digest_relation(
+        spark.read.parquet(os.path.join(old, "embeddings.parquet")))
+    nv = A.vec_digest_relation(
+        spark.read.parquet(os.path.join(new, "embeddings.parquet")))
+    return (
+        D.digest_diff(ov, nv, id_col="vec_id")
+        .select("vec_id", "change", "digest_new").localCheckpoint()
+    )
+
+
+def test_vec_changelog_patches_without_corpus_diff(spark, tmp_path, monkeypatch):
+    old, new = _emb_pair(spark, tmp_path)
+    art = _vec_stored(spark, old, tmp_path)
+    cl = _true_vec_changelog(spark, old, new)
+
+    def boom(*a, **k):
+        raise AssertionError("vec refresh ran a corpus-wide digest diff "
+                             "despite the supplied changelog")
+
+    monkeypatch.setattr(D, "digest_diff", boom)
+    summary = A.update_centroids_incremental(spark, old, new, art,
+                                             new_vec_changelog=cl)
+    assert summary["new_vec_digests"] == "changelog"
+    assert summary["mode"] == "carried", summary
+    assert summary[A.VECDIG_NAME] == "patched"
+    patched = spark.read.parquet(os.path.join(art, A.VECDIG_NAME))
+    assert A.digest_of_digests(patched, id_col="vec_id") == \
+        A.embeddings_digest(spark, new)
+
+
+def test_lying_vec_changelog_falls_back(spark, tmp_path):
+    old, new = _emb_pair(spark, tmp_path)
+    art = _vec_stored(spark, old, tmp_path)
+    bad = _true_vec_changelog(spark, old, new).withColumn(
+        "digest_new",
+        F.when(F.col("change") == "added", F.lit("f" * 32))
+        .otherwise(F.col("digest_new"))).localCheckpoint()
+    with pytest.warns(UserWarning, match="ignoring supplied vec changelog"):
+        summary = A.update_centroids_incremental(spark, old, new, art,
+                                                 new_vec_changelog=bad)
+    assert summary["new_vec_digests"].startswith("changelog rejected")
+    # fallback still patched correctly via the scan path
+    patched = spark.read.parquet(os.path.join(art, A.VECDIG_NAME))
+    assert A.digest_of_digests(patched, id_col="vec_id") == \
+        A.embeddings_digest(spark, new)
+
+
+def test_vec_changelog_rejected_without_stored_digests(spark, tmp_path):
+    old, new = _emb_pair(spark, tmp_path)
+    art = _vec_stored(spark, old, tmp_path)
+    shutil.rmtree(os.path.join(art, A.VECDIG_NAME))
+    cl = _true_vec_changelog(spark, old, new)
+    with pytest.warns(UserWarning, match="no valid stored vec_digests"):
+        summary = A.update_centroids_incremental(spark, old, new, art,
+                                                 new_vec_changelog=cl)
+    assert summary["new_vec_digests"].startswith("changelog rejected")
