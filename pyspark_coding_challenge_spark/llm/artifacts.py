@@ -60,6 +60,8 @@ SPANPOS_NAME = "span_pos_index"
 VECDIG_NAME = "vec_digests"
 ASSIGN_NAME = "ivf_assignments"
 SPANSTATS_NAME = "span_stats"
+PQCB_NAME = "pq_codebooks"
+PQCODES_NAME = "pq_codes"
 
 ENV_ARTIFACT_DIR = "SPARK_GRAFT_ARTIFACT_DIR"
 
@@ -388,6 +390,47 @@ def _assign_params() -> dict:
     # the inverted index inherits every quantizer knob plus its own
     # assignment rule version
     return {**_centroid_params(), "assignment": "argmax-dot, ties to lowest lid"}
+
+
+def _pqcb_params() -> dict:
+    # the corpus DIMENSION is deliberately NOT a param: the codebook
+    # relation is self-describing (encode/LUT/gap kernels derive the
+    # subspace width from size(cvec) per row), and the lineage snapshot
+    # digest already pins which corpus the codebooks were trained on
+    from pyspark_coding_challenge_spark.llm import similarity as S
+
+    return {"m_sub": S.M_SUB, "k_sub": S.K_SUB, "pq_iters": S.PQ_ITERS,
+            "subspace": "contiguous dim/m slices"}
+
+
+def _pqcodes_params() -> dict:
+    # the compressed corpus inherits every sub-quantizer knob plus its
+    # own encoding rule version (the _assign_params pattern)
+    return {**_pqcb_params(),
+            "encoding": "argmax-dot per subspace, ties to lowest lid"}
+
+
+def _codebook_fold(cb: DataFrame) -> str:
+    """Order-independent content fold of a PQ codebook relation — the
+    identity key pairing a ``pq_codes`` artifact with the EXACT
+    sub-quantizers it was encoded under (``_centroid_fold`` keyed by
+    (sub, lid) instead of lid). Retrained codebooks change the fold, so
+    stale codes fail loudly instead of silently ADC-scoring against the
+    wrong LUT rows. Bounded scalar collect over m x k rows."""
+    from pyspark_coding_challenge_spark.llm.dedup import md5_fold60
+
+    row = (
+        cb.select(
+            md5_fold60(
+                F.concat_ws(":", F.col("sub").cast("string"),
+                            F.col("lid").cast("string"),
+                            F.to_json(F.struct(F.col("cvec").alias("c"))))
+            ).alias("h")
+        )
+        .agg(F.sum(F.col("h").cast("decimal(38,0)")).cast("string").alias("s"))
+        .collect()[0]
+    )
+    return row["s"] if row["s"] is not None else "0"
 
 
 def _centroid_fold(cent: DataFrame) -> str:
@@ -1081,6 +1124,192 @@ def load_ivf_centroids(spark: SparkSession, sf_dir: str, artifact_dir: str,
 
 
 # ---------------------------------------------------------------------------
+# product-quantization artifacts: pq_codebooks + pq_codes (r14)
+# ---------------------------------------------------------------------------
+
+def materialize_pq_codebooks(spark: SparkSession, sf_dir: str,
+                             artifact_dir: str,
+                             emb_digest: dict | None = None) -> str:
+    """Land the trained PQ sub-quantizers (sub, lid, cvec) — the
+    ``materialize_ivf_centroids`` contract for the compressed-domain
+    path: meta records lineage against the embeddings snapshot digest
+    plus the training-time mean PQ quantization gap (``stats.mean_pq_qe``
+    via ``similarity.pq_quantization_gap``), the baseline the
+    carry-or-retrain drift gate in ``update_centroids_incremental``
+    compares churned vectors against. The stats pass is one
+    broadcast-argmax corpus scan, paid only when the codebooks are
+    actually (re)trained."""
+    from pyspark_coding_challenge_spark.llm import similarity as S
+    from pyspark_coding_challenge_spark.sources.readers import (
+        read_table,
+        rebalance_for_compute,
+    )
+
+    path = os.path.join(artifact_dir, PQCB_NAME)
+    if _loaded_from(spark, sf_dir, PQCB_NAME) == os.path.abspath(path):
+        return path
+    df = S.pq_codebooks_for_dir(spark, sf_dir)
+    if _loaded_from(spark, sf_dir, PQCB_NAME) == os.path.abspath(path):
+        return path  # builder env-seeded from this path — see materialize_pairs
+    df.write.mode("overwrite").parquet(path)
+    e = rebalance_for_compute(read_table(spark, sf_dir, "embeddings"),
+                              "vec_id").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    # bounded 1-row scalar collect (repo convention)
+    row = S.pq_quantization_gap(e, df).agg(
+        F.avg("gap").alias("m"), F.count("*").alias("n")
+    ).collect()[0]
+    stats = {"mean_pq_qe": round(float(row["m"]), 6), "n_vecs": int(row["n"])}
+    _write_meta(path, sf_dir, _pqcb_params(),
+                lineage={"snapshot": emb_digest or embeddings_digest(spark, sf_dir),
+                         "patched_from": None, "stats": stats})
+    return path
+
+
+def materialize_pq_codes(spark: SparkSession, sf_dir: str,
+                         artifact_dir: str,
+                         emb_digest: dict | None = None) -> str:
+    """Land the compressed corpus (vec_id, sub, code): every vector
+    encoded against the SIBLING ``pq_codebooks`` ARTIFACT (materialize
+    that first — this refuses to pair with live session codebooks, whose
+    bytes nothing pins), the ``materialize_ivf_assignments`` shape. This
+    IS the PQ deployment story: with it, a search scans the ~64x-smaller
+    code relation and never re-encodes; without it, every search repeats
+    the corpus x m x k encode pass. Lineage records the embeddings
+    snapshot AND the codebook content fold (``_codebook_fold``), so codes
+    encoded under since-retrained codebooks fail the load/seed checks
+    loudly."""
+    from pyspark_coding_challenge_spark.llm.similarity import pq_encode
+    from pyspark_coding_challenge_spark.sources.readers import (
+        read_table,
+        rebalance_for_compute,
+    )
+
+    path = os.path.join(artifact_dir, PQCODES_NAME)
+    if _loaded_from(spark, sf_dir, PQCODES_NAME) == os.path.abspath(path):
+        return path  # session cache was seeded FROM this path
+    cb_path = os.path.join(artifact_dir, PQCB_NAME)
+    _check_meta(cb_path, sf_dir, _pqcb_params())
+    cb = spark.read.parquet(cb_path)
+    e = rebalance_for_compute(read_table(spark, sf_dir, "embeddings"),
+                              "vec_id").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    pq_encode(e, cb).write.mode("overwrite").parquet(path)
+    _write_meta(path, sf_dir, _pqcodes_params(),
+                lineage={"snapshot": emb_digest
+                         or embeddings_digest(spark, sf_dir),
+                         "codebooks_fold": _codebook_fold(cb),
+                         "patched_from": None})
+    return path
+
+
+def _pq_codes_artifact_gate(path: str, cb_path: str, sf_dir: str,
+                            spark: SparkSession) -> tuple[str | None, str | None, DataFrame | None]:
+    """(why-not, codebook_fold, codes_df) — ``_assign_artifact_gate`` for
+    the compressed corpus: sf_dir/params drift, a codebook fold that is
+    not the sibling ``pq_codebooks`` artifact's, or a row count that is
+    not m x the CURRENT corpus count (an in-place corpus regeneration
+    would otherwise silently drop added vectors from every shortlist via
+    the inner codes join). On success the opened (count-forced) DataFrame
+    is returned so callers do not re-open the parquet."""
+    try:
+        _check_meta(path, sf_dir, _pqcodes_params())
+        _check_meta(cb_path, sf_dir, _pqcb_params())
+        lin = _read_meta(path).get("lineage") or {}
+        fold = _codebook_fold(spark.read.parquet(cb_path))
+        if lin.get("codebooks_fold") != fold:
+            return (f"pq_codes at {path} was encoded under different "
+                    f"codebooks (fold {lin.get('codebooks_fold')}) than the "
+                    f"sibling pq_codebooks artifact ({fold})"), None, None
+        from pyspark_coding_challenge_spark.sources.readers import read_table
+
+        df = spark.read.parquet(path)
+        n_codes = df.count()
+        expect = _pqcb_params()["m_sub"] * \
+            read_table(spark, sf_dir, "embeddings").count()
+        if n_codes != expect:
+            return (f"pq_codes at {path} holds {n_codes} code rows but the "
+                    f"corpus needs {expect} — stale vs an in-place corpus "
+                    "change; refresh the artifacts"), None, None
+        return None, fold, df
+    except ValueError as exc:
+        return str(exc), None, None
+    except Exception as exc:
+        return f"pq_codes unreadable: {exc}", None, None
+
+
+def load_pq_codebooks(spark: SparkSession, sf_dir: str, artifact_dir: str,
+                      install: bool = True) -> DataFrame:
+    """Read stored PQ codebooks and (by default) seed the similarity
+    session cache — ``load_ivf_centroids`` for the sub-quantizers."""
+    from pyspark_coding_challenge_spark.llm import similarity as S
+
+    path = os.path.join(artifact_dir, PQCB_NAME)
+    _check_meta(path, sf_dir, _pqcb_params())
+    df = spark.read.parquet(path)
+    if install:
+        key = (spark.sparkContext.applicationId, sf_dir)
+        with S._SIM_CACHE_LOCK:
+            S._PQ_CODEBOOK_CACHE[key] = df
+            _mark_loaded(spark, sf_dir, PQCB_NAME, path)
+    return df
+
+
+def load_pq_codes(spark: SparkSession, sf_dir: str, artifact_dir: str,
+                  install: bool = True) -> DataFrame:
+    """Read the stored compressed corpus and (by default) seed the
+    similarity session cache as ``(df, codebook_fold)`` so the search
+    layer can verify the codebooks IT scores with are the ones the codes
+    were encoded under — ``load_ivf_assignments`` for PQ. Refuses
+    (ValueError) codes whose fold does not match the sibling codebook
+    artifact or whose row count is not m x the current corpus's."""
+    from pyspark_coding_challenge_spark.llm import similarity as S
+
+    path = os.path.join(artifact_dir, PQCODES_NAME)
+    cb_path = os.path.join(artifact_dir, PQCB_NAME)
+    why, fold, raw = _pq_codes_artifact_gate(path, cb_path, sf_dir, spark)
+    if why is not None:
+        raise ValueError(why)
+    df = _spread(raw, "vec_id")
+    if install:
+        key = (spark.sparkContext.applicationId, sf_dir)
+        with S._SIM_CACHE_LOCK:
+            S._PQ_CODES_CACHE[key] = (df, fold)
+            _mark_loaded(spark, sf_dir, PQCODES_NAME, path)
+    return df
+
+
+def pq_codebooks_from_env(spark: SparkSession, sf_dir: str) -> DataFrame | None:
+    # m x k rows — lazily re-read per use like centroids_from_env
+    return _from_env(spark, sf_dir, PQCB_NAME, _pqcb_params(),
+                     persist=False)
+
+
+def pq_codes_from_env(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, str] | None:
+    """Env-seed the stored compressed corpus — ``assignments_from_env``
+    for PQ: the ``_from_env`` protocol with the pairing checks it cannot
+    express, returning ``(df, codebook_fold)`` for the search layer's
+    use-time fold gate. The gate's reads are bounded: two metas, an
+    m x k-row fold scan, two metadata counts."""
+    base = os.environ.get(ENV_ARTIFACT_DIR)
+    if not base:
+        return None
+    path = os.path.join(base, PQCODES_NAME)
+    if not os.path.exists(os.path.join(path, _META_FILE)):
+        return None
+    why, fold, raw = _pq_codes_artifact_gate(
+        path, os.path.join(base, PQCB_NAME), sf_dir, spark)
+    if why is not None:
+        warnings.warn(f"ignoring {ENV_ARTIFACT_DIR} artifact: {why}")
+        return None
+    df = _spread(raw, "vec_id").persist()
+    _mark_loaded(spark, sf_dir, PQCODES_NAME, path)
+    return df, fold
+
+
+# ---------------------------------------------------------------------------
 # token spine
 # ---------------------------------------------------------------------------
 
@@ -1198,6 +1427,11 @@ def materialize_all(spark: SparkSession, sf_dir: str, artifact_dir: str) -> dict
         # after centroids — the index is assigned from the landed artifact
         ASSIGN_NAME: materialize_ivf_assignments(spark, sf_dir, artifact_dir,
                                                  emb_digest=emb_digest),
+        PQCB_NAME: materialize_pq_codebooks(spark, sf_dir, artifact_dir,
+                                            emb_digest=emb_digest),
+        # after codebooks — codes are encoded from the landed artifact
+        PQCODES_NAME: materialize_pq_codes(spark, sf_dir, artifact_dir,
+                                           emb_digest=emb_digest),
         SPINE_NAME: materialize_spine(spark, sf_dir, artifact_dir, digest),
         SIGNALS_NAME: materialize_signals(spark, sf_dir, artifact_dir, digest),
     }
@@ -1232,13 +1466,40 @@ def load_all(spark: SparkSession, sf_dir: str, artifact_dir: str) -> dict:
     if not os.path.exists(os.path.join(artifact_dir, ASSIGN_NAME,
                                        _META_FILE)):
         out[ASSIGN_NAME] = None
+    else:
+        try:
+            out[ASSIGN_NAME] = load_ivf_assignments(spark, sf_dir,
+                                                    artifact_dir)
+        except ValueError as exc:
+            warnings.warn(f"ivf_assignments not loaded ({exc}); IVF "
+                          "searches will assign inline")
+            out[ASSIGN_NAME] = None
+    # the PQ pair is r14-new and opt-in — same absence-is-configuration
+    # rule as ivf_assignments; PRESENT-but-invalid still warns, and codes
+    # only serve when their codebooks loaded (the fold pairing needs both)
+    if not os.path.exists(os.path.join(artifact_dir, PQCB_NAME,
+                                       _META_FILE)):
+        out[PQCB_NAME] = None
+        out[PQCODES_NAME] = None
         return out
     try:
-        out[ASSIGN_NAME] = load_ivf_assignments(spark, sf_dir, artifact_dir)
+        out[PQCB_NAME] = load_pq_codebooks(spark, sf_dir, artifact_dir)
     except ValueError as exc:
-        warnings.warn(f"ivf_assignments not loaded ({exc}); IVF searches "
-                      "will assign inline")
-        out[ASSIGN_NAME] = None
+        warnings.warn(f"pq_codebooks not loaded ({exc}); PQ searches will "
+                      "train inline")
+        out[PQCB_NAME] = None
+        out[PQCODES_NAME] = None
+        return out
+    if not os.path.exists(os.path.join(artifact_dir, PQCODES_NAME,
+                                       _META_FILE)):
+        out[PQCODES_NAME] = None
+        return out
+    try:
+        out[PQCODES_NAME] = load_pq_codes(spark, sf_dir, artifact_dir)
+    except ValueError as exc:
+        warnings.warn(f"pq_codes not loaded ({exc}); PQ searches will "
+                      "encode inline")
+        out[PQCODES_NAME] = None
     return out
 
 
@@ -2127,6 +2388,20 @@ def update_centroids_incremental(spark: SparkSession, old_sf_dir: str,
     quantizer (identical to full reassignment: assignment is
     deterministic per vector) — and rebuilds under a retrain.
 
+    Stored PQ state (opt-in, r14) refreshes by the same split:
+    ``pq_codebooks`` is a trained model — carry-or-retrain under its own
+    lineage gate, the shared churn-fraction gate, and a PQ drift gate
+    (churn cohort's mean ``similarity.pq_quantization_gap`` vs the
+    training-time ``stats.mean_pq_qe``, same ratio/margin knobs);
+    ``pq_codes`` is a per-row relation — delete gone + encode only the
+    churn under a codebook carry (encoding is deterministic per vector),
+    full rebuild under a retrain. The decisions are independent of the
+    coarse quantizer's: ADC scoring never reads coarse centroids, so one
+    side retraining does not force the other. Summary keys:
+    ``pq_codebooks`` ('carried' | 'retrained' | 'absent'), ``pq_codes``
+    ('patched' | 'full_rebuild' | 'absent'), ``pq_churn_qe`` /
+    ``pq_trained_qe`` / ``pq_reason`` when those gates ran.
+
     Returns a summary: ``mode`` ('carried' | 'retrained'), ``churn``
     counts, ``reason`` (why retrained, or why the drift check was
     skipped), ``churn_qe``/``trained_qe`` when the drift gate ran,
@@ -2184,6 +2459,29 @@ def update_centroids_incremental(spark: SparkSession, old_sf_dir: str,
             walls[ASSIGN_NAME] = round(time.perf_counter() - t0, 3)
         else:
             summary[ASSIGN_NAME] = "absent"
+        # same rule for the PQ pair: state trained/encoded under the
+        # pre-bootstrap corpus must not survive it
+        pqcb_path = os.path.join(artifact_dir, PQCB_NAME)
+        pqcodes_path = os.path.join(artifact_dir, PQCODES_NAME)
+        if os.path.exists(os.path.join(pqcb_path, _META_FILE)):
+            t0 = time.perf_counter()
+            _drop_stale_meta(pqcb_path)
+            materialize_pq_codebooks(spark, new_sf_dir, artifact_dir,
+                                     emb_digest=emb_digest)
+            summary[PQCB_NAME] = "full_rebuild"
+            walls[PQCB_NAME] = round(time.perf_counter() - t0, 3)
+            if os.path.exists(os.path.join(pqcodes_path, _META_FILE)):
+                t0 = time.perf_counter()
+                _drop_stale_meta(pqcodes_path)
+                materialize_pq_codes(spark, new_sf_dir, artifact_dir,
+                                     emb_digest=emb_digest)
+                summary[PQCODES_NAME] = "full_rebuild"
+                walls[PQCODES_NAME] = round(time.perf_counter() - t0, 3)
+            else:
+                summary[PQCODES_NAME] = "absent"
+        else:
+            summary[PQCB_NAME] = "absent"
+            summary[PQCODES_NAME] = "absent"
         return summary
     new_emb = rebalance_for_compute(
         read_table(spark, new_sf_dir, "embeddings"), "vec_id"
@@ -2427,6 +2725,130 @@ def update_centroids_incremental(spark: SparkSession, old_sf_dir: str,
         walls[ASSIGN_NAME] = round(time.perf_counter() - t0, 3)
     else:
         summary[ASSIGN_NAME] = "absent"
+
+    # --- PQ codebooks (opt-in): carry or retrain — the quantizer gates
+    # applied to the sub-quantizers, with PQ's OWN drift statistic
+    # (``similarity.pq_quantization_gap`` vs the training-time
+    # ``stats.mean_pq_qe`` baseline, same ratio/margin knobs). The
+    # decisions are independent of the coarse quantizer's: ADC scoring
+    # reads only codes and codebooks, so a coarse retrain does not by
+    # itself invalidate the sub-quantizers (and vice versa) — each
+    # artifact carries or retrains on its own evidence.
+    pqcb_path = os.path.join(artifact_dir, PQCB_NAME)
+    pqcodes_path = os.path.join(artifact_dir, PQCODES_NAME)
+    if os.path.exists(os.path.join(pqcb_path, _META_FILE)):
+        from pyspark_coding_challenge_spark.llm.similarity import (
+            pq_encode,
+            pq_quantization_gap,
+        )
+
+        t0 = time.perf_counter()
+        pq_reason = _lineage_gate(pqcb_path, old_sf_dir, _pqcb_params(),
+                                  old_digest)
+        pq_stats = None
+        if pq_reason is None:
+            pq_stats = (_read_meta(pqcb_path).get("lineage") or {}).get("stats")
+            if not pq_stats or "mean_pq_qe" not in pq_stats:
+                pq_reason = ("stored codebooks meta records no training "
+                             "stats — no drift baseline to carry against")
+        if pq_reason is None and n_old > 0 and n_churn > churn_limit * n_old:
+            pq_reason = (
+                f"churn of {n_churn} vectors is {n_churn / n_old:.0%} of the "
+                f"{n_old}-vector old snapshot (limit {churn_limit:.0%})"
+            )
+        if pq_reason is None:
+            pq_fresh = new_emb.select(
+                "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+            ).join(delta_ids, on="vec_id", how="left_semi")
+            cb = spark.read.parquet(pqcb_path)
+            # bounded 1-row scalar collect (repo convention); churn-sized
+            row = pq_quantization_gap(pq_fresh, cb).agg(
+                F.avg("gap").alias("m")
+            ).collect()[0]
+            if row["m"] is not None:
+                pq_churn_qe = float(row["m"])
+                pq_trained_qe = float(pq_stats["mean_pq_qe"])
+                summary["pq_churn_qe"] = round(pq_churn_qe, 6)
+                summary["pq_trained_qe"] = pq_trained_qe
+                ceiling = (CENTROID_QE_DRIFT_RATIO * pq_trained_qe
+                           + CENTROID_QE_DRIFT_MARGIN)
+                if pq_churn_qe > ceiling:
+                    pq_reason = (
+                        f"churned vectors' mean PQ quantization gap "
+                        f"{pq_churn_qe:.4f} exceeds "
+                        f"{CENTROID_QE_DRIFT_RATIO} x training-time "
+                        f"{pq_trained_qe:.4f} + {CENTROID_QE_DRIFT_MARGIN} "
+                        "— the stored sub-quantizers do not cover the new "
+                        "vector mass"
+                    )
+        if pq_reason is None:
+            summary[PQCB_NAME] = "carried"
+            _write_meta(pqcb_path, new_sf_dir, _pqcb_params(),
+                        lineage={"snapshot": new_digest,
+                                 "carried_from": old_digest,
+                                 # the ORIGINAL training baseline — the
+                                 # centroid-carry boiled-frog rule
+                                 "stats": pq_stats})
+        else:
+            summary[PQCB_NAME] = "retrained"
+            summary["pq_reason"] = pq_reason
+            # stale-meta-first: same env-seed no-op hole as the coarse
+            # quantizer's retrain branch
+            _drop_stale_meta(pqcb_path)
+            materialize_pq_codebooks(spark, new_sf_dir, artifact_dir,
+                                     emb_digest=new_digest)
+        walls[PQCB_NAME] = round(time.perf_counter() - t0, 3)
+
+        # --- pq_codes: patch under a carry (delete gone + encode ONLY the
+        # churn against the carried codebooks — identical to a full
+        # re-encode because encoding is deterministic per vector), rebuild
+        # under a retrain. The ivf_assignments block, row-for-row.
+        if os.path.exists(os.path.join(pqcodes_path, _META_FILE)):
+            t0 = time.perf_counter()
+            cb = spark.read.parquet(pqcb_path)  # post-decision bytes
+            why = _lineage_gate(pqcodes_path, old_sf_dir, _pqcodes_params(),
+                                old_digest)
+            if why is None and summary[PQCB_NAME] == "carried":
+                lin = _read_meta(pqcodes_path).get("lineage") or {}
+                cur_fold = _codebook_fold(cb)
+                if lin.get("codebooks_fold") != cur_fold:
+                    why = ("stored codes were encoded under different "
+                           "codebooks than the carried ones")
+            elif summary[PQCB_NAME] == "retrained":
+                why = "codebooks retrained — every vector re-encodes"
+            if why is None:
+                churn_pq_e = new_emb.select(
+                    "vec_id",
+                    F.col("embedding").cast("array<double>").alias("emb"),
+                ).join(delta_ids, on="vec_id", how="left_semi")
+                patched = (
+                    spark.read.parquet(pqcodes_path)
+                    .join(gone, on="vec_id", how="left_anti")
+                    .unionByName(pq_encode(churn_pq_e, cb))
+                    # reads the path being overwritten — pin first
+                    .localCheckpoint()
+                )
+                patched.write.mode("overwrite").parquet(pqcodes_path)
+                _write_meta(pqcodes_path, new_sf_dir, _pqcodes_params(),
+                            lineage={"snapshot": new_digest,
+                                     "codebooks_fold": cur_fold,
+                                     "patched_from": old_digest})
+                summary[PQCODES_NAME] = "patched"
+            else:
+                if summary[PQCB_NAME] != "retrained":
+                    # only a carried-mode patch failure is a degradation
+                    warnings.warn(f"{PQCODES_NAME}: cannot patch ({why}); "
+                                  "full rebuild")
+                _drop_stale_meta(pqcodes_path)
+                materialize_pq_codes(spark, new_sf_dir, artifact_dir,
+                                     emb_digest=new_digest)
+                summary[PQCODES_NAME] = "full_rebuild"
+            walls[PQCODES_NAME] = round(time.perf_counter() - t0, 3)
+        else:
+            summary[PQCODES_NAME] = "absent"
+    else:
+        summary[PQCB_NAME] = "absent"
+        summary[PQCODES_NAME] = "absent"
     return summary
 
 

@@ -148,6 +148,59 @@ print("SECTIONS_JSON " + json.dumps({
 
 AB_TREE = "/tmp/spark_graft_ab_tree"
 
+# Auto re-measure for band-exceeding control slugs (r13 verdict item #6:
+# user_history_topk read high in three consecutive rounds, each manually
+# adjudicated "noise" — the adjudication is now automatic evidence). A
+# CONTROL slug (scope unchanged between trees) whose paired ratio exits
+# this band gets one automatic >= 5-run paired re-measure appended to its
+# artifact entry: same back-to-back fresh-process protocol, more runs so
+# JIT/scheduling noise amortizes. The original numbers are kept — the
+# re-measure is an appended second opinion, not a replacement.
+REMEASURE_BAND = (0.8, 1.2)
+REMEASURE_RUNS = 5
+
+
+def maybe_remeasure_pair(entry: dict, slug: str, sf_dir: str, cpus: str,
+                         repo_root: str, ab_tree: str = AB_TREE,
+                         run_child=None,
+                         wait_idle=None, max_load: float = 16.0) -> bool:
+    """Append a ``remeasure`` verdict to ``entry['ab']`` when its paired
+    ratio exits ``REMEASURE_BAND`` on an unchanged-scope slug. Returns
+    True when a re-measure ran (pass/fail recorded either way in the
+    entry). Injectable ``run_child``/``wait_idle`` for the mocked-timer
+    unit tests (tests/test_bench_guard.py)."""
+    run_child = run_child or _run_child
+    ab = entry.get("ab")
+    if not ab or ab.get("scope_changed"):
+        return False
+    lo, hi = REMEASURE_BAND
+    if lo <= ab["paired_ratio"] <= hi:
+        return False
+    if wait_idle is not None:
+        entry["remeasure_load"] = wait_idle(max_load)
+    # keep the slug's original tree order so the alternation design's
+    # drift-cancellation bookkeeping stays intact
+    order = ("cur", "prev") if ab.get("order") == "cp" else ("prev", "cur")
+    recs = {}
+    for tree in order:
+        cwd = repo_root if tree == "cur" else ab_tree
+        rec = run_child(slug, sf_dir, cpus, cwd, n_runs=REMEASURE_RUNS)
+        if rec is None or "error" in rec:
+            ab["remeasured"] = False
+            ab["remeasure_error"] = (rec or {}).get("error", "no output")[:200]
+            return True
+        recs[tree] = rec
+    ab["remeasured"] = True
+    ab["remeasure"] = {
+        "n_runs": REMEASURE_RUNS,
+        "cur_best": recs["cur"]["best"],
+        "cur_runs": recs["cur"]["runs"],
+        "prev_best": recs["prev"]["best"],
+        "prev_runs": recs["prev"]["runs"],
+        "paired_ratio": round(recs["cur"]["best"] / recs["prev"]["best"], 3),
+    }
+    return True
+
 
 def _run_child(slug: str, sf_dir: str, cpus: str, cwd: str,
                n_runs: int = 3) -> dict | None:
@@ -375,6 +428,15 @@ def main() -> None:
             if "ab" in entry:
                 extra = (f" paired={entry['ab']['paired_ratio']}"
                          f" (prev_best={entry['ab']['prev_best']})")
+                # band-exceeding control slugs get the automatic >= 5-run
+                # paired second opinion (r13 verdict item #6)
+                if maybe_remeasure_pair(entry, slug, sf_dir, cpus,
+                                        repo_root,
+                                        wait_idle=wait_for_idle,
+                                        max_load=max_load):
+                    rm = entry["ab"].get("remeasure")
+                    extra += (f" REMEASURED paired={rm['paired_ratio']}"
+                              if rm else " REMEASURE FAILED")
             print(f"{slug}: cold={entry['cold']} best={entry['best']}{extra}",
                   file=sys.stderr)
     finally:

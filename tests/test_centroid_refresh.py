@@ -630,7 +630,7 @@ def test_stored_section_equals_inline_search(spark):
     stored = S.embedding_ann_ivf_stored(spark, sf)
     assert stored.columns[-2:] == ["quantizer_mode", "index_mode"]
     core = stored.select("query_id", "neighbor_id", "rank", "sim")
-    e_new, cent, _ = S._stored_ivf_state(spark, sf)
+    e_new, cent, *_ = S._stored_ivf_state(spark, sf)
     inline = S.ivf_search(e_new, cent, assignments=None).select(
         "query_id", "neighbor_id", "rank", "sim")
     assert core.exceptAll(inline).count() == 0

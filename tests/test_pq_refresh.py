@@ -1,0 +1,371 @@
+"""PQ artifact refresh (llm/artifacts.py, r14 — r13 judge next-item #1).
+
+``pq_codebooks`` is a trained model like the coarse quantizer, so its
+refresh is CARRY vs RETRAIN under its own lineage gate, the shared
+churn-fraction gate, and a PQ-specific drift gate (churn cohort's mean
+``similarity.pq_quantization_gap`` vs the training-time ``mean_pq_qe``
+baseline); ``pq_codes`` is a per-row relation like ``ivf_assignments``,
+so it patches churn-sized under a carry (delete gone + encode churn —
+encoding is deterministic per vector, so patch == full re-encode exactly)
+and rebuilds under a retrain. Contracts verified here mirror
+``test_centroid_refresh.py``:
+
+* carry keeps the codebook BYTES verbatim, re-points the meta with an
+  auditable ``carried_from`` chain, and keeps the ORIGINAL training-time
+  drift baseline;
+* the drift gate forces a retrain when the churn lands where no
+  sub-quantizer covers;
+* the patched ``pq_codes`` equals a from-scratch re-encode of the whole
+  new corpus (exact rows);
+* codes refuse to pair with foreign codebooks (fold mismatch);
+* a stored code artifact serves ``embedding_ann_pq`` identically to the
+  inline encode, with the thin code scan visible in the plan;
+* the driver-registered ``stored_pq`` section returns exactly the inline
+  search's rows with the four mode literals, and its builder raises on
+  any degrade.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyspark_coding_challenge_spark.llm import artifacts as A
+from pyspark_coding_challenge_spark.llm import similarity as S
+
+DIM = 8  # 4 subspaces x 2 dims with the default M_SUB
+
+
+def _unit(v):
+    n = math.sqrt(sum(x * x for x in v))
+    return [x / n for x in v]
+
+
+def _base_vecs() -> dict[int, list[float]]:
+    """40 deterministic vectors with every 2-dim subvector NONZERO (an
+    all-ones base plus one boosted coordinate), so no sub-quantizer
+    trains on degenerate zero slices and the training-time PQ gap is a
+    meaningful small baseline. Per subspace the subvector directions are
+    (1,1)/sqrt2, (4,1)-ish and (1,4)-ish — 3 distinct clusters, all
+    covered by the K_SUB=8 sub-centroids, so in-distribution churn has
+    gap ~0 and the drift test below can plant (1,-1)-pattern mass that
+    is provably far from every trained direction."""
+    vecs = {}
+    for i in range(40):
+        v = [1.0] * DIM
+        v[i % DIM] += 3.0
+        vecs[i] = _unit(v)
+    return vecs
+
+
+def _write_emb(spark, sf_dir, vecs: dict[int, list[float]]) -> str:
+    rows = [(i, [float(x) for x in v], 0) for i, v in sorted(vecs.items())]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    df.coalesce(1).write.mode("overwrite") \
+        .parquet(f"{sf_dir}/embeddings.parquet")
+    return str(sf_dir)
+
+
+def _codebook_rows(spark, art):
+    path = os.path.join(art, A.PQCB_NAME)
+    return sorted(
+        (r["sub"], r["lid"], tuple(r["cvec"]))
+        for r in spark.read.parquet(path).collect()
+    )
+
+
+def _meta(art, name):
+    with open(os.path.join(art, name, "_artifact_meta.json")) as f:
+        return json.load(f)
+
+
+def _build_old(spark, tmp_path, vecs=None):
+    """Old snapshot + the full embeddings-side stored state (coarse
+    quantizer, vec digests, PQ codebooks, PQ codes)."""
+    old = _write_emb(spark, tmp_path / "old", vecs or _base_vecs())
+    art = str(tmp_path / "art")
+    emb_digest = A.embeddings_digest(spark, old)
+    A.materialize_ivf_centroids(spark, old, art, emb_digest=emb_digest)
+    A.materialize_vec_digests(spark, old, art, emb_digest=emb_digest)
+    A.materialize_pq_codebooks(spark, old, art, emb_digest=emb_digest)
+    A.materialize_pq_codes(spark, old, art, emb_digest=emb_digest)
+    S.clear_centroid_cache(spark)
+    return old, art
+
+
+def test_pq_carry_on_small_churn(spark, tmp_path):
+    vecs = _base_vecs()
+    old, art = _build_old(spark, tmp_path, vecs)
+    trained_stats = _meta(art, A.PQCB_NAME)["lineage"]["stats"]
+    before = _codebook_rows(spark, art)
+
+    new_vecs = dict(vecs)
+    del new_vecs[39]                                 # removed
+    new_vecs[10] = vecs[14]                          # modified, in-dist
+    new_vecs[100] = vecs[22]                         # added, in-dist
+    new_vecs[101] = vecs[3]                          # added, in-dist
+    new = _write_emb(spark, tmp_path / "new", new_vecs)
+
+    summary = A.update_centroids_incremental(spark, old, new, art)
+    assert summary[A.PQCB_NAME] == "carried", summary
+    assert summary[A.PQCODES_NAME] == "patched", summary
+    assert summary["pq_churn_qe"] <= (
+        A.CENTROID_QE_DRIFT_RATIO * summary["pq_trained_qe"]
+        + A.CENTROID_QE_DRIFT_MARGIN
+    )
+    assert summary["walls"][A.PQCB_NAME] >= 0
+    assert summary["walls"][A.PQCODES_NAME] >= 0
+
+    # codebook bytes verbatim; meta re-pointed with an auditable chain and
+    # the ORIGINAL training baseline (the boiled-frog rule)
+    assert _codebook_rows(spark, art) == before
+    meta = _meta(art, A.PQCB_NAME)
+    assert meta["sf_dir"] == os.path.abspath(new)
+    assert meta["lineage"]["snapshot"] == A.embeddings_digest(spark, new)
+    assert meta["lineage"]["carried_from"]["n_docs"] == 40
+    assert meta["lineage"]["stats"] == trained_stats
+
+    # the churn-sized patch equals a from-scratch re-encode of the whole
+    # new corpus (encoding is deterministic per vector)
+    patched = sorted(
+        tuple(r) for r in
+        spark.read.parquet(os.path.join(art, A.PQCODES_NAME)).collect()
+    )
+    from pyspark_coding_challenge_spark.sources.readers import read_table
+
+    e = read_table(spark, new, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    cb = spark.read.parquet(os.path.join(art, A.PQCB_NAME))
+    full = sorted(tuple(r) for r in S.pq_encode(e, cb).collect())
+    assert patched == full
+    cmeta = _meta(art, A.PQCODES_NAME)
+    assert cmeta["lineage"]["snapshot"] == A.embeddings_digest(spark, new)
+    assert cmeta["lineage"]["codebooks_fold"] == A._codebook_fold(cb)
+    S.clear_centroid_cache(spark)
+
+
+def test_pq_retrain_on_drift(spark, tmp_path):
+    """Two added vectors (5% churn — far under the fraction gate) whose
+    every subvector follows the (1,-1) pattern no trained sub-centroid
+    points near: PQ gap far above the training baseline, so the PQ drift
+    gate retrains the codebooks and fully rebuilds the codes."""
+    vecs = _base_vecs()
+    old, art = _build_old(spark, tmp_path, vecs)
+    before = _codebook_rows(spark, art)
+    new_vecs = dict(vecs)
+    new_vecs[300] = _unit([1.0, -1.0] * (DIM // 2))
+    new_vecs[301] = _unit([-1.0, 1.0] * (DIM // 2))
+    new = _write_emb(spark, tmp_path / "new", new_vecs)
+
+    summary = A.update_centroids_incremental(spark, old, new, art)
+    assert summary[A.PQCB_NAME] == "retrained", summary
+    assert "PQ quantization gap" in summary["pq_reason"]
+    assert summary[A.PQCODES_NAME] == "full_rebuild"
+    assert _codebook_rows(spark, art) != before  # retrain actually happened
+    # pairing invariant: recorded fold == fold of the retrained codebooks
+    cb = spark.read.parquet(os.path.join(art, A.PQCB_NAME))
+    assert _meta(art, A.PQCODES_NAME)["lineage"]["codebooks_fold"] == \
+        A._codebook_fold(cb)
+    # fresh training stats recorded for the next refresh's drift gate
+    assert _meta(art, A.PQCB_NAME)["lineage"]["stats"]["n_vecs"] == 42
+    S.clear_centroid_cache(spark)
+
+
+def test_pq_absent_is_recorded(spark, tmp_path):
+    """A refresh over stored state WITHOUT the opt-in PQ artifacts must
+    record them as absent (configuration, not degradation) and leave the
+    rest of the embeddings-side refresh untouched."""
+    vecs = _base_vecs()
+    old = _write_emb(spark, tmp_path / "old", vecs)
+    art = str(tmp_path / "art")
+    emb_digest = A.embeddings_digest(spark, old)
+    A.materialize_ivf_centroids(spark, old, art, emb_digest=emb_digest)
+    A.materialize_vec_digests(spark, old, art, emb_digest=emb_digest)
+    S.clear_centroid_cache(spark)
+    new_vecs = dict(vecs)
+    new_vecs[100] = vecs[7]
+    new = _write_emb(spark, tmp_path / "new", new_vecs)
+    summary = A.update_centroids_incremental(spark, old, new, art)
+    assert summary["mode"] == "carried"
+    assert summary[A.PQCB_NAME] == "absent"
+    assert summary[A.PQCODES_NAME] == "absent"
+    assert "pq_reason" not in summary
+    S.clear_centroid_cache(spark)
+
+
+def test_pq_codes_refuse_foreign_codebooks(spark, tmp_path):
+    """Codes whose recorded codebook fold does not match the sibling
+    codebook artifact must refuse to load — pairing them would ADC-score
+    candidates against the wrong LUT rows."""
+    new = _write_emb(spark, tmp_path / "c", _base_vecs())
+    art = str(tmp_path / "art")
+    S.clear_centroid_cache(spark)
+    emb_digest = A.embeddings_digest(spark, new)
+    A.materialize_ivf_centroids(spark, new, art, emb_digest=emb_digest)
+    A.materialize_pq_codebooks(spark, new, art, emb_digest=emb_digest)
+    A.materialize_pq_codes(spark, new, art, emb_digest=emb_digest)
+    meta_path = os.path.join(art, A.PQCODES_NAME, "_artifact_meta.json")
+    with open(meta_path) as f:
+        meta = json.load(f)
+    meta["lineage"]["codebooks_fold"] = "12345"
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
+    with pytest.raises(ValueError, match="different codebooks"):
+        A.load_pq_codes(spark, new, art)
+    S.clear_centroid_cache(spark)
+
+
+def test_pq_codes_artifact_serves_search_identically(spark, tmp_path):
+    """The stored code relation is a pure cost optimization: search
+    results are IDENTICAL with and without it (encoding is deterministic
+    given the codebooks), and the with-artifact plan scans the thin
+    (vec_id, sub, code) parquet instead of re-encoding the corpus."""
+    new = _write_emb(spark, tmp_path / "c", _base_vecs())
+    art = str(tmp_path / "art")
+    S.clear_centroid_cache(spark)
+    emb_digest = A.embeddings_digest(spark, new)
+    A.materialize_ivf_centroids(spark, new, art, emb_digest=emb_digest)
+    A.materialize_ivf_assignments(spark, new, art, emb_digest=emb_digest)
+    A.materialize_pq_codebooks(spark, new, art, emb_digest=emb_digest)
+    A.materialize_pq_codes(spark, new, art, emb_digest=emb_digest)
+
+    S.clear_centroid_cache(spark)
+    baseline = sorted(tuple(r)
+                      for r in S.embedding_ann_pq(spark, new).collect())
+    A.load_ivf_centroids(spark, new, art)
+    A.load_pq_codebooks(spark, new, art)
+    A.load_pq_codes(spark, new, art)
+    served = S.embedding_ann_pq(spark, new)
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    # the artifact's thin scan replaces the inline encode (plan paths
+    # truncate, so gate on the scan schema — unique to this relation)
+    assert "ReadSchema: struct<vec_id:bigint,sub:int,code:int>" in plan, plan
+    assert sorted(tuple(r) for r in served.collect()) == baseline
+    S.clear_centroid_cache(spark)
+    S.clear_topk_cache(spark)
+
+
+def test_pq_gap_extremes(spark):
+    """PQ gap == 0 when every subvector aligns with some sub-centroid,
+    == 1 when none does, and zero-norm subvectors score 1 for their
+    subspace instead of NULL-vanishing (the quantization_gap rule)."""
+    cb = spark.createDataFrame(
+        [(0, 0, [1.0, 0.0]), (0, 1, [0.0, 1.0]),
+         (1, 0, [1.0, 0.0]), (1, 1, [0.0, 1.0])],
+        "sub int, lid int, cvec array<double>",
+    )
+    e = spark.createDataFrame(
+        # 1: both subvecs on a centroid -> 0
+        # 2: sub0 diagonal (best cos 1/sqrt2), sub1 on a centroid -> mean
+        # 3: sub0 zero-norm (scores 1, never NULL), sub1 on a centroid
+        # 4: sub1 anti-aligned: per-subspace gap = 1 - (-1/sqrt2) > 1 —
+        #    the statistic's range is [0, 2] like quantization_gap's
+        [(1, [2.0, 0.0, 0.0, 5.0]),
+         (2, [1.0, 1.0, 3.0, 0.0]),
+         (3, [0.0, 0.0, 1.0, 0.0]),
+         (4, [2.0, 0.0, -3.0, -3.0])],
+        "vec_id long, emb array<double>",
+    )
+    got = {r["vec_id"]: r["gap"] for r in S.pq_quantization_gap(e, cb).collect()}
+    assert got[1] == pytest.approx(0.0, abs=1e-9)
+    assert got[2] == pytest.approx((1 - 1 / math.sqrt(2)) / 2, abs=1e-9)
+    assert got[3] == pytest.approx(0.5, abs=1e-9)
+    assert got[4] == pytest.approx((0.0 + 1 + 1 / math.sqrt(2)) / 2, abs=1e-9)
+
+
+def test_stored_pq_section_equals_inline_search(spark):
+    """The registered stored_pq section (artifact-served: carried
+    codebooks + patched codes + patched index) must return EXACTLY the
+    rows of an inline IVF-PQ search with the same trained state over the
+    same derived new snapshot — the Spark-side half of the driver's
+    cross-engine hash gate — with the four mode literals pinned."""
+    sf = "/root/testdata/sf0.001"
+    S.clear_stored_ivf_state(spark)
+    S.clear_centroid_cache(spark)
+    stored = S.embedding_ann_pq_stored(spark, sf)
+    assert stored.columns[-4:] == [
+        "quantizer_mode", "index_mode", "pq_codebooks_mode", "pq_codes_mode"]
+    core = stored.select("query_id", "neighbor_id", "rank", "sim", "adc")
+    e_new, cent, _, cb, _ = S._stored_ivf_state(spark, sf)
+    inline = S.pq_adc_search(e_new, cent, cb).select(
+        "query_id", "neighbor_id", "rank", "sim", "adc")
+    assert core.exceptAll(inline).count() == 0
+    assert inline.exceptAll(core).count() == 0
+    modes = stored.select("quantizer_mode", "index_mode",
+                          "pq_codebooks_mode", "pq_codes_mode") \
+        .distinct().collect()
+    assert [tuple(r) for r in modes] == \
+        [("carried", "patched", "carried", "patched")]
+
+
+def test_stored_pq_raises_on_degrade(spark, monkeypatch):
+    """The stored-state builder must RAISE when the PQ side degrades (a
+    codebook retrain or a codes rebuild) — the hash gate must prove the
+    artifact-served path, not value-equality by accident."""
+    import pyspark_coding_challenge_spark.llm.artifacts as A_mod
+
+    S.clear_stored_ivf_state(spark)
+    real = A_mod.update_centroids_incremental
+
+    def degraded(*a, **k):
+        summary = real(*a, **k)
+        summary[A_mod.PQCODES_NAME] = "full_rebuild"
+        return summary
+
+    monkeypatch.setattr(A_mod, "update_centroids_incremental", degraded)
+    with pytest.raises(RuntimeError, match="degraded"):
+        S._stored_ivf_state(spark, "/root/testdata/sf0.001")
+    S.clear_stored_ivf_state(spark)
+
+
+def test_update_all_refreshes_pq_side(spark, tmp_path):
+    """update_all_incremental surfaces the PQ modes in its embeddings
+    summary when the stored state includes the PQ artifacts — the probe's
+    wall-to-wall measurement reads exactly these keys."""
+    from pyspark_coding_challenge_spark.llm import dedup as D
+    from pyspark_coding_challenge_spark.llm import text as T
+
+    def _docs(sf_dir, texts):
+        spark.createDataFrame(
+            [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)],
+            "doc_id long, text string, lang string, source string, n_chars int",
+        ).coalesce(1).write.mode("overwrite") \
+            .parquet(f"{sf_dir}/documents.parquet")
+
+    vecs = _base_vecs()
+    old = str(tmp_path / "old")
+    new = str(tmp_path / "new")
+    _docs(old, ["alpha beta gamma delta"] * 3 + ["epsilon zeta"])
+    _docs(new, ["alpha beta gamma delta"] * 3 + ["epsilon zeta CHANGED"])
+    _write_emb(spark, tmp_path / "old", vecs)
+    new_vecs = dict(vecs)
+    new_vecs[500] = vecs[11]
+    _write_emb(spark, tmp_path / "new", new_vecs)
+    old, art = old, str(tmp_path / "art")
+    emb_digest = A.embeddings_digest(spark, old)
+    A.materialize_ivf_centroids(spark, old, art, emb_digest=emb_digest)
+    A.materialize_vec_digests(spark, old, art, emb_digest=emb_digest)
+    A.materialize_ivf_assignments(spark, old, art, emb_digest=emb_digest)
+    A.materialize_pq_codebooks(spark, old, art, emb_digest=emb_digest)
+    A.materialize_pq_codes(spark, old, art, emb_digest=emb_digest)
+    S.clear_centroid_cache(spark)
+
+    got = A.update_all_incremental(spark, old, new, art)
+    emb = got["embeddings"]
+    assert emb["mode"] == "carried"
+    assert emb[A.ASSIGN_NAME] == "patched"
+    assert emb[A.PQCB_NAME] == "carried"
+    assert emb[A.PQCODES_NAME] == "patched"
+    assert emb["walls"][A.PQCODES_NAME] >= 0
+    D.clear_pair_cache(spark)
+    T.clear_doc_signals_cache(spark)
+    T.clear_token_spine_cache(spark)
+    T.clear_span_cache(spark)
+    S.clear_centroid_cache(spark)

@@ -111,3 +111,59 @@ def test_digest_relation_dedupes_redelivery(spark, tmp_path):
         .groupBy("doc_id").count().agg(F.max("count")).collect()[0][0]
     )
     assert copies == 2
+
+
+def test_redelivered_batch_is_idempotent_in_both_sinks(spark, tmp_path):
+    """r14 (r13 verdict item #5): foreachBatch is at-least-once on task
+    retry, redelivering a batch WITH THE SAME batch_id. The batch-staged,
+    marker-committed sink must hold exactly one copy of every row in BOTH
+    sinks after a redelivery — committed batches skip, uncommitted ones
+    overwrite — so the registered ``ingest_digests`` section's ``copies``
+    column (and its oracle's literal 1) hold without relying on the
+    digest-relation dedupe."""
+    src = _write_docs(
+        spark, tmp_path / "src",
+        [(i, f"idempotent doc {i}") for i in range(12)],
+    )
+    dest = str(tmp_path / "dest")
+    I.ingest_documents(spark, src, dest)
+    batch = spark.read.parquet(os.path.join(dest, I.DOCS_LEAF))
+    # redeliver batch 0 verbatim: the marker exists, so the commit skips
+    assert I.commit_ingest_batch(batch, 0, dest) == 0
+    docs = spark.read.parquet(os.path.join(dest, I.DOCS_LEAF))
+    dig = spark.read.parquet(os.path.join(dest, I.DIGESTS_LEAF))
+    assert docs.count() == 12 and dig.count() == 12
+    assert dig.groupBy("doc_id").count() \
+        .agg(F.max("count")).collect()[0][0] == 1
+    # the registered section over this sink reads copies == 1 everywhere
+    assert dig.groupBy("doc_id", "digest") \
+        .agg(F.count("*").alias("c")) \
+        .filter(F.col("c") != 1).count() == 0
+
+
+def test_crash_between_publish_and_marker_retries_clean(spark, tmp_path):
+    """The non-atomic window: part files published, marker never written
+    (crash). The retry must republish the batch OVER its own files —
+    deterministic batch-keyed names — and commit, leaving exactly one
+    copy; a second full ingest over the same checkpoint-free call also
+    converges because committed markers gate every batch."""
+    src = _write_docs(
+        spark, tmp_path / "src",
+        [(i, f"crashy doc {i}") for i in range(8)],
+    )
+    dest = str(tmp_path / "dest")
+    I.ingest_documents(spark, src, dest)
+    # simulate the crash: delete batch 0's marker but keep its files
+    marker = os.path.join(dest, "_batch_0.committed")
+    assert os.path.exists(marker)
+    os.remove(marker)
+    batch = spark.read.parquet(os.path.join(dest, I.DOCS_LEAF))
+    assert I.commit_ingest_batch(batch, 0, dest) == 8  # real re-commit
+    assert os.path.exists(marker)
+    docs = spark.read.parquet(os.path.join(dest, I.DOCS_LEAF))
+    dig = spark.read.parquet(os.path.join(dest, I.DIGESTS_LEAF))
+    assert docs.count() == 8 and dig.count() == 8
+    # and the write-time digests still equal the batch-side definition
+    expect = {(r.doc_id, r.digest)
+              for r in A.doc_digest_relation(docs).collect()}
+    assert {(r.doc_id, r.digest) for r in dig.collect()} == expect
