@@ -1525,9 +1525,10 @@ def _supplied_digest_gate(supplied: DataFrame, corpus: DataFrame,
     * the supplied row count must equal the new snapshot's row count
       (count() over a pruned scan — no digest computation);
     * deterministic spot check: the ``SUPPLIED_SPOT_CHECK_IDS`` lowest
-      supplied ids are re-hashed from the actual corpus rows (broadcast
-      semi join pushes the id set into the scan; the digest expression
-      runs on the matched handful only) and must match byte-for-byte.
+      supplied ids are re-hashed from the actual corpus rows (a literal
+      ``IN`` filter pushed into the parquet scan — row-group pruned, so
+      the digest expression runs on the matched handful only) and must
+      match byte-for-byte.
 
     A relation that passes can still lie about unsampled rows — that
     residual trust is identical to trusting the stored ``doc_digests``
@@ -1553,18 +1554,27 @@ def _supplied_digest_gate(supplied: DataFrame, corpus: DataFrame,
 def _digest_spot_check(supplied: DataFrame, corpus: DataFrame,
                        id_col: str, digest_rel) -> str | None:
     """The bounded re-hash kernel both gates share: the lowest-N supplied
-    (id, digest) rows are re-hashed from the actual corpus rows (broadcast
-    semi join pushes the id set into the scan) and must match
-    byte-for-byte; a supplied id absent from the corpus fails too."""
+    (id, digest) rows are re-hashed from the actual corpus rows and must
+    match byte-for-byte; a supplied id absent from the corpus fails too.
+
+    The N sample ids are collected (bounded <= SUPPLIED_SPOT_CHECK_IDS
+    scalars — repo convention, disclosed) and pushed as a LITERAL ``IN``
+    filter into the corpus scan: parquet row-group min/max stats prune
+    everything but the groups holding those ids, where the previous
+    broadcast-semi-join form scanned every row group of the corpus just
+    to re-hash 16 rows (r14: at the 100x ctx probe factor the gate's
+    scans cost as much as the whole corpus hash the changelog path
+    exists to avoid — the point-lookup form is what a 100 TB deployment
+    would run)."""
     sample = (
         supplied.select(id_col, F.col("digest").alias("_supplied"))
         .orderBy(id_col).limit(SUPPLIED_SPOT_CHECK_IDS)
-        .localCheckpoint()  # pinned: consumed by the semi join AND the compare
+        .localCheckpoint()  # pinned: consumed by the id collect AND the compare
     )
-    truth = digest_rel(
-        corpus.join(F.broadcast(sample.select(id_col)), on=id_col,
-                    how="left_semi")
-    )
+    ids = [r[id_col] for r in sample.select(id_col).collect()]
+    if not ids:
+        return None  # nothing sampled => nothing to contradict
+    truth = digest_rel(corpus.filter(F.col(id_col).isin(ids)))
     # bounded collect: at most one mismatching row of the N-row sample
     bad = (
         sample.join(truth, on=id_col, how="left")
@@ -1600,9 +1610,9 @@ def _changelog_gate(changelog: DataFrame, old_digests: DataFrame,
       (one count job — the only corpus-sized touch, and it is
       metadata-cheap);
     * spot check, lowest-N added/modified ids: digest_new must equal a
-      fresh hash of the corpus row (broadcast semi join, the
-      ``_supplied_digest_gate`` kernel — also catches an 'added' id that
-      is not actually present);
+      fresh hash of the corpus row (a literal IN filter pushed into the
+      scan, the ``_supplied_digest_gate`` kernel — also catches an
+      'added' id that is not actually present);
     * spot check, lowest-N removed ids: ABSENT from the corpus;
     * spot check, lowest-N removed/modified ids: PRESENT in the stored
       old digests (a changelog cut against the wrong OLD snapshot fails
@@ -1650,28 +1660,35 @@ def _changelog_gate(changelog: DataFrame, old_digests: DataFrame,
         why = _digest_spot_check(upserts, corpus, id_col, digest_rel)
         if why is not None:
             return f"changelog upsert rows fail the digest spot check: {why}"
-    removed_sample = (
+    # bounded id collects (<= N scalars each, repo convention) pushed as
+    # literal IN filters — parquet row-group pruning makes these point
+    # lookups, where the broadcast-semi-join form scanned the whole
+    # corpus per check (see _digest_spot_check)
+    removed_ids = [
+        r[id_col] for r in
         changelog.filter(F.col("change") == "removed")
         .select(id_col).orderBy(id_col).limit(SUPPLIED_SPOT_CHECK_IDS)
-        .localCheckpoint()
-    )
-    still_there = corpus.join(F.broadcast(removed_sample), on=id_col,
-                              how="left_semi").limit(1).count()
-    if still_there:
-        return ("a sampled 'removed' id is still present in the new "
-                "corpus — stale or wrong changelog")
-    gone_sample = (
+        .collect()
+    ]
+    if removed_ids:
+        still_there = corpus.filter(F.col(id_col).isin(removed_ids)) \
+            .limit(1).count()
+        if still_there:
+            return ("a sampled 'removed' id is still present in the new "
+                    "corpus — stale or wrong changelog")
+    gone_ids = [
+        r[id_col] for r in
         changelog.filter(F.col("change").isin("removed", "modified"))
         .select(id_col).orderBy(id_col).limit(SUPPLIED_SPOT_CHECK_IDS)
-        .localCheckpoint()
-    )
-    n_gone_sample = gone_sample.count()
-    n_known_old = old_digests.join(F.broadcast(gone_sample), on=id_col,
-                                   how="left_semi").count()
-    if n_known_old != n_gone_sample:
-        return ("a sampled removed/modified id is absent from the stored "
-                "old digests — changelog cut against a different OLD "
-                "snapshot")
+        .collect()
+    ]
+    if gone_ids:
+        n_known_old = old_digests.filter(F.col(id_col).isin(gone_ids)) \
+            .count()
+        if n_known_old != len(gone_ids):
+            return ("a sampled removed/modified id is absent from the "
+                    "stored old digests — changelog cut against a "
+                    "different OLD snapshot")
     return None
 
 

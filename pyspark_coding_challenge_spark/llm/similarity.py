@@ -1075,11 +1075,12 @@ def pq_adc_scores(e: DataFrame, cent: DataFrame, codebooks: DataFrame,
 # SCALE_PROBE_ANN_r14's refine-vs-recall curve — structureless replicated
 # embeddings, ANN's worst case — refine 60 reads 0.68-0.74 recall@10 on
 # the sub-20k corpora (floor 0.6, margin 0.08-0.14) while refine 150
-# reads 0.86-0.96 there for ~the same wall (the ADC pass dominates; the
-# exact re-rank is queries x refine rows either way). At >= 20k vectors
-# the planted-near-neighbor structure dominates and refine 60 already
-# reads 0.92. So auto spends the larger shortlist exactly where the
-# margin is thin: small/structureless corpora.
+# reads 0.82-0.94 there for THE SAME wall (walls are flat across the
+# probed refine levels: the ADC pass dominates and the exact re-rank is
+# queries x refine rows either way). At >= 20k vectors the
+# planted-near-neighbor structure dominates and refine 60 already reads
+# 0.92 (150 buys only +0.02). So auto spends the larger shortlist
+# exactly where the margin is thin: small/structureless corpora.
 AUTO_PQ_REFINE_MIN_VECS = 20_000
 
 

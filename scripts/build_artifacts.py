@@ -11,8 +11,9 @@ Usage:
     python scripts/build_artifacts.py --incremental <old_sf_dir> <new_sf_dir> <artifact_dir>
 
 ``names`` defaults to all (verified_pairs banded_index cc_labels
-doc_digests shared_spans ivf_centroids token_spine doc_signals). Exits
-non-zero on unknown names before any Spark work.
+doc_digests span_pos_index shared_spans span_stats ivf_centroids
+vec_digests ivf_assignments pq_codebooks pq_codes token_spine
+doc_signals). Exits non-zero on unknown names before any Spark work.
 
 ``--incremental`` patches the dedup-side artifacts (pair graph, banded
 index, CC labels, per-doc digests) from the snapshot diff between the two
@@ -70,6 +71,8 @@ def main() -> None:
         A.CENTROIDS_NAME: A.materialize_ivf_centroids,
         A.VECDIG_NAME: A.materialize_vec_digests,
         A.ASSIGN_NAME: A.materialize_ivf_assignments,
+        A.PQCB_NAME: A.materialize_pq_codebooks,
+        A.PQCODES_NAME: A.materialize_pq_codes,
         A.SPINE_NAME: A.materialize_spine,
         A.SIGNALS_NAME: A.materialize_signals,
     }
@@ -101,7 +104,8 @@ def main() -> None:
         emb_digest = None
         for n in names:
             fn = builders[n]
-            if n in (A.CENTROIDS_NAME, A.VECDIG_NAME, A.ASSIGN_NAME):
+            if n in (A.CENTROIDS_NAME, A.VECDIG_NAME, A.ASSIGN_NAME,
+                     A.PQCB_NAME, A.PQCODES_NAME):
                 if emb_digest is None:
                     emb_digest = A.embeddings_digest(spark, sf_dir)
                 path = fn(spark, sf_dir, artifact_dir, emb_digest=emb_digest)

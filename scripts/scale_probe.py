@@ -113,7 +113,7 @@ def ensure_churned_embeddings(spark, old_dir: str, new_dir: str) -> None:
         ).otherwise(F.col("embedding")),
     )
     added = emb.filter((F.col("vec_id") >= 205) & (F.col("vec_id") < 305)) \
-        .select((F.col("vec_id") + 900_000_000).alias("vec_id"),
+        .select((F.col("vec_id") + 9_000_000_000).alias("vec_id"),
                 "embedding", "label")
     mutated.unionByName(added).write.mode("overwrite") \
         .parquet(f"{new_dir}/embeddings.parquet")
@@ -487,8 +487,12 @@ def build_churned(spark, factor: int) -> str:
         F.when((F.col("doc_id") >= 200) & (F.col("doc_id") < 400),
                F.upper("text")).otherwise(F.col("text")),
     )
+    # added ids live at +9e9 — past ANY replica range (replica i holds
+    # doc_id + i*1e7, so factor 100 tops out near 1e9; the r14 first-run
+    # +9e8 offset COLLIDED with replica 90's ids at the new 100x ctx
+    # factor, duplicating doc_ids and tripping the changelog count gate)
     added = docs.filter((F.col("doc_id") >= 400) & (F.col("doc_id") < 600)).select(
-        (F.col("doc_id") + 900_000_000).alias("doc_id"),
+        (F.col("doc_id") + 9_000_000_000).alias("doc_id"),
         F.regexp_replace(F.col("text"), r"(^| )", "$1new_").alias("text"),
         "lang", "source", "n_chars",
     )
@@ -824,7 +828,6 @@ def probe_incr_artifacts(spark, old_dir: str, new_dir: str,
     # than 'full'; this arm proves the path, the CC probe prices it).
     if force_cc:
         from pyspark_coding_challenge_spark.llm import dedup as D
-        from pyspark.sql import functions as F
 
         saved = D.CC_INCR_MIN_EDGES
         D.CC_INCR_MIN_EDGES = 0

@@ -252,6 +252,35 @@ def test_pq_codes_artifact_serves_search_identically(spark, tmp_path):
     S.clear_topk_cache(spark)
 
 
+def test_env_knob_seeds_pq_pair(spark, tmp_path, monkeypatch):
+    """SPARK_GRAFT_ARTIFACT_DIR seeds both PQ caches: the codebooks serve
+    without retraining (the centroids env-seed contract) and the codes
+    serve without re-encoding — the search plan scans the thin code
+    parquet. Fold pairing is exercised for real: the codes only serve
+    because their recorded fold matches the env-seeded codebooks."""
+    new = _write_emb(spark, tmp_path / "c", _base_vecs())
+    art = str(tmp_path / "art")
+    S.clear_centroid_cache(spark)
+    emb_digest = A.embeddings_digest(spark, new)
+    A.materialize_ivf_centroids(spark, new, art, emb_digest=emb_digest)
+    A.materialize_pq_codebooks(spark, new, art, emb_digest=emb_digest)
+    A.materialize_pq_codes(spark, new, art, emb_digest=emb_digest)
+    baseline = sorted(tuple(r)
+                      for r in S.embedding_ann_pq(spark, new).collect())
+    S.clear_centroid_cache(spark)
+
+    monkeypatch.setenv(A.ENV_ARTIFACT_DIR, art)
+    cb = S.pq_codebooks_for_dir(spark, new)      # env-seeded, no training
+    codes = S.pq_codes_for_dir(spark, new, cb)   # env-seeded, fold-matched
+    assert codes is not None
+    served = S.embedding_ann_pq(spark, new)
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert "ReadSchema: struct<vec_id:bigint,sub:int,code:int>" in plan, plan
+    assert sorted(tuple(r) for r in served.collect()) == baseline
+    S.clear_centroid_cache(spark)
+    S.clear_topk_cache(spark)
+
+
 def test_pq_gap_extremes(spark):
     """PQ gap == 0 when every subvector aligns with some sub-centroid,
     == 1 when none does, and zero-norm subvectors score 1 for their

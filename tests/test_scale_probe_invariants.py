@@ -67,6 +67,8 @@ def test_both_arms_time_their_digest_scans(tmp_path, monkeypatch):
     monkeypatch.setattr(A, "materialize_ivf_centroids", spend(MAT_COST))
     monkeypatch.setattr(A, "materialize_vec_digests", spend(MAT_COST))
     monkeypatch.setattr(A, "materialize_ivf_assignments", spend(MAT_COST))
+    monkeypatch.setattr(A, "materialize_pq_codebooks", spend(MAT_COST))
+    monkeypatch.setattr(A, "materialize_pq_codes", spend(MAT_COST))
     monkeypatch.setattr(sp, "_clear_all_artifact_caches", lambda s: None)
 
     calls = []
@@ -88,6 +90,8 @@ def test_both_arms_time_their_digest_scans(tmp_path, monkeypatch):
             "embeddings": {"walls": {"diff": 1.0}, "mode": "carried",
                            A.VECDIG_NAME: "patched",
                            A.ASSIGN_NAME: "patched",
+                           A.PQCB_NAME: "carried",
+                           A.PQCODES_NAME: "patched",
                            "new_vec_digests": sup},
         }
 
@@ -111,8 +115,9 @@ def test_both_arms_time_their_digest_scans(tmp_path, monkeypatch):
     assert fw["corpus_digest_scan"] == DIGEST_COST, fw
     assert fw["embeddings_digest_scan"] == EMB_DIGEST_COST, fw
     # 9 text/dedup materializers + centroids + vec_digests + assignments
+    # + pq_codebooks + pq_codes (r14)
     assert out["full_total"] == round(sum(fw.values()), 3)
-    assert out["full_total"] == DIGEST_COST + EMB_DIGEST_COST + 12 * MAT_COST
+    assert out["full_total"] == DIGEST_COST + EMB_DIGEST_COST + 14 * MAT_COST
 
     # --- patch arm: the wall-to-wall timing covers the whole refresh,
     # digest work included (it runs inside update_all_incremental)
@@ -129,6 +134,9 @@ def test_both_arms_time_their_digest_scans(tmp_path, monkeypatch):
     assert out["patch_total_supplied"] == PATCH_COST
     assert out["modes_supplied"]["new_digests"] == "supplied"
     assert out["modes_supplied"]["new_vec_digests"] == "supplied"
+    # r14: the PQ modes surface alongside the other per-artifact modes
+    assert out["modes"][A.PQCB_NAME] == "carried"
+    assert out["modes"][A.PQCODES_NAME] == "patched"
 
     # --- the ratios compare like-bounded walls
     assert out["patch_over_full"] == round(
