@@ -45,7 +45,7 @@ import os
 import time
 import warnings
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 PAIRS_NAME = "verified_pairs"
@@ -403,11 +403,30 @@ def _pqcb_params() -> dict:
             "subspace": "contiguous dim/m slices"}
 
 
+# pq_codes partition-bucket width: the artifact is laid out as
+# pbucket=floor(vec_id / width) hive partitions so the churn patch can
+# DYNAMIC-PARTITION-OVERWRITE only the buckets the churn touches — the
+# delete+append rewrite of an unpartitioned artifact was corpus-sized
+# I/O no matter how small the churn (r14; the SCALE_PROBE_INCR run 3
+# read the codes patch wall tracking the full re-encode for exactly
+# this reason). Id-clustered churn (append-heavy ingest, CDC from a
+# ranged keyspace) touches few buckets; adversarially scattered churn
+# degrades gracefully toward a full rewrite, never past it.
+PQ_BUCKET_WIDTH = 1 << 16
+
+
+def _pq_bucket(col: Column) -> Column:
+    return F.floor(col / F.lit(PQ_BUCKET_WIDTH)).cast("long")
+
+
 def _pqcodes_params() -> dict:
     # the compressed corpus inherits every sub-quantizer knob plus its
-    # own encoding rule version (the _assign_params pattern)
+    # own encoding rule version (the _assign_params pattern) and the
+    # partition layout (a width change re-buckets every row — params
+    # gate forces the rebuild instead of a silently mixed layout)
     return {**_pqcb_params(),
-            "encoding": "argmax-dot per subspace, ties to lowest lid"}
+            "encoding": "argmax-dot per subspace, ties to lowest lid",
+            "layout": f"pbucket=vec_id div {PQ_BUCKET_WIDTH}"}
 
 
 def _codebook_fold(cb: DataFrame) -> str:
@@ -1179,7 +1198,8 @@ def materialize_pq_codes(spark: SparkSession, sf_dir: str,
     the corpus x m x k encode pass. Lineage records the embeddings
     snapshot AND the codebook content fold (``_codebook_fold``), so codes
     encoded under since-retrained codebooks fail the load/seed checks
-    loudly."""
+    loudly. Laid out as ``pbucket`` hive partitions (``PQ_BUCKET_WIDTH``)
+    so the refresh patch can overwrite only the churn's buckets."""
     from pyspark_coding_challenge_spark.llm.similarity import pq_encode
     from pyspark_coding_challenge_spark.sources.readers import (
         read_table,
@@ -1196,7 +1216,8 @@ def materialize_pq_codes(spark: SparkSession, sf_dir: str,
                               "vec_id").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
-    pq_encode(e, cb).write.mode("overwrite").parquet(path)
+    pq_encode(e, cb).withColumn("pbucket", _pq_bucket(F.col("vec_id"))) \
+        .write.mode("overwrite").partitionBy("pbucket").parquet(path)
     _write_meta(path, sf_dir, _pqcodes_params(),
                 lineage={"snapshot": emb_digest
                          or embeddings_digest(spark, sf_dir),
@@ -1225,7 +1246,9 @@ def _pq_codes_artifact_gate(path: str, cb_path: str, sf_dir: str,
                     f"sibling pq_codebooks artifact ({fold})"), None, None
         from pyspark_coding_challenge_spark.sources.readers import read_table
 
-        df = spark.read.parquet(path)
+        # project away the pbucket partition column — refresh-time layout
+        # state, not a query column (the shared_spans h-column rule)
+        df = spark.read.parquet(path).select("vec_id", "sub", "code")
         n_codes = df.count()
         expect = _pqcb_params()["m_sub"] * \
             read_table(spark, sf_dir, "embeddings").count()
@@ -2838,14 +2861,54 @@ def update_centroids_incremental(spark: SparkSession, old_sf_dir: str,
                     "vec_id",
                     F.col("embedding").cast("array<double>").alias("emb"),
                 ).join(delta_ids, on="vec_id", how="left_semi")
-                patched = (
-                    spark.read.parquet(pqcodes_path)
-                    .join(gone, on="vec_id", how="left_anti")
-                    .unionByName(pq_encode(churn_pq_e, cb))
-                    # reads the path being overwritten — pin first
-                    .localCheckpoint()
+                # the buckets the churn touches — bounded collect
+                # (<= churn rows, usually a handful of distinct buckets).
+                # Only THOSE partitions are read (partition-pruned scan)
+                # and re-written (dynamic partition overwrite): the
+                # unpartitioned delete+append rewrite was corpus-sized
+                # I/O no matter how small the churn.
+                touched = sorted(
+                    r["b"] for r in
+                    gone.unionByName(delta_ids)
+                    .select(_pq_bucket(F.col("vec_id")).alias("b"))
+                    .distinct().collect()
                 )
-                patched.write.mode("overwrite").parquet(pqcodes_path)
+                if touched:
+                    patched = (
+                        spark.read.parquet(pqcodes_path)
+                        .filter(F.col("pbucket").isin(touched))
+                        .select("vec_id", "sub", "code")
+                        .join(gone, on="vec_id", how="left_anti")
+                        .unionByName(pq_encode(churn_pq_e, cb))
+                        .withColumn("pbucket", _pq_bucket(F.col("vec_id")))
+                        # reads partitions being overwritten — pin first
+                        .localCheckpoint()
+                    )
+                    mode_key = "spark.sql.sources.partitionOverwriteMode"
+                    prev_mode = spark.conf.get(mode_key, None)
+                    spark.conf.set(mode_key, "dynamic")
+                    try:
+                        patched.write.mode("overwrite") \
+                            .partitionBy("pbucket").parquet(pqcodes_path)
+                    finally:
+                        if prev_mode is None:
+                            spark.conf.unset(mode_key)
+                        else:
+                            spark.conf.set(mode_key, prev_mode)
+                    # a bucket whose every row was deleted writes nothing
+                    # back — dynamic overwrite never touches it — so its
+                    # stale directory is dropped by hand (bounded loop
+                    # over the touched set)
+                    present = {
+                        r["pbucket"] for r in
+                        patched.select("pbucket").distinct().collect()
+                    }
+                    import shutil as _shutil
+
+                    for b in set(touched) - present:
+                        _shutil.rmtree(
+                            os.path.join(pqcodes_path, f"pbucket={b}"),
+                            ignore_errors=True)
                 _write_meta(pqcodes_path, new_sf_dir, _pqcodes_params(),
                             lineage={"snapshot": new_digest,
                                      "codebooks_fold": cur_fold,

@@ -798,7 +798,9 @@ def _stored_ivf_state(spark: SparkSession, sf_dir: str):
             spark.read.parquet(_os.path.join(art, A.CENTROIDS_NAME)),
             spark.read.parquet(_os.path.join(art, A.ASSIGN_NAME)),
             spark.read.parquet(_os.path.join(art, A.PQCB_NAME)),
-            spark.read.parquet(_os.path.join(art, A.PQCODES_NAME)),
+            # pbucket is refresh-time layout state, not a query column
+            spark.read.parquet(_os.path.join(art, A.PQCODES_NAME))
+            .select("vec_id", "sub", "code"),
         )
         with _SIM_CACHE_LOCK:
             return _STORED_IVF_CACHE.setdefault(key, built)

@@ -132,10 +132,12 @@ def test_pq_carry_on_small_churn(spark, tmp_path):
     assert meta["lineage"]["stats"] == trained_stats
 
     # the churn-sized patch equals a from-scratch re-encode of the whole
-    # new corpus (encoding is deterministic per vector)
+    # new corpus (encoding is deterministic per vector); pbucket is the
+    # partition-layout column, projected away for the compare
     patched = sorted(
         tuple(r) for r in
-        spark.read.parquet(os.path.join(art, A.PQCODES_NAME)).collect()
+        spark.read.parquet(os.path.join(art, A.PQCODES_NAME))
+        .select("vec_id", "sub", "code").collect()
     )
     from pyspark_coding_challenge_spark.sources.readers import read_table
 
@@ -148,6 +150,65 @@ def test_pq_carry_on_small_churn(spark, tmp_path):
     cmeta = _meta(art, A.PQCODES_NAME)
     assert cmeta["lineage"]["snapshot"] == A.embeddings_digest(spark, new)
     assert cmeta["lineage"]["codebooks_fold"] == A._codebook_fold(cb)
+    S.clear_centroid_cache(spark)
+
+
+def test_pq_codes_patch_touches_only_churn_buckets(spark, tmp_path):
+    """The patch's I/O is bucket-bounded (r14): with vectors spread over
+    three pbucket partitions and churn confined to buckets 0 and 2, the
+    dynamic-partition overwrite must leave bucket 1's part files
+    byte-untouched on disk (same names, same mtimes — the unpartitioned
+    delete+append rewrite this replaces rewrote everything), drop the
+    fully-emptied bucket 2 directory, and still equal a from-scratch
+    re-encode row-for-row."""
+    W = A.PQ_BUCKET_WIDTH
+    base = _base_vecs()
+    vecs = {}
+    for i in range(20):
+        vecs[i] = base[i]                       # bucket 0
+    for i in range(20):
+        vecs[W + i] = base[20 + (i % 20)]       # bucket 1
+    for i in range(10):
+        vecs[2 * W + i] = base[i]               # bucket 2
+    old, art = _build_old(spark, tmp_path, vecs)
+    b1_dir = os.path.join(art, A.PQCODES_NAME, "pbucket=1")
+    before = {f: os.stat(os.path.join(b1_dir, f)).st_mtime_ns
+              for f in os.listdir(b1_dir) if f.endswith(".parquet")}
+    assert before, "fixture must materialize a bucket-1 partition"
+
+    new_vecs = dict(vecs)
+    new_vecs[3] = base[7]                       # modified, bucket 0
+    for i in range(10):
+        del new_vecs[2 * W + i]                 # bucket 2 fully emptied
+    new_vecs[137 * W + 1] = base[11]            # added, a brand-new bucket
+    new = _write_emb(spark, tmp_path / "new", new_vecs)
+
+    summary = A.update_centroids_incremental(spark, old, new, art)
+    assert summary[A.PQCB_NAME] == "carried", summary
+    assert summary[A.PQCODES_NAME] == "patched", summary
+
+    after = {f: os.stat(os.path.join(b1_dir, f)).st_mtime_ns
+             for f in os.listdir(b1_dir) if f.endswith(".parquet")}
+    assert after == before, "untouched bucket 1 was rewritten"
+    assert not os.path.exists(os.path.join(art, A.PQCODES_NAME,
+                                           "pbucket=2")), \
+        "fully-emptied bucket 2 left a stale partition behind"
+    assert os.path.isdir(os.path.join(art, A.PQCODES_NAME, "pbucket=137")), \
+        "the added vector's brand-new bucket was not written"
+
+    from pyspark_coding_challenge_spark.sources.readers import read_table
+
+    patched = sorted(
+        tuple(r) for r in
+        spark.read.parquet(os.path.join(art, A.PQCODES_NAME))
+        .select("vec_id", "sub", "code").collect()
+    )
+    e = read_table(spark, new, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    cb = spark.read.parquet(os.path.join(art, A.PQCB_NAME))
+    full = sorted(tuple(r) for r in S.pq_encode(e, cb).collect())
+    assert patched == full
     S.clear_centroid_cache(spark)
 
 
