@@ -923,7 +923,15 @@ def train_pq_codebooks(e: DataFrame, m: int = M_SUB, k: int = K_SUB,
     so a trained codebook relation is self-describing."""
     if dim is None:
         # bounded 1-row scalar collect (repo convention)
-        dim = e.select(F.size("emb").alias("d")).first()["d"]
+        row = e.select(F.size("emb").alias("d")).first()
+        if row is None or row["d"] is None:
+            raise ValueError(
+                "train_pq_codebooks: the embeddings relation is empty (or "
+                "its 'emb' column is null) — cannot infer the vector "
+                "dimension; pass dim= explicitly or train on a non-empty "
+                "corpus"
+            )
+        dim = row["d"]
     sub_dim = dim // m
     out = None
     for j in range(m):
@@ -1117,7 +1125,15 @@ def pq_adc_search(e: DataFrame, cent: DataFrame, codebooks: DataFrame,
     (``auto_pq_refine`` — the larger shortlist exactly where
     ``SCALE_PROBE_ANN_r14`` measured the thin margin; the
     ``multiprobe='auto'`` recipe)."""
-    if refine == "auto":
+    if isinstance(refine, str):
+        if refine != "auto":
+            # only the literal 'auto' is meaningful; any other string
+            # would fall through to the window filter as an implicit cast
+            # (or an analysis error far from this call site — r14 advisor)
+            raise ValueError(
+                f"pq_adc_search: refine={refine!r} — expected an int "
+                "shortlist size or the literal 'auto'"
+            )
         # bounded count over the (typically localCheckpoint-pinned)
         # corpus relation, resolved once per call
         refine = auto_pq_refine(e.count())

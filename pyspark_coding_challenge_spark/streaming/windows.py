@@ -646,7 +646,9 @@ def register_all(register) -> None:
 
     from pyspark_coding_challenge_spark.streaming.ingest import (
         STREAMING_INGEST_DIGESTS_ORACLE,
+        _ingest_refresh_serve_oracle,
         streaming_ingest_digests,
+        streaming_ingest_refresh_serve,
     )
 
     register_merged(register, "streaming_windowed_aggs", [
@@ -656,6 +658,11 @@ def register_all(register) -> None:
         # ingest.py) — hash-gated exactly-once doc flow + digest parity
         ("ingest_digests", streaming_ingest_digests,
          STREAMING_INGEST_DIGESTS_ORACLE),
+        # r15: the full streaming -> refresh -> serve loop — ingest,
+        # source growth, second ingest, ingest-changelog-driven artifact
+        # patch, served from the patched artifacts (r14 judge item #8)
+        ("ingest_refresh_serve", streaming_ingest_refresh_serve,
+         _ingest_refresh_serve_oracle()),
     ])
     register("streaming_session_windows", streaming_session_windows, STREAMING_SESSION_WINDOWS_ORACLE)
     register("streaming_stateful_dedup", streaming_stateful_dedup, STREAMING_STATEFUL_DEDUP_ORACLE)

@@ -9,6 +9,15 @@ job loads with ``load_all``/``load_pairs``/... — or, with
 Usage:
     python scripts/build_artifacts.py <sf_dir> <artifact_dir> [names...]
     python scripts/build_artifacts.py --incremental <old_sf_dir> <new_sf_dir> <artifact_dir>
+    python scripts/build_artifacts.py --compact <artifact_dir>
+
+``--compact`` is the maintenance pass (r15): rewrite any artifact leaf —
+or any pbucket partition of the hive-partitioned ``pq_codes`` — whose
+part-file count exceeds the threshold (``SPARK_GRAFT_COMPACT_MAX_PART_
+FILES`` / ``_BUCKET_FILES``), coalesced, preserving the meta sidecars
+byte-for-byte so every lineage fold and hash gate stays green. Run it
+offline between refreshes (the table-format OPTIMIZE contract); prints
+the per-artifact before/after file counts as JSON.
 
 ``names`` defaults to all (verified_pairs banded_index cc_labels
 doc_digests span_pos_index shared_spans span_stats ivf_centroids
@@ -37,9 +46,22 @@ import sys
 def main() -> None:
     argv = sys.argv[1:]
     incremental = "--incremental" in argv
+    compact = "--compact" in argv
     args = [a for a in argv if not a.startswith("-")]
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from pyspark_coding_challenge_spark.llm import artifacts as A
+
+    if compact:
+        if len(args) != 1:
+            print(__doc__, file=sys.stderr)
+            raise SystemExit(2)
+        from pyspark_coding_challenge_spark.session import get_spark
+
+        spark = get_spark(app_name="compact_artifacts")
+        spark.sparkContext.setLogLevel("ERROR")
+        print(json.dumps(A.compact_artifacts(spark, args[0])))
+        spark.stop()
+        return
 
     if incremental:
         if len(args) != 3:

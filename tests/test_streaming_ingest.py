@@ -167,3 +167,67 @@ def test_crash_between_publish_and_marker_retries_clean(spark, tmp_path):
     expect = {(r.doc_id, r.digest)
               for r in A.doc_digest_relation(docs).collect()}
     assert {(r.doc_id, r.digest) for r in dig.collect()} == expect
+
+
+def test_second_ingest_reads_only_new_files(spark, tmp_path):
+    """r15 (r14 advisor, medium): the stream checkpoint persists INSIDE the
+    sink, so a second ``ingest_documents`` call after the source grew
+    ingests ONLY the new files under fresh monotonic batch ids — the
+    pre-r15 wiped-checkpoint behavior restarted at batch 0, matched the
+    old marker, and silently dropped the new rows."""
+    src = _write_docs(
+        spark, tmp_path / "src",
+        [(i, f"wave one doc {i}") for i in range(10)],
+    )
+    dest = str(tmp_path / "dest")
+    stats1 = I.ingest_documents(spark, src, dest)
+    assert stats1["rows"] == 10
+    b0 = spark.read.parquet(os.path.join(dest, I.DIGESTS_LEAF)) \
+        .agg(F.max("batch_id")).collect()[0][0]
+    # the source grows: new part files land next to the consumed ones
+    grow = spark.createDataFrame(
+        [(100 + i, f"wave two doc {i}", "en", "s2", 10) for i in range(5)],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+    grow.coalesce(1).write.mode("append").parquet(
+        os.path.join(src, "documents.parquet"))
+    stats2 = I.ingest_documents(spark, src, dest)
+    assert stats2["rows"] == 5, stats2  # ONLY the new rows, not a re-read
+    docs = spark.read.parquet(os.path.join(dest, I.DOCS_LEAF))
+    assert docs.count() == 15
+    assert docs.select("doc_id").distinct().count() == 15
+    dig = spark.read.parquet(os.path.join(dest, I.DIGESTS_LEAF))
+    b1 = dig.agg(F.max("batch_id")).collect()[0][0]
+    assert b1 > b0  # monotonic batch ids across calls
+    # the changelog of exactly the second wave
+    cl = I.ingest_changelog_relation(spark, dest, since_batch=int(b0) + 1)
+    assert sorted(r.doc_id for r in cl.collect()) == [100 + i for i in range(5)]
+
+
+def test_marker_collision_fails_loudly_not_silently(spark, tmp_path):
+    """If an operator wipes the checkpoint (batch ids restart at 0) after
+    the source grew, the redelivered 'batch 0' holds different content
+    than the committed one — the commit must RAISE, not skip (a skip
+    silently drops the new rows; r14 advisor, medium)."""
+    import shutil
+
+    import pytest
+
+    src = _write_docs(
+        spark, tmp_path / "src",
+        [(i, f"collision doc {i}") for i in range(6)],
+    )
+    dest = str(tmp_path / "dest")
+    I.ingest_documents(spark, src, dest)
+    shutil.rmtree(os.path.join(dest, "_checkpoint"))
+    grow = spark.createDataFrame(
+        [(50, "late arrival", "en", "s", 12)],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+    grow.coalesce(1).write.mode("append").parquet(
+        os.path.join(src, "documents.parquet"))
+    with pytest.raises(Exception, match="marker collision"):
+        I.ingest_documents(spark, src, dest)
+    # and nothing was silently dropped OR duplicated by the failed attempt
+    docs = spark.read.parquet(os.path.join(dest, I.DOCS_LEAF))
+    assert docs.count() == 6
