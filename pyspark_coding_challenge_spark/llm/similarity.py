@@ -24,6 +24,7 @@ correct on unnormalized inputs.
 from __future__ import annotations
 
 import itertools
+import math
 import threading
 import warnings
 
@@ -1094,14 +1095,58 @@ def pq_adc_scores(e: DataFrame, cent: DataFrame, codebooks: DataFrame,
 AUTO_PQ_REFINE_MIN_VECS = 20_000
 
 
-def auto_pq_refine(n_vecs: int) -> int:
+def pq_code_cohort_max(codes: DataFrame) -> int:
+    """The largest set of vectors sharing ALL m PQ codes — the ADC
+    TIE-COHORT bound (r15, found by the clustered ANN probe): vectors
+    whose full code words are identical have IDENTICAL ADC scores for
+    every query, so ADC cannot rank inside the cohort and any shortlist
+    smaller than it is an arbitrary (tie-broken) subset — recall
+    collapses to ~refine/cohort. On a 32-center clustered corpus at 10x
+    the probe measured exactly that: cluster occupancy ~625 >> refine
+    150, recall@10 0.18 even at the largest fixed shortlist
+    (``SCALE_PROBE_ANN_r15``'s clustered ``pq_refine_curve``). This is
+    PQ's resolution limit when intra-cluster spread is below the
+    quantization cell (the production alternatives are residual encoding
+    or finer codebooks); the shipped policy covers it by sizing the
+    shortlist past the cohort. One thin aggregation over the code
+    relation (m rows/vector -> one signature/vector) — the same order of
+    work as the corpus count the auto mode already pays; a deployment
+    computes it once at codes-build time and stores it with the
+    artifact."""
+    sig = codes.groupBy("vec_id").agg(
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("sub", "code"))),
+                    lambda s: F.concat_ws(
+                        ":", s["sub"].cast("string"), s["code"].cast("string")
+                    ),
+                ),
+                ",",
+            )
+        ).alias("sig")
+    )
+    row = sig.groupBy("sig").count().agg(F.max("count").alias("m")).collect()[0]
+    return int(row["m"] or 0)
+
+
+def auto_pq_refine(n_vecs: int, max_cohort: int = 0) -> int:
     """The shortlist size ``refine='auto'`` resolves to for a corpus of
     ``n_vecs`` vectors — the smallest probed refine whose recall@10
     measured >= 0.7 at that scale on the structureless worst case
-    (``SCALE_PROBE_ANN_r14``'s ``pq_refine_curve``). Separate function so
+    (``SCALE_PROBE_ANN_r14``'s ``pq_refine_curve``) — bumped past the
+    ADC tie-cohort bound when ``max_cohort`` (``pq_code_cohort_max``)
+    says the corpus clusters tighter than the quantizer resolves: the
+    shortlist must COVER the query's tie cohort or the exact re-rank
+    never sees the true neighbors (measured collapse:
+    ``SCALE_PROBE_ANN_r15`` clustered factors). 1.5x slack admits the
+    neighboring cohort(s) that tie at the boundary. Separate function so
     the unit test asserts the policy without a Spark session (the
     ``auto_probe_radius`` recipe)."""
-    return PQ_REFINE if n_vecs >= AUTO_PQ_REFINE_MIN_VECS else 150
+    base = PQ_REFINE if n_vecs >= AUTO_PQ_REFINE_MIN_VECS else 150
+    if max_cohort > base:
+        return min(n_vecs, math.ceil(1.5 * max_cohort))
+    return base
 
 
 def pq_adc_search(e: DataFrame, cent: DataFrame, codebooks: DataFrame,
@@ -1135,8 +1180,13 @@ def pq_adc_search(e: DataFrame, cent: DataFrame, codebooks: DataFrame,
                 "shortlist size or the literal 'auto'"
             )
         # bounded count over the (typically localCheckpoint-pinned)
-        # corpus relation, resolved once per call
-        refine = auto_pq_refine(e.count())
+        # corpus relation + one thin code aggregation for the ADC
+        # tie-cohort bound (see pq_code_cohort_max), resolved once per
+        # call; the stored-codes path aggregates the artifact's thin
+        # relation, the inline path the same lazy encode the scorer uses
+        cohort = pq_code_cohort_max(
+            codes if codes is not None else pq_encode(e, codebooks))
+        refine = auto_pq_refine(e.count(), cohort)
     scored = pq_adc_scores(e, cent, codebooks, assignments, codes=codes)
     aw = Window.partitionBy("query_id").orderBy(F.col("adc").desc(), F.col("vec_id").asc())
     shortlist = (

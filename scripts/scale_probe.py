@@ -436,8 +436,13 @@ def probe_ann(spark, sf_dir: str) -> dict:
     timings["pq_refine_curve"] = curve
     # the shipped auto mode, measured where it will actually run (the
     # auto-radius validation recipe): which refine it resolved to at this
-    # corpus size plus its recall
-    timings["pq_auto_refine"] = S.auto_pq_refine(n_vecs)
+    # corpus size plus its recall. r15: the resolution is cohort-aware —
+    # the ADC tie-cohort bound (pq_code_cohort_max) is recorded per
+    # factor, and on clustered corpora it is what rescues recall from the
+    # measured fixed-shortlist collapse
+    cohort = S.pq_code_cohort_max(S.pq_encode(e, cb))
+    timings["pq_max_code_cohort"] = cohort
+    timings["pq_auto_refine"] = S.auto_pq_refine(n_vecs, cohort)
     t0 = time.perf_counter()
     timings["recall_pq_auto"] = recall(
         S.pq_adc_search(e, cent, cb, refine="auto"))
@@ -1468,16 +1473,29 @@ def main() -> None:
             # r15 (r14 judge item #5): the CLUSTERED regime — the auto
             # thresholds were fitted on the structureless worst case;
             # this section records recall + the auto decisions per factor
-            # on 32-center clustered corpora and holds the same floors
+            # on 32-center clustered corpora. The FIXED-refine PQ floor is
+            # exempted here BY DESIGN: when cluster occupancy exceeds the
+            # shortlist, all cluster members share one code word and ADC
+            # cannot rank inside the tie cohort — recall collapses to
+            # ~refine/cohort (the r15 finding; the measured curve stays in
+            # the artifact as data). The SHIPPED policy floor
+            # (recall_pq_auto) binds: cohort-aware auto-refine must
+            # recover it at every factor.
             result["clustered_factors"] = {}
             for f in REPLICAS:
                 result["clustered_factors"][str(f)] = probe_ann(
                     spark, build_embeddings_clustered(spark, f))
+            clustered_floors = {k: v for k, v in ANN_RECALL_FLOORS.items()
+                                if k != "recall_pq"}
+            result["clustered_floors"] = clustered_floors
             floor_ok = all(
                 v[k] >= floor
-                for section in ("factors", "clustered_factors")
-                for v in result[section].values()
+                for v in result["factors"].values()
                 for k, floor in ANN_RECALL_FLOORS.items()
+            ) and all(
+                v[k] >= floor
+                for v in result["clustered_factors"].values()
+                for k, floor in clustered_floors.items()
             )
             result["floor_ok"] = floor_ok
             ok = True

@@ -179,6 +179,13 @@ def test_auto_pq_refine_policy_without_spark():
     assert S.auto_pq_refine(10 ** 9) == S.PQ_REFINE
     assert S.auto_pq_refine(S.AUTO_PQ_REFINE_MIN_VECS - 1) == 150
     assert S.auto_pq_refine(500) == 150
+    # r15: the ADC tie-cohort bound (the clustered-probe finding) — a
+    # cohort past the base shortlist bumps refine to cover it (1.5x
+    # slack), capped at the corpus size; a small cohort changes nothing
+    assert S.auto_pq_refine(10 ** 6, max_cohort=40) == S.PQ_REFINE
+    assert S.auto_pq_refine(10 ** 6, max_cohort=625) == math.ceil(1.5 * 625)
+    assert S.auto_pq_refine(700, max_cohort=625) == 700
+    assert S.auto_pq_refine(500, max_cohort=10) == 150
 
 
 def test_auto_refine_equals_pinned_at_sf01(spark):
@@ -197,7 +204,8 @@ def test_auto_refine_equals_pinned_at_sf01(spark):
     ).localCheckpoint()
     cent = S.train_ivf_centroids(e)
     cb = S.train_pq_codebooks(e)
-    pinned_refine = S.auto_pq_refine(e.count())
+    pinned_refine = S.auto_pq_refine(
+        e.count(), S.pq_code_cohort_max(S.pq_encode(e, cb)))
     auto = S.pq_adc_search(e, cent, cb, refine="auto")
     pinned = S.pq_adc_search(e, cent, cb, refine=pinned_refine)
     assert sorted(tuple(r) for r in auto.collect()) == \
@@ -224,3 +232,68 @@ def test_pq_refine_truncates_shortlist(spark, pq_setup):
         assert len(rows) == 2, (q, rows)
         rows.sort(key=lambda r: r.rank)
         assert rows[0].sim >= rows[1].sim
+
+
+def test_pq_code_cohort_max_counts_full_codeword_ties(spark):
+    """The tie-cohort statistic counts vectors sharing ALL m codes —
+    per-subspace agreement alone is not a tie."""
+    rows = [
+        # three vectors with the identical full code word (cohort 3)
+        (1, 0, 4), (1, 1, 2), (2, 0, 4), (2, 1, 2), (3, 0, 4), (3, 1, 2),
+        # shares sub 0 with them but differs on sub 1 (cohort 1)
+        (4, 0, 4), (4, 1, 7),
+        # a two-vector cohort on a different word
+        (5, 0, 1), (5, 1, 1), (6, 0, 1), (6, 1, 1),
+    ]
+    codes = spark.createDataFrame(rows, "vec_id long, sub int, code int")
+    assert S.pq_code_cohort_max(codes) == 3
+    assert S.pq_code_cohort_max(
+        codes.filter(F.col("vec_id") >= 4)) == 2
+
+
+def test_auto_refine_recovers_recall_on_tie_cohorts(spark):
+    """The r15 clustered-probe finding, reproduced in miniature: a corpus
+    of two tight clusters (every member encodes to one code word per
+    cluster) makes fixed-refine ADC recall an arbitrary tie-broken
+    subset; cohort-aware 'auto' must size the shortlist past the cohort
+    and recover the exact top-k."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    dim, per = 8, 40
+    c0 = _unit(rng.normal(size=dim))
+    c1 = _unit(rng.normal(size=dim))
+    rows = []
+    for i in range(per):
+        rows.append((i, [float(x) for x in
+                         _unit(c0 + 0.003 * rng.normal(size=dim))]))
+    for i in range(per, 2 * per):
+        rows.append((i, [float(x) for x in
+                         _unit(c1 + 0.003 * rng.normal(size=dim))]))
+    e = spark.createDataFrame(rows, "vec_id long, emb array<double>") \
+        .localCheckpoint()
+    cent = S.train_ivf_centroids(e, n_lists=2)
+    cb = S.train_pq_codebooks(e)
+    cohort = S.pq_code_cohort_max(S.pq_encode(e, cb))
+    assert cohort >= per, "fixture must produce a full-cluster tie cohort"
+    auto = S.pq_adc_search(e, cent, cb, refine="auto")
+    small = S.pq_adc_search(e, cent, cb, refine=5)
+    # brute-force truth via numpy on the same data
+    mat = {i: np.array(v) for i, v in rows}
+    truth = {}
+    for q in range(S.N_QUERIES):
+        sims = sorted(
+            ((float(mat[q] @ mat[j] /
+                    (np.linalg.norm(mat[q]) * np.linalg.norm(mat[j]))), j)
+             for j in mat if j != q), reverse=True)
+        truth[q] = {j for _, j in sims[:S.TOP_K]}
+    def recall(df):
+        got = {}
+        for r in df.collect():
+            got.setdefault(r.query_id, set()).add(r.neighbor_id)
+        return sum(len(got.get(q, set()) & truth[q]) for q in truth) / \
+            (len(truth) * S.TOP_K)
+    r_small = recall(small)
+    r_auto = recall(auto)
+    assert r_auto >= 0.9, (r_auto, cohort)
+    assert r_auto > r_small, (r_auto, r_small)
