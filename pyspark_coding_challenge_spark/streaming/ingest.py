@@ -393,7 +393,14 @@ def _ingest_refresh_serve_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs = read_table(spark, sf_dir, "documents")
         is_old = F.pmod(F.xxhash64(F.col("doc_id").cast("string")),
                         F.lit(10)) < 6
-        dest, src = _fresh_dirs("ingest_refresh_serve")
+        # dirs keyed per CORPUS: the cached served relations read these
+        # parquets lazily, and a plain per-slug dir would let a second
+        # corpus's build (same session, different sf_dir) wipe the files
+        # under the first corpus's live cache entry
+        import hashlib as _hashlib
+
+        tag = _hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        dest, src = _fresh_dirs(f"ingest_refresh_serve_{tag}")
         src_docs = os.path.join(src, DOCS_LEAF)
         docs.filter(is_old).write.mode("overwrite").parquet(src_docs)
         # 2. first ingest: the stored state a deployment would already
