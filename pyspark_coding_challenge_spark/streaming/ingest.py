@@ -42,6 +42,7 @@ naming still guarantees overwrite-not-duplicate.
 from __future__ import annotations
 
 import glob as _glob
+import json
 import os
 import shutil
 import threading
@@ -133,28 +134,51 @@ def commit_ingest_batch(batch: DataFrame, batch_id: int,
     A crash between 3 and 4 leaves published files with no marker; the
     retry republishes the identical batch over them and then commits —
     the sink never holds two copies of a row. Returns the batch's row
-    count (0 for a skipped redelivery)."""
-    from pyspark_coding_challenge_spark.llm.artifacts import doc_digest_relation
+    count (0 for a skipped redelivery).
+
+    The marker records the batch's CONTENT DIGEST (the order-independent
+    ``digest_of_digests`` fold of its per-doc digests — already computed
+    per batch for the digests sink), not just a row count: a
+    wiped-checkpoint collision whose colliding batch happens to hold the
+    same NUMBER of rows as the committed one must still fail loudly
+    instead of silently dropping the new rows (r15 advisor — the count
+    proxy was exactly the hole the guard existed to close)."""
+    from pyspark_coding_challenge_spark.llm.artifacts import (
+        digest_of_digests,
+        doc_digest_relation,
+    )
 
     marker = os.path.join(dest_dir, f"_batch_{batch_id}.committed")
     if os.path.exists(marker):
         # A marker means THIS batch's rows are fully published — but only
         # if the redelivered batch really is the same batch. With the
         # per-dest checkpoint (ingest_documents) batch ids are monotonic,
-        # so a genuine retry replays identical content; a count mismatch
-        # means the caller wiped the checkpoint (or pointed a different
-        # source at this sink) and batch ids collided — skipping would
-        # silently DROP the new rows (r14 advisor, medium). Fail loudly.
+        # so a genuine retry replays identical content; a content-digest
+        # mismatch means the caller wiped the checkpoint (or pointed a
+        # different source at this sink) and batch ids collided —
+        # skipping would silently DROP the new rows (r14 advisor, medium;
+        # digest not count since r16). Fail loudly.
         with open(marker) as f:
-            recorded = int(f.read().strip() or "0")
-        redelivered = batch.count()
-        if redelivered != recorded:
+            raw = f.read().strip()
+        try:
+            recorded = json.loads(raw)
+        except json.JSONDecodeError:
+            # pre-r16 marker: a bare row count — the count comparison is
+            # the strongest check its record supports
+            recorded = {"n_docs": int(raw or "0")}
+        redelivered = digest_of_digests(doc_digest_relation(batch))
+        mismatch = (
+            redelivered["n_docs"] != recorded.get("n_docs")
+            or ("fold_sum" in recorded
+                and str(redelivered["fold_sum"]) != str(recorded["fold_sum"]))
+        )
+        if mismatch:
             raise RuntimeError(
                 f"ingest marker collision at {marker}: committed batch "
-                f"{batch_id} recorded {recorded} rows but the redelivered "
-                f"batch holds {redelivered} — batch ids restarted (wiped "
-                "checkpoint or a different source aimed at this sink); "
-                "refusing to skip, which would silently drop rows"
+                f"{batch_id} recorded {recorded} but the redelivered "
+                f"batch digests to {redelivered} — batch ids restarted "
+                "(wiped checkpoint or a different source aimed at this "
+                "sink); refusing to skip, which would silently drop rows"
             )
         return 0
     staging = os.path.join(dest_dir, f"_staging_batch_{batch_id}")
@@ -168,6 +192,13 @@ def commit_ingest_batch(batch: DataFrame, batch_id: int,
         n = batch.count()
     finally:
         batch.unpersist()
+    # the batch's identity fold, read back from the STAGED digest rows
+    # (no re-hash of the documents — one thin aggregation of what was
+    # just written)
+    fold = digest_of_digests(
+        batch.sparkSession.read.parquet(os.path.join(staging, "dig"))
+        .select("doc_id", "digest")
+    )
     prefix = f"b{batch_id}"
     _publish_batch_files(os.path.join(staging, "docs"),
                          os.path.join(dest_dir, DOCS_LEAF), prefix)
@@ -175,7 +206,8 @@ def commit_ingest_batch(batch: DataFrame, batch_id: int,
                          os.path.join(dest_dir, DIGESTS_LEAF), prefix)
     tmp_marker = marker + ".tmp"
     with open(tmp_marker, "w") as f:
-        f.write(str(n))
+        json.dump({"rows": n, "n_docs": fold["n_docs"],
+                   "fold_sum": str(fold["fold_sum"])}, f)
     os.replace(tmp_marker, marker)  # the atomic commit point
     shutil.rmtree(staging, ignore_errors=True)
     return n

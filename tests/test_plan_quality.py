@@ -478,7 +478,9 @@ def test_stored_pq_section_serves_from_the_artifacts(spark):
 
     e = S.read_table(spark, SF_DIR, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb"))
-    cb = S.pq_codebooks_for_dir(spark, SF_DIR, e.localCheckpoint())
-    inline = S.pq_encode(e, cb)
+    ec = e.localCheckpoint()
+    cent = S.ivf_centroids_for_dir(spark, SF_DIR, ec)
+    cb = S.pq_codebooks_for_dir(spark, SF_DIR, ec, cent)
+    inline = S.pq_encode(e, cb, cent)
     assert "struct(nd" in \
         inline._jdf.queryExecution().executedPlan().toString()

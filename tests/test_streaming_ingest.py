@@ -231,3 +231,34 @@ def test_marker_collision_fails_loudly_not_silently(spark, tmp_path):
     # and nothing was silently dropped OR duplicated by the failed attempt
     docs = spark.read.parquet(os.path.join(dest, I.DOCS_LEAF))
     assert docs.count() == 6
+
+
+def test_marker_collision_caught_at_equal_row_counts(spark, tmp_path):
+    """r16 (r15 advisor): the marker records the batch's CONTENT digest,
+    so a wiped-checkpoint collision whose colliding batch holds the SAME
+    number of rows as the committed one — the exact case the r15
+    row-count proxy silently skipped — still fails loudly."""
+    import shutil
+
+    import pytest
+
+    src = _write_docs(
+        spark, tmp_path / "src",
+        [(i, f"same count doc {i}") for i in range(6)],
+    )
+    dest = str(tmp_path / "dest")
+    I.ingest_documents(spark, src, dest)
+    shutil.rmtree(os.path.join(dest, "_checkpoint"))
+    # regenerate the source IN PLACE: same 6 doc ids, different text —
+    # the colliding 'batch 0' row count equals the committed one
+    _write_docs(
+        spark, tmp_path / "src",
+        [(i, f"REWRITTEN doc {i}") for i in range(6)],
+    )
+    I.clear_doc_schema_cache(spark)
+    with pytest.raises(Exception, match="marker collision"):
+        I.ingest_documents(spark, src, dest)
+    # the committed bytes are untouched by the failed attempt
+    docs = spark.read.parquet(os.path.join(dest, I.DOCS_LEAF))
+    assert docs.count() == 6
+    assert all("same count" in r.text for r in docs.collect())
