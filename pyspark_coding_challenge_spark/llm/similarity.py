@@ -1237,22 +1237,35 @@ def pq_code_cohort_max(codes: DataFrame) -> int:
 
 def auto_pq_refine(n_vecs: int, max_cohort: int = 0) -> int:
     """The shortlist size ``refine='auto'`` resolves to for a corpus of
-    ``n_vecs`` vectors: the measured-safe default (``PQ_REFINE`` — r16's
-    re-fit under residual encoding; the r14 below/above-20k split no
-    longer holds, see the constant's comment) bumped past the ADC
-    tie-cohort bound when ``max_cohort`` (``pq_code_cohort_max``) says
-    the corpus clusters tighter than the quantizer resolves: the
-    shortlist must COVER the query's tie cohort or the exact re-rank
-    never sees the true neighbors (measured collapse:
-    ``SCALE_PROBE_ANN_r15`` clustered factors; residual encoding shrinks
-    the cohorts ~6x at 10x clustered — 3672 -> 630 — so the bump is now
-    cohort-sized, not multi-cluster-sized). 1.5x slack admits the
-    neighboring cohort(s) that tie at the boundary. Separate function so
-    the unit test asserts the policy without a Spark session (the
-    ``auto_probe_radius`` recipe)."""
-    if max_cohort > PQ_REFINE:
+    ``n_vecs`` vectors — two measured terms, the larger wins:
+
+    * **a fixed FRACTION of the expected candidate pool** —
+      ``max(PQ_REFINE, candidates / 10)`` where candidates ~
+      ``n_vecs * N_PROBE / N_LISTS``. On structureless corpora (ANN's
+      worst case: every candidate near-tied) recall at a FIXED shortlist
+      decays as the pool grows — the r16 curve at 10k vectors reads
+      0.58 / 0.84 / 0.94 / 0.98 at refine 150/250/400/600 with FLAT
+      walls (the ADC pass dominates; the exact re-rank is
+      queries x refine rows either way), so re-ranking ~10% of what ADC
+      scored is the measured-safe dial and costs nothing the ADC scan
+      didn't already pay. ``PQ_REFINE`` floors it for small corpora.
+    * **the ADC tie-cohort bound** — when ``max_cohort``
+      (``pq_code_cohort_max``; stored in the ``pq_codes`` meta) says the
+      corpus ties tighter than the quantizer resolves, the shortlist
+      must COVER the query's cohort or the exact re-rank never sees the
+      true neighbors (measured collapse: ``SCALE_PROBE_ANN_r15``
+      clustered factors; r16's residual encoding shrinks the cohorts
+      ~6x at 10x clustered — 3672 -> 630 — so the bump is cohort-sized,
+      not multi-cluster-sized). 1.5x slack admits the neighboring
+      cohort(s) that tie at the boundary.
+
+    Separate function so the unit test asserts the policy without a
+    Spark session (the ``auto_probe_radius`` recipe)."""
+    base = max(PQ_REFINE,
+               math.ceil(n_vecs * N_PROBE / N_LISTS / 10))
+    if max_cohort > base:
         return min(n_vecs, math.ceil(1.5 * max_cohort))
-    return PQ_REFINE
+    return min(n_vecs, base) if n_vecs > 0 else base
 
 
 def pq_adc_search(e: DataFrame, cent: DataFrame, codebooks: DataFrame,

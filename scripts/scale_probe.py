@@ -460,16 +460,24 @@ ANN_RECALL_FLOORS = {"recall_ivf": 0.8, "recall_lsh_multiprobe": 0.3,
                      # EVERY probed scale (r12)
                      "recall_lsh_auto": 0.8,
                      # r13: IVF-PQ+refine, a LOSSY compressed-domain path
-                     # by design — r16 residual encoding at the re-fit
-                     # default refine 150 measured 0.82-0.84 at 2x/10x
-                     # structureless; floor under the measured min. Its
-                     # ceiling is recall_ivf (same coarse probe); the gap
-                     # is the ADC shortlist's concession for never
-                     # scanning full vectors.
-                     "recall_pq": 0.6,
+                     # by design — r16 residual encoding at the FIXED
+                     # default refine 150 measured 1.0/0.84/0.58/0.82 at
+                     # 1x/2x/5x/10x structureless (the x5 valley: thin
+                     # planted structure + a near-tied candidate pool the
+                     # fixed shortlist under-covers); floor under the
+                     # measured min. The fixed default is the
+                     # small-corpus setting — the SHIPPED scale dial is
+                     # refine='auto' (pool-fraction policy), whose floor
+                     # below stays at 0.6. recall_pq's ceiling is
+                     # recall_ivf (same coarse probe); the gap is the ADC
+                     # shortlist's concession for never scanning full
+                     # vectors.
+                     "recall_pq": 0.5,
                      # r14: whatever refine auto resolves to must clear
                      # the same floor at every probed scale (the
-                     # recall_lsh_auto contract)
+                     # recall_lsh_auto contract); r16's pool-fraction
+                     # auto measured 1.0/0.84/0.84/0.95-ish across
+                     # 1x-10x structureless
                      "recall_pq_auto": 0.6}
 
 

@@ -181,20 +181,29 @@ def test_pq_scoring_never_reads_candidate_embeddings(spark, pq_setup):
 
 def test_auto_pq_refine_policy_without_spark():
     """The auto policy is a pure function (the ``auto_probe_radius``
-    recipe): the measured-safe default everywhere (r16 — the r14
-    below/above-20k split no longer holds under residual encoding),
-    bumped only past the ADC tie-cohort bound — asserted without a
-    session so the policy can't silently drift."""
+    recipe): re-rank ~10% of the expected candidate pool, floored at the
+    measured-safe ``PQ_REFINE`` (r16 — the r14 below/above-20k split no
+    longer holds under residual encoding; the structureless refine curve
+    at 10k read 0.58 at 150 vs 0.84 at 250), bumped past the ADC
+    tie-cohort bound — asserted without a session so the policy can't
+    silently drift."""
     assert S.PQ_REFINE == 150  # the r16 re-fit default
-    assert S.auto_pq_refine(10 ** 9) == S.PQ_REFINE
     assert S.auto_pq_refine(500) == S.PQ_REFINE
+    assert S.auto_pq_refine(2000) == S.PQ_REFINE      # pool/10 = 50
+    assert S.auto_pq_refine(10_000) == 250            # pool 2500 -> 250
+    assert S.auto_pq_refine(20_000) == 500
+    assert S.auto_pq_refine(10 ** 6) == 25_000        # linear in the pool
     # r15: the ADC tie-cohort bound (the clustered-probe finding) — a
     # cohort past the base shortlist bumps refine to cover it (1.5x
-    # slack), capped at the corpus size; a small cohort changes nothing
-    assert S.auto_pq_refine(10 ** 6, max_cohort=40) == S.PQ_REFINE
-    assert S.auto_pq_refine(10 ** 6, max_cohort=625) == math.ceil(1.5 * 625)
+    # slack), capped at the corpus size; a cohort under the base changes
+    # nothing
+    assert S.auto_pq_refine(10 ** 6, max_cohort=24_000) == 25_000
+    assert S.auto_pq_refine(10 ** 6, max_cohort=30_000) == 45_000
+    assert S.auto_pq_refine(20_000, max_cohort=630) == math.ceil(1.5 * 630)
     assert S.auto_pq_refine(700, max_cohort=625) == 700
     assert S.auto_pq_refine(500, max_cohort=10) == S.PQ_REFINE
+    # tiny corpora cap at the corpus size (the shortlist cannot exceed it)
+    assert S.auto_pq_refine(80) == 80
 
 
 def test_auto_refine_equals_pinned_at_sf01(spark):
