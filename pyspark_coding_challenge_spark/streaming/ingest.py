@@ -231,7 +231,17 @@ def ingest_documents(spark: SparkSession, src_dir: str, dest_dir: str,
     rows (r14 advisor, medium). Now a second call ingests ONLY the files
     the checkpoint has not seen, under fresh batch ids — the incremental
     source-growth shape the refresh chain consumes
-    (``ingest_changelog_relation(since_batch=...)``)."""
+    (``ingest_changelog_relation(since_batch=...)``).
+
+    Holds the sink dir's exclusive maintenance lease for the run (r16 —
+    the artifact-dir lease applied to the sink): an ingest racing a
+    ``compact_ingest_sink`` on the same sink would otherwise publish
+    batch files into a directory mid-swap; either party arriving second
+    now fails loudly (``ArtifactLeaseHeld``) instead."""
+    from pyspark_coding_challenge_spark.llm.artifacts import (
+        artifact_maintenance_lease,
+    )
+
     os.makedirs(dest_dir, exist_ok=True)
     stats = {"batches": 0, "rows": 0}
 
@@ -254,7 +264,8 @@ def ingest_documents(spark: SparkSession, src_dir: str, dest_dir: str,
             # ingest the sibling tables (the read_events_stream rule)
             stream = reader.option("pathGlobFilter", DOCS_LEAF).parquet(src_dir)
     ck = os.path.join(dest_dir, "_checkpoint")
-    with _stream_shuffle_partitions(spark):
+    with artifact_maintenance_lease(dest_dir, "ingest_documents"), \
+            _stream_shuffle_partitions(spark):
         q = (
             stream.writeStream.foreachBatch(_write)
             .option("checkpointLocation", ck)
@@ -353,48 +364,53 @@ def compact_ingest_sink(spark: SparkSession, dest_dir: str,
     ``b<id>-*`` names until their marker lands, and compaction must not
     fold them in (a retry would then duplicate them), so leaves holding
     any unmarked batch prefix are skipped with a note. Run offline — no
-    active stream on this sink (the OPTIMIZE contract)."""
+    active stream on this sink: mechanical since r16 via the sink dir's
+    maintenance lease (``ingest_documents`` holds it for each run, so a
+    compaction racing an active ingest raises ``ArtifactLeaseHeld``
+    either way instead of swapping leaves under the publisher)."""
     from pyspark_coding_challenge_spark.llm.artifacts import (
         COMPACT_MAX_PART_FILES,
         _compact_one_dir,
         _part_file_names,
         _recover_swap,
+        artifact_maintenance_lease,
     )
 
     limit = COMPACT_MAX_PART_FILES if max_files is None else max_files
-    committed = {
-        int(f[len("_batch_"):-len(".committed")])
-        for f in os.listdir(dest_dir)
-        if f.startswith("_batch_") and f.endswith(".committed")
-    }
-    report: dict = {}
-    for leaf in (DOCS_LEAF, DIGESTS_LEAF):
-        path = os.path.join(dest_dir, leaf)
-        _recover_swap(path)
-        if not os.path.isdir(path):
-            continue
-        parts = _part_file_names(path)
-        uncommitted = sorted({
-            p.split("-", 1)[0] for p in parts
-            if p.startswith("b")
-            and p.split("-", 1)[0][1:].isdigit()
-            and int(p.split("-", 1)[0][1:]) not in committed
-        })
-        if uncommitted:
-            report[leaf] = {"before": len(parts), "after": len(parts),
-                            "compacted": False,
-                            "skipped": f"unmarked batch prefixes "
-                                       f"{uncommitted} — in-flight commit"}
-            continue
-        if len(parts) > limit:
-            _compact_one_dir(spark, path, 1, keep=())
-            report[leaf] = {"before": len(parts),
-                            "after": len(_part_file_names(path)),
-                            "compacted": True}
-        else:
-            report[leaf] = {"before": len(parts), "after": len(parts),
-                            "compacted": False}
-    return report
+    with artifact_maintenance_lease(dest_dir, "compact_ingest_sink"):
+        committed = {
+            int(f[len("_batch_"):-len(".committed")])
+            for f in os.listdir(dest_dir)
+            if f.startswith("_batch_") and f.endswith(".committed")
+        }
+        report: dict = {}
+        for leaf in (DOCS_LEAF, DIGESTS_LEAF):
+            path = os.path.join(dest_dir, leaf)
+            _recover_swap(path)
+            if not os.path.isdir(path):
+                continue
+            parts = _part_file_names(path)
+            uncommitted = sorted({
+                p.split("-", 1)[0] for p in parts
+                if p.startswith("b")
+                and p.split("-", 1)[0][1:].isdigit()
+                and int(p.split("-", 1)[0][1:]) not in committed
+            })
+            if uncommitted:
+                report[leaf] = {"before": len(parts), "after": len(parts),
+                                "compacted": False,
+                                "skipped": f"unmarked batch prefixes "
+                                           f"{uncommitted} — in-flight commit"}
+                continue
+            if len(parts) > limit:
+                _compact_one_dir(spark, path, 1, keep=())
+                report[leaf] = {"before": len(parts),
+                                "after": len(_part_file_names(path)),
+                                "compacted": True}
+            else:
+                report[leaf] = {"before": len(parts), "after": len(parts),
+                                "compacted": False}
+        return report
 
 
 # ---------------------------------------------------------------------------

@@ -399,3 +399,40 @@ def test_maintenance_lease_breaks_stale_dead_pid(spark, tmp_path,
     assert A.SIGNALS_NAME in report
     assert any("stale" in str(w.message) for w in recwarn.list)
     assert not os.path.exists(os.path.join(art, A._LEASE_FILE))
+
+
+def test_ingest_sink_lease_blocks_compaction_during_ingest(spark, tmp_path):
+    """r16: the sink's 'run offline' contract is mechanical — a
+    compaction attempted while the sink's lease is held (as every
+    ``ingest_documents`` run holds it) raises instead of swapping leaves
+    under the publisher, and the sink still compacts normally after
+    release."""
+    import threading
+
+    from pyspark.sql import functions as _F  # noqa: F401 - parity import
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(i, f"lease doc {i}", "en", "s", 10) for i in range(4)],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(src, I.DOCS_LEAF))
+    dest = str(tmp_path / "dest")
+    I.ingest_documents(spark, src, dest)
+
+    errs = []
+    with A.artifact_maintenance_lease(dest, "simulated_active_ingest"):
+        def racer():
+            try:
+                I.compact_ingest_sink(spark, dest, max_files=0)
+            except Exception as exc:  # noqa: BLE001 - recorded for assert
+                errs.append(exc)
+
+        t = threading.Thread(target=racer)
+        t.start()
+        t.join()
+    assert len(errs) == 1 and isinstance(errs[0], A.ArtifactLeaseHeld), errs
+    # released: compaction folds the sink normally
+    report = I.compact_ingest_sink(spark, dest, max_files=0)
+    assert report[I.DOCS_LEAF]["compacted"]
+    assert not os.path.exists(os.path.join(dest, A._LEASE_FILE))
