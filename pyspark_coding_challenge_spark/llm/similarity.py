@@ -669,10 +669,17 @@ def ivf_search(e: DataFrame, cent: DataFrame,
         .filter(F.col("rn") <= N_PROBE)
         .select("query_id", "qemb", "lid")
     )
+    # (query_id, vec_id) is unique BY CONSTRUCTION — assignment puts every
+    # vector in exactly ONE list (argmin over lids; one row per vec_id out
+    # of assign_nearest_list's groupBy, and the stored ivf_assignments
+    # artifact preserves that key) and probe holds N_PROBE DISTINCT lids
+    # per query, so a candidate matches at most one probe row. r16 (guide
+    # §2.4): the dropDuplicates that used to sit here re-shuffled the whole
+    # candidate relation by (query_id, vec_id) to deduplicate rows that
+    # cannot repeat — one full Exchange per search, removed.
     cands = (
         inv.join(F.broadcast(probe), on="lid")
         .filter(F.col("vec_id") != F.col("query_id"))
-        .dropDuplicates(["query_id", "vec_id"])
         .select("query_id", "qemb", "vec_id", "emb")
     )
     sims = cands.select(
@@ -1148,7 +1155,18 @@ def pq_adc_scores(e: DataFrame, cent: DataFrame, codebooks: DataFrame,
     the whole PQ deployment story: the codes relation IS the compressed
     corpus, and a search that re-encodes per query batch would re-scan
     the floats PQ exists to avoid."""
+    # r16 (guide §2.4): ONE assignment relation feeds both the inline
+    # encode's residuals and the candidate inverted index below — the old
+    # shape built assign_nearest_list(e, cent) twice (inside
+    # residual_relation AND as ``inv``), and Spark does not exchange-reuse
+    # the duplicated argmin subtree (verified empirically: two identical
+    # assign_nearest_list calls over one localCheckpointed corpus plan two
+    # full BNLJ + sort-agg chains, zero ReusedExchange). Callers that hold
+    # a materialized assignment (the stored artifact, or the merged slug's
+    # shared localCheckpoint) pay the corpus x n_lists pass ZERO times.
     if codes is None:
+        if assignments is None:
+            assignments = assign_nearest_list(e, cent)
         codes = pq_encode(e, codebooks, cent, assignments)
     q = e.filter(F.col("vec_id") < N_QUERIES)
     qscored = q.crossJoin(F.broadcast(cent)).select(
@@ -1172,10 +1190,12 @@ def pq_adc_scores(e: DataFrame, cent: DataFrame, codebooks: DataFrame,
         dot(_sub_slice(F.col("emb")), F.col("cvec")).alias("lut"),
     )
     inv = assignments if assignments is not None else assign_nearest_list(e, cent)
+    # (query_id, vec_id) unique by construction — one list per vector,
+    # N_PROBE distinct lids per query (see ivf_search); the dropDuplicates
+    # exchange this used to pay deduplicated nothing (r16, guide §2.4)
     cand = (
         inv.join(F.broadcast(probe), on="lid")
         .filter(F.col("vec_id") != F.col("query_id"))
-        .dropDuplicates(["query_id", "vec_id"])
         .select("query_id", "vec_id", "qdot")
     )
     return (
@@ -1506,6 +1526,62 @@ def embedding_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         codes=codes,
         max_cohort=cohort,
     )
+
+
+def embedding_ann_ivf_slug(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The merged ``embedding_ann_ivf`` slug (r16 optimization round, guide
+    §1.2/§2.4): all four sections over ONE shared corpus materialization
+    and ONE shared inline assignment, instead of the generic
+    ``merged_query`` shape where every section built its own.
+
+    What each section computes is byte-identical to its standalone part fn
+    (``embedding_ann_ivf_stored`` / ``embedding_ann_pq_stored`` /
+    ``embedding_ann_ivf`` / ``embedding_ann_pq`` — same expressions, same
+    deterministic assignment relation, same oracle SQL); what changed is
+    only how much work the composed plan repeats:
+
+    * the base corpus relation is localCheckpointed ONCE and fed to both
+      the ``base`` and ``pq_adc`` sections (was: two eager checkpoint jobs
+      per invocation);
+    * the corpus x n_lists argmin assignment runs ONCE (localCheckpointed,
+      one tiny (vec_id, lid) relation) and serves the base section's
+      inverted index, the PQ residual encode, and the ADC candidate index
+      (was: three separate argmin chains — Spark does not exchange-reuse
+      the duplicated subtree). A fold-matched stored ``ivf_assignments``
+      artifact, when present, replaces it with a parquet scan exactly as
+      before.
+
+    Section order keeps the registration contract: stored sections FIRST
+    (their builder ends with cache clears), then base (trains + caches the
+    session quantizer), then pq_adc.
+    """
+    out = embedding_ann_ivf_stored(spark, sf_dir).select(
+        F.lit("stored_index").alias("section"), "*")
+    out = out.unionByName(
+        embedding_ann_pq_stored(spark, sf_dir).select(
+            F.lit("stored_pq").alias("section"), "*"),
+        allowMissingColumns=True)
+    e = rebalance_for_compute(read_table(spark, sf_dir, "embeddings"), "vec_id").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    ).localCheckpoint()
+    cent = ivf_centroids_for_dir(spark, sf_dir, e)
+    cb = pq_codebooks_for_dir(spark, sf_dir, e, cent)
+    asg = ivf_assignments_for_dir(spark, sf_dir, cent)
+    codes, cohort = pq_codes_with_cohort_for_dir(spark, sf_dir, cb)
+    if asg is None:
+        # one corpus x n_lists pass for the whole slug; tiny (vec_id, lid)
+        # result, pinned so the three consumers below read instead of
+        # recompute (the in-query twin of the ivf_assignments artifact)
+        asg = assign_nearest_list(e, cent).localCheckpoint()
+    base = ivf_search(e, cent, assignments=asg)
+    pq = pq_adc_search(e, cent, cb, assignments=asg, codes=codes,
+                       max_cohort=cohort)
+    out = out.unionByName(
+        base.select(F.lit("base").alias("section"), "*"),
+        allowMissingColumns=True)
+    return out.unionByName(
+        pq.select(F.lit("pq_adc").alias("section"), "*"),
+        allowMissingColumns=True)
 
 
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1965,14 +2041,25 @@ def register_all(register) -> None:
     # stored_index builder just refreshed (zero extra build or training),
     # and proves the compressed-domain search is served from the CARRIED
     # codebooks + churn-PATCHED codes, mode literals pinned in the hash
-    register_merged(register, "embedding_ann_ivf", [
-        ("stored_index", embedding_ann_ivf_stored,
-         _ivf_oracle(snapshot_pair=True)),
-        ("stored_pq", embedding_ann_pq_stored,
-         _pq_oracle(snapshot_pair=True)),
-        ("base", embedding_ann_ivf, _ivf_oracle()),
-        ("pq_adc", embedding_ann_pq, _pq_oracle()),
-    ])
+    # r16 optimization round: custom merged fn (the curation/clusters
+    # pattern) so the four sections share one corpus checkpoint and one
+    # assignment relation per invocation — see embedding_ann_ivf_slug.
+    # ONE parts list feeds both SECTION_REGISTRY and the oracle (r7 rule);
+    # the oracle SQL is unchanged from the register_merged form.
+    from pyspark_coding_challenge_spark.plans.merge import (
+        SECTION_REGISTRY,
+        merged_oracle,
+    )
+
+    ann_parts = [
+        ("stored_index", _ivf_oracle(snapshot_pair=True)),
+        ("stored_pq", _pq_oracle(snapshot_pair=True)),
+        ("base", _ivf_oracle()),
+        ("pq_adc", _pq_oracle()),
+    ]
+    SECTION_REGISTRY["embedding_ann_ivf"] = [n for n, _ in ann_parts]
+    register("embedding_ann_ivf", embedding_ann_ivf_slug,
+             merged_oracle(ann_parts))
     register("dedup_embedding_cosine", dedup_embedding_cosine, DEDUP_EMBEDDING_COSINE_ORACLE)
 
 

@@ -11,6 +11,9 @@ engine selects columns explicitly so ``ReadSchema`` stays minimal.
 
 from __future__ import annotations
 
+import os
+import threading
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -75,11 +78,45 @@ def ensure_event_ts_confs(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
+# (applicationId, path, mtime_ns, size) -> inferred StructType. r16
+# optimization round (guide §1 "measure first" finding): RuleExecutor
+# metrics showed ResolveDataSource at 2.38 s of tpch_composites' 2.92 s
+# total rule time per WARM run — every `spark.read.parquet(path)` re-reads
+# the parquet footer to re-infer a schema that cannot have changed. This
+# caches METADATA only (the exact role a catalog/metastore table plays in
+# a deployment — data is still scanned from parquet on every execution);
+# the mtime+size key self-invalidates when a test rewrites a path in
+# place, so no explicit clear hook is needed.
+_TABLE_SCHEMA_CACHE: dict[tuple[str, str, int, int], object] = {}
+_TABLE_SCHEMA_LOCK = threading.Lock()
+
+
+def _read_parquet_cached_schema(spark: SparkSession, path: str) -> DataFrame:
+    """`spark.read.parquet` with the inferred schema memoized per
+    (session, file identity) and re-supplied explicitly — skips the
+    footer-read/schema-merge work inside Catalyst's ResolveDataSource on
+    every subsequent read of the same file. Falls back to plain inference
+    for non-stat-able paths (globs, remote URIs)."""
+    try:
+        st = os.stat(path)
+        key = (spark.sparkContext.applicationId, path,
+               st.st_mtime_ns, st.st_size)
+    except OSError:
+        return spark.read.parquet(path)
+    with _TABLE_SCHEMA_LOCK:
+        schema = _TABLE_SCHEMA_CACHE.get(key)
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+        with _TABLE_SCHEMA_LOCK:
+            _TABLE_SCHEMA_CACHE[key] = schema
+    return spark.read.schema(schema).parquet(path)
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver testdata table (TESTDATA.md) as a DataFrame."""
     if name in _EVENT_TS_COLS:
         ensure_event_ts_confs(spark)
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = _read_parquet_cached_schema(spark, f"{sf_dir}/{name}.parquet")
     return canonicalize_ts(df, *_EVENT_TS_COLS.get(name, ()))
 
 

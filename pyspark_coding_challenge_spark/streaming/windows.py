@@ -263,7 +263,10 @@ def _read_back(spark: SparkSession, sink: str, schema) -> DataFrame:
     )
     if not wrote_files:
         return spark.createDataFrame([], schema)
-    return spark.read.parquet(sink)
+    # the sink was written from a stream of exactly this schema — supply it
+    # explicitly so the read skips per-run footer schema inference (r16
+    # optimization round; the read_table schema-cache finding)
+    return spark.read.schema(schema).parquet(sink)
 
 
 def run_to_parquet(stream: DataFrame, spark: SparkSession, slug: str) -> DataFrame:

@@ -90,3 +90,47 @@ def test_orc_partitioned_roundtrip_prunes_partitions(spark, tmp_path):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "PartitionFilters: [" in plan and "isnotnull(source" in plan
+
+
+def test_read_table_schema_cache_results_and_invalidation(spark, tmp_path):
+    """r16 optimization round: read_table memoizes the inferred parquet
+    schema per (session, file identity) and re-supplies it explicitly —
+    RuleExecutor metrics showed per-call footer re-inference
+    (ResolveDataSource) costing more than execution on the merged
+    relational slugs. Three properties must hold: (1) rows and schema are
+    identical to a plain inference read, (2) the second read of the same
+    path serves the schema from the cache, (3) rewriting the path in
+    place (new mtime/size) re-infers — a stale schema must never survive
+    a rewrite."""
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark_coding_challenge_spark.sources import readers
+
+    src = "/root/testdata/sf0.001/nation.parquet"
+    path = str(tmp_path / "nation.parquet")
+    shutil.copyfile(src, path)
+
+    # (1) identical rows + schema vs plain inference
+    cached = readers._read_parquet_cached_schema(spark, path)
+    plain = spark.read.parquet(path)
+    assert cached.schema == plain.schema
+    assert sorted(map(tuple, cached.collect())) == \
+        sorted(map(tuple, plain.collect()))
+
+    # (2) second read hits the cache (same file identity key)
+    st = os.stat(path)
+    key = (spark.sparkContext.applicationId, path, st.st_mtime_ns, st.st_size)
+    assert key in readers._TABLE_SCHEMA_CACHE
+    before = len(readers._TABLE_SCHEMA_CACHE)
+    readers._read_parquet_cached_schema(spark, path)
+    assert len(readers._TABLE_SCHEMA_CACHE) == before
+
+    # (3) rewrite in place with a DIFFERENT schema -> fresh inference
+    pq.write_table(pa.table({"only_col": [1, 2, 3]}), path)
+    back = readers._read_parquet_cached_schema(spark, path)
+    assert [f.name for f in back.schema.fields] == ["only_col"]
+    assert back.count() == 3
