@@ -28,17 +28,36 @@ from pyspark.sql import functions as F
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 
-def merged_query(parts: list[tuple[str, QueryFn]]) -> QueryFn:
-    """One query fn that unions the parts by name with a section tag."""
+def merged_query(parts: list[tuple[str, QueryFn]],
+                 concurrent: bool = False) -> QueryFn:
+    """One query fn that unions the parts by name with a section tag.
+
+    ``concurrent``: build the part DataFrames from a small thread pool
+    (guide §2.6 — overlap independent jobs). Only worth it when part
+    CONSTRUCTION does eager Spark work: the streaming sections each drive
+    a full availableNow query to completion inside their fn, serially
+    ~1.6 s apiece, and Spark's scheduler happily interleaves them (the
+    conf pin they share is ref-counted for exactly this, and every
+    section writes its own sink/checkpoint dirs). Lazily-composed parts
+    gain nothing — their subtrees already execute concurrently inside the
+    one union job. Union ORDER is preserved either way (pool.map returns
+    in input order), so the result is row-identical to the serial build."""
     if not parts:
         # fail at registration, not as an opaque NoneType error when the
         # driver later calls the slug
         raise ValueError("merged_query requires at least one part")
 
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        if concurrent and len(parts) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=min(4, len(parts))) as pool:
+                dfs = list(pool.map(lambda p: p[1](spark, sf_dir), parts))
+        else:
+            dfs = [part_fn(spark, sf_dir) for _, part_fn in parts]
         out = None
-        for name, part_fn in parts:
-            df = part_fn(spark, sf_dir).select(F.lit(name).alias("section"), "*")
+        for (name, _), df in zip(parts, dfs):
+            df = df.select(F.lit(name).alias("section"), "*")
             out = df if out is None else out.unionByName(df, allowMissingColumns=True)
         return out
 
@@ -60,11 +79,13 @@ SECTION_REGISTRY: dict[str, list[str]] = {}
 
 
 def register_merged(register, slug: str,
-                    parts: list[tuple[str, QueryFn, str]]) -> None:
+                    parts: list[tuple[str, QueryFn, str]],
+                    concurrent: bool = False) -> None:
     """Register one merged slug from (section, query_fn, oracle_sql) parts."""
     SECTION_REGISTRY[slug] = [name for name, _, _ in parts]
     register(
         slug,
-        merged_query([(name, fn) for name, fn, _ in parts]),
+        merged_query([(name, fn) for name, fn, _ in parts],
+                     concurrent=concurrent),
         merged_oracle([(name, sql) for name, _, sql in parts]),
     )

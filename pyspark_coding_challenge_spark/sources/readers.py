@@ -40,6 +40,10 @@ def canonicalize_ts(df: DataFrame, *cols: str) -> DataFrame:
       session timezone this is a pure re-tag of the same micros value, and
       matches DuckDB's naive civil-time interpretation.
     """
+    if not cols:
+        # no-op fast path: df.dtypes below forces schema analysis (~10 ms
+        # of driver time) and most tables declare no ts columns (r16)
+        return df
     types = dict(df.dtypes)
     for c in cols:
         dt = types.get(c)
@@ -89,6 +93,11 @@ def ensure_event_ts_confs(spark: SparkSession) -> None:
 # place, so no explicit clear hook is needed.
 _TABLE_SCHEMA_CACHE: dict[tuple[str, str, int, int], object] = {}
 _TABLE_SCHEMA_LOCK = threading.Lock()
+# (applicationId, DataFrame.semanticHash()) -> scan split count, for
+# rebalance_for_compute's probe. Perf-only memo: a stale entry can at
+# worst mis-size ONE repartition (results are partition-independent by
+# the repo's determinism rules); it never affects row values.
+_SPLIT_COUNT_CACHE: dict[tuple[str, int], int] = {}
 
 
 def _read_parquet_cached_schema(spark: SparkSession, path: str) -> DataFrame:
@@ -150,7 +159,25 @@ def rebalance_for_compute(df: DataFrame, *key_cols: str) -> DataFrame:
     """
     try:
         target = df.sparkSession.sparkContext.defaultParallelism
-        if df.rdd.getNumPartitions() >= target:
+        # r16 optimization round: the probe itself costs ~55 ms of DRIVER
+        # time per call (physical planning + RDD DAG build) and hot query
+        # paths construct the same scan dozens of times per bench run —
+        # memoize the verdict per (session, canonicalized plan). Two
+        # semantically-equal inputs split identically by construction, so
+        # the cached count is exact, and a rewritten file behind the same
+        # path flows through read_table's mtime-keyed schema cache into a
+        # DIFFERENT canonical plan only when its schema changed — so the
+        # count is also refreshed whenever the split-relevant inputs
+        # (plan shape) change; the split rule itself depends only on conf
+        # values that are session-stable here.
+        key = (df.sparkSession.sparkContext.applicationId, df.semanticHash())
+        with _TABLE_SCHEMA_LOCK:
+            n = _SPLIT_COUNT_CACHE.get(key)
+        if n is None:
+            n = df.rdd.getNumPartitions()
+            with _TABLE_SCHEMA_LOCK:
+                _SPLIT_COUNT_CACHE[key] = n
+        if n >= target:
             return df
     except Exception:  # Spark Connect: no sparkContext / DataFrame.rdd
         try:

@@ -654,7 +654,14 @@ def register_all(register) -> None:
         streaming_ingest_refresh_serve,
     )
 
-    register_merged(register, "streaming_windowed_aggs", [
+    # concurrent=True (r16 optimization round, guide §2.6): each section
+    # drives a real availableNow streaming query to completion at
+    # CONSTRUCTION time — serially that is the sum of four fixed
+    # per-query latencies (planning, WAL/offset commits, two micro-batch
+    # barriers each); from a thread pool the queries interleave on the
+    # idle cores. Sinks/checkpoints are per-section dirs and the shared
+    # conf pin is ref-counted for overlapping starts.
+    register_merged(register, "streaming_windowed_aggs", concurrent=True, parts=[
         ("tumbling_counts", streaming_tumbling_counts, STREAMING_TUMBLING_COUNTS_ORACLE),
         ("sliding_sum", streaming_sliding_sum, STREAMING_SLIDING_SUM_ORACLE),
         # r13: the ingest-with-write-time-digests pipeline (streaming/
