@@ -188,8 +188,26 @@ def auto_probe_radius(n_vecs: int) -> int:
     return 1 if n_vecs >= AUTO_RADIUS_MIN_VECS_R1 else 2
 
 
+def lsh_bucket_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, emb, tbl, code): the corpus bucketing pass — one narrow
+    scan computing planes x tables sign bits per vector. Factored out
+    (r16 optimization round) so the merged slug's two sections share ONE
+    materialization: base and multiprobe2 differ only in the query-side
+    probe masks; the corpus side of the candidate join is identical."""
+    e = rebalance_for_compute(read_table(spark, sf_dir, "embeddings"), "vec_id").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    coded = e.withColumn("codes", lsh_buckets("emb"))
+    return coded.select(
+        "vec_id",
+        "emb",
+        F.posexplode("codes").alias("tbl", "code"),
+    )
+
+
 def ann_lsh_candidates(spark: SparkSession, sf_dir: str,
-                       multiprobe: int | str = 0) -> DataFrame:
+                       multiprobe: int | str = 0,
+                       buckets: DataFrame | None = None) -> DataFrame:
     """The LSH candidate relation ``(query_id, qemb, vec_id, emb)`` —
     every (query, corpus vector) pair colliding in >= 1 table within probe
     radius ``multiprobe``, deduplicated. Split out of ``embedding_ann_lsh``
@@ -199,11 +217,6 @@ def ann_lsh_candidates(spark: SparkSession, sf_dir: str,
     probe's counting rule drifting from the query's candidate rule. (The
     probe still executes the relation to count it; the cost of that extra
     pass is the probe's, not the query's.)"""
-    # the per-vector bucketing pass (planes x tables dot products) is
-    # CPU-bound; spread a narrow scan first
-    e = rebalance_for_compute(read_table(spark, sf_dir, "embeddings"), "vec_id").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
-    )
     if multiprobe == "auto":
         # bounded corpus-count read (parquet row-count metadata — no
         # column materialization), resolved once per call; the registered
@@ -211,12 +224,10 @@ def ann_lsh_candidates(spark: SparkSession, sf_dir: str,
         # embedded mask literals are untouched (r12, judge item #3)
         multiprobe = auto_probe_radius(
             read_table(spark, sf_dir, "embeddings").count())
-    coded = e.withColumn("codes", lsh_buckets("emb"))
-    buckets = coded.select(
-        "vec_id",
-        "emb",
-        F.posexplode("codes").alias("tbl", "code"),
-    )
+    if buckets is None:
+        # the per-vector bucketing pass (planes x tables dot products) is
+        # CPU-bound; lsh_bucket_relation spreads a narrow scan first
+        buckets = lsh_bucket_relation(spark, sf_dir)
     queries = buckets.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("emb").alias("qemb"),
@@ -238,7 +249,8 @@ def ann_lsh_candidates(spark: SparkSession, sf_dir: str,
 
 
 def embedding_ann_lsh(spark: SparkSession, sf_dir: str,
-                      multiprobe: int | str = 0) -> DataFrame:
+                      multiprobe: int | str = 0,
+                      buckets: DataFrame | None = None) -> DataFrame:
     """ANN top-k: candidates restricted to vectors sharing an LSH bucket with
     the query in at least one table, exact cosine re-rank on candidates.
     Rows-only driver check (bucket membership is seed-defined); the
@@ -272,7 +284,7 @@ def embedding_ann_lsh(spark: SparkSession, sf_dir: str,
     all-pairs product. On structureless data (these testdata vectors are
     uniform random: avg pairwise cosine ~0.0003 within AND across labels)
     candidates are ~2% of the corpus per query, by design."""
-    cands = ann_lsh_candidates(spark, sf_dir, multiprobe)
+    cands = ann_lsh_candidates(spark, sf_dir, multiprobe, buckets=buckets)
     sims = cands.select(
         "query_id", "vec_id", cosine(F.col("qemb"), F.col("emb")).alias("sim")
     )
@@ -287,6 +299,22 @@ def embedding_ann_lsh(spark: SparkSession, sf_dir: str,
             F.round("sim", 6).alias("sim"),
         )
     )
+
+
+def embedding_ann_lsh_slug(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The merged ``embedding_ann_lsh`` slug (r16 optimization round):
+    base + multiprobe2 over ONE pinned corpus bucket relation — the two
+    sections differ only in query-side probe masks, so the planes x
+    tables bucketing pass (the corpus-wide compute) runs once per
+    invocation instead of twice. Section expressions and oracle SQL are
+    unchanged; bucketing is deterministic, so rows are identical."""
+    buckets = lsh_bucket_relation(spark, sf_dir).localCheckpoint()
+    base = embedding_ann_lsh(spark, sf_dir, buckets=buckets).select(
+        F.lit("base").alias("section"), "*")
+    mp2 = embedding_ann_lsh(spark, sf_dir, multiprobe=2,
+                            buckets=buckets).select(
+        F.lit("multiprobe2").alias("section"), "*")
+    return base.unionByName(mp2, allowMissingColumns=True)
 
 
 def ann_lsh_multiprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2013,7 +2041,11 @@ def clear_topk_cache(spark: SparkSession | None = None) -> int:
 
 
 def register_all(register) -> None:
-    from pyspark_coding_challenge_spark.plans.merge import register_merged
+    from pyspark_coding_challenge_spark.plans.merge import (
+        SECTION_REGISTRY,
+        merged_oracle,
+        register_merged,
+    )
 
     # exact top-k + the RAG-style enrichment ride one slug (50-slot cap);
     # both sections read the shared materialized top-k
@@ -2024,10 +2056,16 @@ def register_all(register) -> None:
     # r9 (judge #4): the radius-2 multiprobe path rides the slug as its own
     # hash-gated section — the driver proves the probe-mask candidate set
     # and re-rank agree cross-engine, not just the base buckets
-    register_merged(register, "embedding_ann_lsh", [
-        ("base", embedding_ann_lsh, _lsh_oracle()),
-        ("multiprobe2", ann_lsh_multiprobe2, _lsh_oracle(multiprobe=2)),
-    ])
+    # r16 optimization round: custom merged fn sharing one pinned bucket
+    # relation across both sections (see embedding_ann_lsh_slug); oracle
+    # SQL identical to the register_merged form.
+    lsh_parts = [
+        ("base", _lsh_oracle()),
+        ("multiprobe2", _lsh_oracle(multiprobe=2)),
+    ]
+    SECTION_REGISTRY["embedding_ann_lsh"] = [n for n, _ in lsh_parts]
+    register("embedding_ann_lsh", embedding_ann_lsh_slug,
+             merged_oracle(lsh_parts))
     # r13 (judge item #1): the artifact-served search path rides the slug
     # as its own hash-gated section — the driver proves carried-quantizer
     # + patched-index search == from-scratch training + assignment, not
@@ -2046,11 +2084,6 @@ def register_all(register) -> None:
     # assignment relation per invocation — see embedding_ann_ivf_slug.
     # ONE parts list feeds both SECTION_REGISTRY and the oracle (r7 rule);
     # the oracle SQL is unchanged from the register_merged form.
-    from pyspark_coding_challenge_spark.plans.merge import (
-        SECTION_REGISTRY,
-        merged_oracle,
-    )
-
     ann_parts = [
         ("stored_index", _ivf_oracle(snapshot_pair=True)),
         ("stored_pq", _pq_oracle(snapshot_pair=True)),

@@ -98,6 +98,9 @@ _TABLE_SCHEMA_LOCK = threading.Lock()
 # worst mis-size ONE repartition (results are partition-independent by
 # the repo's determinism rules); it never affects row values.
 _SPLIT_COUNT_CACHE: dict[tuple[str, int], int] = {}
+# id(df) -> (strong df ref, split count): object-identity fast path over
+# the semantic-hash cache for the common same-object case
+_SPLIT_ID_CACHE: dict[int, tuple[DataFrame, int]] = {}
 
 
 def _read_parquet_cached_schema(spark: SparkSession, path: str) -> DataFrame:
@@ -121,12 +124,41 @@ def _read_parquet_cached_schema(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.schema(schema).parquet(path)
 
 
+# (SparkSession, path, mtime_ns, size) -> the canonicalized DataFrame.
+# DataFrames are immutable lazy plans, so handing every caller the same
+# object is semantically identical to rebuilding it — Spark itself
+# resolves repeated/self-joined uses via DeduplicateRelations exactly as
+# it does for `spark.table`'s shared relation cache. Keyed by the SESSION
+# OBJECT (not applicationId): a DataFrame is bound to the session that
+# built it, and `spark.newSession()` shares one applicationId (the
+# streaming conf-pin lesson, r11). Keeping ~10 ms of reader construction
+# out of each of the ~hundreds of read_table calls a bench run makes.
+_TABLE_DF_CACHE: dict[tuple, DataFrame] = {}
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver testdata table (TESTDATA.md) as a DataFrame."""
     if name in _EVENT_TS_COLS:
         ensure_event_ts_confs(spark)
-    df = _read_parquet_cached_schema(spark, f"{sf_dir}/{name}.parquet")
-    return canonicalize_ts(df, *_EVENT_TS_COLS.get(name, ()))
+    path = f"{sf_dir}/{name}.parquet"
+    try:
+        st = os.stat(path)
+        key = (spark, path, st.st_mtime_ns, st.st_size)
+    except OSError:
+        key = None
+    if key is not None:
+        with _TABLE_SCHEMA_LOCK:
+            df = _TABLE_DF_CACHE.get(key)
+        if df is not None:
+            return df
+    df = canonicalize_ts(
+        _read_parquet_cached_schema(spark, path),
+        *_EVENT_TS_COLS.get(name, ()),
+    )
+    if key is not None:
+        with _TABLE_SCHEMA_LOCK:
+            _TABLE_DF_CACHE[key] = df
+    return df
 
 
 def read_tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]:
@@ -170,13 +202,27 @@ def rebalance_for_compute(df: DataFrame, *key_cols: str) -> DataFrame:
         # count is also refreshed whenever the split-relevant inputs
         # (plan shape) change; the split rule itself depends only on conf
         # values that are session-stable here.
-        key = (df.sparkSession.sparkContext.applicationId, df.semanticHash())
+        # object-identity fast path first: read_table now returns one
+        # cached DataFrame per (session, file), so repeated rebalances of
+        # the same input skip even the semanticHash JVM round-trip (~13
+        # ms). The strong df ref in the value keeps id() stable (the
+        # _ASSIGN_FOLD_VERDICTS pattern).
+        okey = id(df)
         with _TABLE_SCHEMA_LOCK:
-            n = _SPLIT_COUNT_CACHE.get(key)
-        if n is None:
-            n = df.rdd.getNumPartitions()
+            hit = _SPLIT_ID_CACHE.get(okey)
+        if hit is not None and hit[0] is df:
+            n = hit[1]
+        else:
+            key = (df.sparkSession.sparkContext.applicationId,
+                   df.semanticHash())
             with _TABLE_SCHEMA_LOCK:
-                _SPLIT_COUNT_CACHE[key] = n
+                n = _SPLIT_COUNT_CACHE.get(key)
+            if n is None:
+                n = df.rdd.getNumPartitions()
+                with _TABLE_SCHEMA_LOCK:
+                    _SPLIT_COUNT_CACHE[key] = n
+            with _TABLE_SCHEMA_LOCK:
+                _SPLIT_ID_CACHE[okey] = (df, n)
         if n >= target:
             return df
     except Exception:  # Spark Connect: no sparkContext / DataFrame.rdd
