@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import os
 import threading
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -96,11 +97,23 @@ _TABLE_SCHEMA_LOCK = threading.Lock()
 # (applicationId, DataFrame.semanticHash()) -> scan split count, for
 # rebalance_for_compute's probe. Perf-only memo: a stale entry can at
 # worst mis-size ONE repartition (results are partition-independent by
-# the repo's determinism rules); it never affects row values.
+# the repo's determinism rules); it never affects row values. STALENESS
+# ACCEPTED (r16 advisory): the split count depends on file sizes, and a
+# same-schema in-place rewrite keeps the same canonical plan — the memo
+# then serves the old count until the process ends. read_table-derived
+# frames dodge this in practice: a rewrite changes (mtime, size), so
+# read_table hands out a NEW DataFrame object and the object-attribute
+# fast path below misses, while this fallback only mis-sizes the
+# repartition width, never a row value.
 _SPLIT_COUNT_CACHE: dict[tuple[str, int], int] = {}
-# id(df) -> (strong df ref, split count): object-identity fast path over
-# the semantic-hash cache for the common same-object case
-_SPLIT_ID_CACHE: dict[int, tuple[DataFrame, int]] = {}
+# Object-identity fast path: the probed split count is stored ON the
+# DataFrame wrapper itself (df.__dict__[_SPLIT_ATTR]) instead of a
+# module-level id(df) map — the r16 map held strong DataFrame refs with
+# no size bound or clear hook, pinning stopped sessions' plan objects
+# for the process lifetime (r16 advisory). An attribute dies with the
+# object, costs O(0) bookkeeping, and cannot go stale across rewrites
+# (new file state -> new object from read_table).
+_SPLIT_ATTR = "_spark_graft_split_count"
 
 
 def _read_parquet_cached_schema(spark: SparkSession, path: str) -> DataFrame:
@@ -124,7 +137,7 @@ def _read_parquet_cached_schema(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.schema(schema).parquet(path)
 
 
-# (SparkSession, path, mtime_ns, size) -> the canonicalized DataFrame.
+# SparkSession -> {(path, mtime_ns, size) -> canonicalized DataFrame}.
 # DataFrames are immutable lazy plans, so handing every caller the same
 # object is semantically identical to rebuilding it — Spark itself
 # resolves repeated/self-joined uses via DeduplicateRelations exactly as
@@ -133,7 +146,12 @@ def _read_parquet_cached_schema(spark: SparkSession, path: str) -> DataFrame:
 # built it, and `spark.newSession()` shares one applicationId (the
 # streaming conf-pin lesson, r11). Keeping ~10 ms of reader construction
 # out of each of the ~hundreds of read_table calls a bench run makes.
-_TABLE_DF_CACHE: dict[tuple, DataFrame] = {}
+# WeakKeyDictionary on the session (r16 advisory): a stopped/collected
+# session drops its whole table map, so pytest-style many-session
+# processes no longer accumulate dead JVM plan handles; and installing a
+# fresh (mtime, size) entry evicts the same path's stale predecessors.
+_TABLE_DF_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = \
+    weakref.WeakKeyDictionary()
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -143,12 +161,12 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = f"{sf_dir}/{name}.parquet"
     try:
         st = os.stat(path)
-        key = (spark, path, st.st_mtime_ns, st.st_size)
+        key = (path, st.st_mtime_ns, st.st_size)
     except OSError:
         key = None
     if key is not None:
         with _TABLE_SCHEMA_LOCK:
-            df = _TABLE_DF_CACHE.get(key)
+            df = _TABLE_DF_CACHE.get(spark, {}).get(key)
         if df is not None:
             return df
     df = canonicalize_ts(
@@ -157,7 +175,12 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     )
     if key is not None:
         with _TABLE_SCHEMA_LOCK:
-            _TABLE_DF_CACHE[key] = df
+            per_session = _TABLE_DF_CACHE.setdefault(spark, {})
+            # evict the same path's stale (older mtime/size) entries so a
+            # rewrite loop cannot grow the map without bound
+            for k in [k for k in per_session if k[0] == path and k != key]:
+                del per_session[k]
+            per_session[key] = df
     return df
 
 
@@ -202,17 +225,13 @@ def rebalance_for_compute(df: DataFrame, *key_cols: str) -> DataFrame:
         # count is also refreshed whenever the split-relevant inputs
         # (plan shape) change; the split rule itself depends only on conf
         # values that are session-stable here.
-        # object-identity fast path first: read_table now returns one
-        # cached DataFrame per (session, file), so repeated rebalances of
+        # object-attribute fast path first: read_table returns one cached
+        # DataFrame per (session, file state), so repeated rebalances of
         # the same input skip even the semanticHash JVM round-trip (~13
-        # ms). The strong df ref in the value keeps id() stable (the
-        # _ASSIGN_FOLD_VERDICTS pattern).
-        okey = id(df)
-        with _TABLE_SCHEMA_LOCK:
-            hit = _SPLIT_ID_CACHE.get(okey)
-        if hit is not None and hit[0] is df:
-            n = hit[1]
-        else:
+        # ms). Stored on the wrapper itself — lifetime tied to the object,
+        # no module-level strong refs (see _SPLIT_ATTR note above).
+        n = df.__dict__.get(_SPLIT_ATTR)
+        if n is None:
             key = (df.sparkSession.sparkContext.applicationId,
                    df.semanticHash())
             with _TABLE_SCHEMA_LOCK:
@@ -221,8 +240,7 @@ def rebalance_for_compute(df: DataFrame, *key_cols: str) -> DataFrame:
                 n = df.rdd.getNumPartitions()
                 with _TABLE_SCHEMA_LOCK:
                     _SPLIT_COUNT_CACHE[key] = n
-            with _TABLE_SCHEMA_LOCK:
-                _SPLIT_ID_CACHE[okey] = (df, n)
+            df.__dict__[_SPLIT_ATTR] = n
         if n >= target:
             return df
     except Exception:  # Spark Connect: no sparkContext / DataFrame.rdd

@@ -1,8 +1,9 @@
 #!/usr/bin/env python
-"""Dump .explain("formatted") for every registered slug to plans/r16/.
+"""Dump .explain("formatted") for every registered slug to plans/<round>/
+($SPARK_GRAFT_PLANS_ROUND, default r17).
 
 Usage: python scripts/capture_plans.py <suffix> [slug ...]
-Writes plans/r16/<slug>_<suffix>.txt for each slug (default: all slugs).
+Writes plans/<round>/<slug>_<suffix>.txt for each slug (default: all slugs).
 Uses the same session shape as bench.py (get_spark at $SPARK_GRAFT_CPUS)
 so the captured plan matches what the bench executes.
 """
@@ -21,7 +22,9 @@ def main() -> int:
     suffix = sys.argv[1] if len(sys.argv) > 1 else "before"
     only = set(sys.argv[2:])
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r16")
+    out_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans",
+        os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r17"))
     os.makedirs(out_dir, exist_ok=True)
 
     from pyspark_coding_challenge_spark import registry
