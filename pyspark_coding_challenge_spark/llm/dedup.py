@@ -674,6 +674,14 @@ _BANDED_INDEX_CACHE: dict[tuple[str, str], DataFrame] = {}
 # timed region.
 _INCR_OLD_CACHE: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
 _INCR_OLD_CC_CACHE: dict[tuple[str, str], DataFrame] = {}
+# two more pieces of the PRIOR snapshot's stored state (r17): its per-doc
+# digests (the doc_digests artifact a deployment diffs against — the old
+# corpus is never re-hashed per refresh) and its over-cap (band, bucket)
+# set (a one-row-per-mega-bucket statistic of the stored index; makes the
+# per-refresh repair probe a semi-join against a usually-empty pinned
+# relation instead of re-counting every touched bucket)
+_INCR_OLD_DIGESTS_CACHE: dict[tuple[str, str], DataFrame] = {}
+_INCR_OLD_OVERFULL_CACHE: dict[tuple[str, str], DataFrame] = {}
 _PAIRS_LOCK = threading.RLock()
 # Per-APPLICATION epochs, bumped by clear_pair_cache (see _cached_build).
 # Per-app, not module-wide (r10 review finding): every cache key is
@@ -787,7 +795,8 @@ def clear_pair_cache(spark: SparkSession | None = None) -> int:
                 _ENTRY_EPOCHS.pop((id(_BANDED_INDEX_CACHE),) + tuple(key),
                                   None)
                 released += 1
-        for cache in (_INCR_OLD_CACHE, _INCR_OLD_CC_CACHE):
+        for cache in (_INCR_OLD_CACHE, _INCR_OLD_CC_CACHE,
+                      _INCR_OLD_DIGESTS_CACHE, _INCR_OLD_OVERFULL_CACHE):
             for key in list(cache):
                 if app is None or key[0] == app:
                     del cache[key]  # localCheckpoints — handle drop frees
@@ -835,6 +844,7 @@ def incremental_dedup_update(
     old_pairs: DataFrame, old_bands: DataFrame,
     id_col: str = "doc_id", text_col: str = "text",
     max_bucket: int = LSH_MAX_BUCKET,
+    old_overfull: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Patch a banded index + verified pair graph with a corpus snapshot
     diff — the 100 TB deployment shape of near-dup maintenance: a daily
@@ -855,6 +865,15 @@ def incremental_dedup_update(
       (``verified_pairs_for_dir`` shape: all candidate pairs, unfiltered).
     * ``old_bands`` — the stored banded index over the OLD corpus
       ((doc_id, band, bucket); extra columns like ``_rn`` are ignored).
+    * ``old_overfull`` (optional, r17) — the OLD index's over-cap
+      (band, bucket) set, PRE-AGGREGATED by the caller from its stored
+      state (usually once per session: bucket sizes are a pure function
+      of the stored index, exactly the statistic a deployment keeps next
+      to the artifact). When supplied, the per-call repair probe is one
+      semi-join against this (usually empty, localCheckpointed) relation
+      instead of re-counting every touched bucket's old membership —
+      same decision, ~an order less probe work. ``None`` derives it from
+      ``old_bands`` per call (the pre-r17 behavior).
 
     Returns ``(new_bands, new_pairs, fresh_pairs)`` — the patched banded
     index and pair graph of the NEW corpus, plus the freshly-verified pair
@@ -937,7 +956,13 @@ def incremental_dedup_update(
         .join(F.broadcast(gone), on=id_col, how="left_anti")
     )
 
-    # shingle->minhash->band ONLY the churn
+    # shingle->minhash->band ONLY the churn. Parallelism note (r17): the
+    # broadcast semi-join is narrow, so delta_docs inherits new_docs'
+    # partitioning — callers whose snapshot scan may be a single split
+    # (small files) should pass a rebalanced new_docs
+    # (``rebalance_for_compute`` on the BASE scan, where the split-count
+    # probe memoizes) so this kernel and the verify below parallelize;
+    # probing HERE would force AQE to execute the join's stages per call.
     delta_docs = new_docs.join(F.broadcast(delta_ids), on=id_col, how="left_semi")
     delta_bands = _band_buckets(delta_docs, id_col, text_col).localCheckpoint()
 
@@ -995,15 +1020,24 @@ def incremental_dedup_update(
         .unionByName(delta_bands.select("band", "bucket"))
         .distinct()
     )
-    overfull = (
-        old_bands.select(id_col, "band", "bucket")
-        .join(F.broadcast(touched_buckets), on=["band", "bucket"],
-              how="left_semi")
-        .groupBy("band", "bucket")
-        .agg(F.count("*").alias("_n_old"))
-        .filter(F.col("_n_old") > max_bucket)
-        .select("band", "bucket")
-    )
+    if old_overfull is not None:
+        # repair is needed only for buckets BOTH over the cap in the old
+        # index AND touched by churn — intersecting the caller's stored
+        # over-cap set with the churn's touched set is the same predicate
+        # with the corpus-sized count already paid once at state build
+        overfull = old_overfull.select("band", "bucket").join(
+            F.broadcast(touched_buckets), on=["band", "bucket"],
+            how="left_semi")
+    else:
+        overfull = (
+            old_bands.select(id_col, "band", "bucket")
+            .join(F.broadcast(touched_buckets), on=["band", "bucket"],
+                  how="left_semi")
+            .groupBy("band", "bucket")
+            .agg(F.count("*").alias("_n_old"))
+            .filter(F.col("_n_old") > max_bucket)
+            .select("band", "bucket")
+        )
     repair = []
     if overfull.limit(1).count() > 0:
         om = new_bands_all.join(F.broadcast(overfull),
@@ -1034,7 +1068,10 @@ def incremental_dedup_update(
         cand.select(F.col("doc_a").alias(id_col))
         .unionByName(cand.select(F.col("doc_b").alias(id_col)))
         .distinct()
-        .localCheckpoint()
+        # lazy since r17: it derives from the already-checkpointed cand by
+        # a thin union+distinct, so the count() below materializes nothing
+        # heavy and the semi-join's re-evaluation is equally thin — the
+        # old checkpoint added one serial job per refresh for no reuse win
     )
     docs_needed = new_docs.join(_hint_if_small(ids_needed, ids_needed.count()),
                                 on=id_col, how="left_semi")
@@ -1089,6 +1126,46 @@ def _incr_old_state(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFr
     return _cached_build(_INCR_OLD_CACHE, key, _build)
 
 
+def _incr_old_digests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The derived PRIOR snapshot's per-doc digests — the ``doc_digests``
+    artifact convention: a deployment diffs the new snapshot against
+    STORED digests, never re-hashing last month's corpus
+    (``snapshot_diff_from_digests``). Session-cached like the rest of the
+    prior-snapshot state; values are identical to what ``snapshot_diff``
+    would derive from the old docs (same md5 over null-coalesced text)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+
+    def _build() -> DataFrame:
+        old, _ = snapshot_versions(read_table(spark, sf_dir, "documents"))
+        return old.select(
+            "doc_id", F.md5(F.coalesce("text", F.lit(""))).alias("digest")
+        ).localCheckpoint()
+
+    return _cached_build(_INCR_OLD_DIGESTS_CACHE, key, _build)
+
+
+def _incr_old_overfull(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRIOR snapshot index's over-cap (band, bucket) set — a pure
+    statistic of the stored banded index (computed with the same
+    ``LSH_MAX_BUCKET`` the patch uses), pinned once per session so each
+    refresh's mega-bucket repair probe intersects a tiny (usually empty)
+    relation instead of re-counting every touched bucket's membership."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+
+    def _build() -> DataFrame:
+        old_bands = _incr_old_state(spark, sf_dir)[0]
+        return (
+            old_bands.select("band", "bucket")
+            .groupBy("band", "bucket")
+            .agg(F.count("*").alias("_n_old"))
+            .filter(F.col("_n_old") > LSH_MAX_BUCKET)
+            .select("band", "bucket")
+            .localCheckpoint()
+        )
+
+    return _cached_build(_INCR_OLD_OVERFULL_CACHE, key, _build)
+
+
 def _incr_patched_state(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame, DataFrame]:
     """The PATCHED verified pair graph of the derived NEW snapshot —
     diff + ``incremental_dedup_update`` against the cached old state.
@@ -1104,15 +1181,29 @@ def _incr_patched_state(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, Da
     ``SCALE_PROBE_INCR_r*.json``; the registered sections prove its
     CORRECTNESS via the hash gate.)"""
     old_ranked, old_pairs = _incr_old_state(spark, sf_dir)
-    old, new = snapshot_versions(read_table(spark, sf_dir, "documents"))
+    # rebalance the BASE scan (r17, guide §2.5): the churn minhash and
+    # verify kernels inside the patch inherit partitioning through narrow
+    # semi-joins, and a small/single-row-group snapshot file would run
+    # them on one core (measured: 1 scan split at sf0.1, ~1 s of
+    # single-threaded kernel per refresh). Probing the split count here
+    # hits the memoized attribute on the session-cached table DataFrame;
+    # at scale the scan is already wide and this is a no-op.
+    _, new = snapshot_versions(
+        rebalance_for_compute(read_table(spark, sf_dir, "documents"),
+                              "doc_id"))
+    # diff against the STORED digests (r17): the old corpus is never
+    # re-hashed per refresh — snapshot_diff_from_digests is the declared
+    # deployment shape and produces byte-identical change rows.
     # pin: the diff feeds `gone` (3 anti-joins) + `delta_ids` inside
     # the patch — unpinned, the digest full-outer join would re-run
     # per branch (the artifact updater's trap)
-    diff = snapshot_diff(old, new).select("doc_id", "change") \
-        .localCheckpoint()
+    diff = snapshot_diff_from_digests(
+        _incr_old_digests(spark, sf_dir), new
+    ).select("doc_id", "change").localCheckpoint()
     _, patched, fresh = incremental_dedup_update(
         new, diff, old_pairs,
         old_ranked.select("doc_id", "band", "bucket"),
+        old_overfull=_incr_old_overfull(spark, sf_dir),
     )
     # patched stays LAZY (r17): each consumer evaluates it exactly once
     # per invocation — the minhash section thresholds it straight into
