@@ -220,6 +220,19 @@ def rolling_last_k_history(
         F.col(entity_col).isNotNull() & F.col(time_col).isNotNull()
     ).select(entity_col, time_col, *payload_cols)
 
+    # ONE shuffle of the action rows, keyed by entity alone (r17, guide
+    # §2.4 "share one exchange"): hash(entity) satisfies the daily
+    # aggregate's (entity, day) clustering AND both downstream windows'
+    # partitionBy(entity), so the per-day aggregate and the running-state
+    # window plan with NO further exchange — previously the plan paid an
+    # (entity, day) exchange of the partially-aggregated daily buffers
+    # and then a second entity exchange of the daily lists (measured at
+    # sf0.1: 3.49 s -> 1.84 s best-of-3 for the operator in isolation,
+    # plan 4 -> 3 exchanges). Per-day lists are near 1:1 with raw actions
+    # here, so the removed partial-aggregation does not cost shuffle
+    # bytes. No fixed partition count: AQE sizes a keyed repartition.
+    act = act.repartition(F.col(entity_col))
+
     # Sort key: ascending struct sort == (time desc, payloads asc).
     neg_us = (-F.unix_micros(F.col(time_col))).alias("_neg_us")
     daily = (

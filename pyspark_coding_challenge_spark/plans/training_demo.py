@@ -24,8 +24,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-import threading
-
 from pyspark_coding_challenge_spark.plans.training import produce_training_examples
 from pyspark_coding_challenge_spark.sources.readers import read_table
 
@@ -46,47 +44,21 @@ def _base(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Session cache for the persisted base join, keyed like
-# dedup.verified_pairs_for_dir: without it every invocation (bench warm-up +
-# best-of-2 + oracle run) persists a FRESH copy of the lineitem x orders
-# join that is never released for the process lifetime — an executor-memory
-# leak that eventually thrashes other cached data. Same staleness contract:
-# if sf_dir's parquet is rewritten mid-session, clear the entry.
-_BASE_CACHE: dict[tuple[str, str], DataFrame] = {}
-_BASE_CACHE_LOCK = threading.Lock()
-
-
-def clear_base_cache(spark: SparkSession | None = None) -> int:
-    """Unpersist and drop cached base joins (all, or one session's) — the
-    release valve the cache comment promises; mirrors dedup's
-    clear_pair_cache."""
-    released = 0
-    app = spark.sparkContext.applicationId if spark is not None else None
-    for key in list(_BASE_CACHE):
-        if app is None or key[0] == app:
-            try:
-                _BASE_CACHE[key].unpersist()
-            except Exception:
-                pass  # session already stopped; the entry is dead either way
-            del _BASE_CACHE[key]
-            released += 1
-    return released
-
-
 def training_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The base join feeds FOUR consumers (impressions + three action
-    # streams); persisting it is the reference's own reuse-persistence hint
-    # (README.md:64) and turns 4 lineitem-x-orders joins into 1.
-    key = (spark.sparkContext.applicationId, sf_dir)
-    # lock around check-then-act: two threads racing here would each
-    # persist a copy and the loser's handle becomes an unreleasable
-    # cached relation (r6 review finding); persist() is lazy, so the
-    # critical section is cheap
-    with _BASE_CACHE_LOCK:
-        base = _BASE_CACHE.get(key)
-        if base is None:
-            base = _base(spark, sf_dir).persist()
-            _BASE_CACHE[key] = base
+    # streams). It is NOT persisted (r17): the audited session cache of
+    # the persisted join served warm runs from storage built outside the
+    # timed region (the bench's untimed warm-up) — and measurement shows
+    # the un-persisted plan is FASTER anyway (best-of-3 warm: 3.24 s vs
+    # 3.85 s persisted, 3.42 s per-call localCheckpoint): Spark reuses
+    # the join's shuffle exchanges across all four consumers
+    # (ReusedExchange), so the lineitem/orders scans and shuffles run
+    # once and only the cheap post-shuffle join re-evaluates per branch —
+    # recomputing that beats scanning a memory-cached wide join four
+    # times. The reference's reuse-persistence hint (README.md:64) is
+    # exercised by produce_training_examples' persist_actions parameter
+    # and the persist_hint slug; it is not load-bearing here.
+    base = _base(spark, sf_dir)
 
     imps = (
         base.groupBy("o_orderkey", "o_custkey", "o_orderdate")
