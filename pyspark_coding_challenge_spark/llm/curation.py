@@ -281,8 +281,19 @@ def decontaminate(spark: SparkSession, sf_dir: str,
         _word_shingles,
         md5_fold60,
     )
+    from pyspark_coding_challenge_spark.sources.readers import (
+        rebalance_for_compute,
+    )
 
-    d = read_table(spark, sf_dir, "documents")
+    # Rebalance the corpus scan (r17, guide §2.5 input parallelism): the
+    # train side runs shingle+md5 straight into a BROADCAST join — no
+    # exchange anywhere below the aggregation — so on a small/single-
+    # row-group file the whole decontamination kernel executed in ONE
+    # task (measured: 1 scan split at sf0.1). The split-count probe
+    # memoizes on the session-cached table DataFrame; at scale the scan
+    # is already wide and this is a no-op.
+    d = rebalance_for_compute(read_table(spark, sf_dir, "documents"),
+                              "doc_id")
 
     def _shingle_hashes(docs: DataFrame) -> DataFrame:
         # Split BEFORE shingling: filtering after would run the shingle+md5

@@ -874,46 +874,59 @@ def text_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ``text_span_dup`` is the signal; this is the action. The shared-span
     relation comes from the session cache (``shared_span_starts_for_dir``
-    — one gram chain for both operators, the materialize-once shape);
-    then: covered positions -> anti-join against all positions -> ordered
-    reassembly via sorted (position, token) structs. Every shuffle is
-    keyed by the gram hash or doc_id, never text."""
+    — one gram chain for both operators, the materialize-once shape).
+
+    Array-native reassembly (r17, guide §2.3 "shuffle fewer bytes"): the
+    pre-r17 form EXPLODED every token position of every document
+    (corpus-token-count rows carrying token strings), anti-joined them
+    against the exploded covered positions, and re-sorted each doc's
+    surviving (position, token) structs through a collect_list — two
+    token-count-sized exchanges plus a per-doc sort, just to delete some
+    positions. Now the covered starts are aggregated per doc (one
+    doc-keyed join of a duplicate-surface-sized side) and the removal is
+    pure narrow array compute: build the covered-position set, filter
+    ``sequence(1, n)`` by it, project the kept tokens in position order.
+    Tokens never leave their scan partition; row-identical output
+    (verified cell-for-cell against the old form at sf0.1). Worst-case
+    note: the per-doc mask test is O(n_tok x covered_positions) inside
+    one task — bounded by the same doc the old per-doc sort already
+    funneled through one task, so no new skew class."""
     from pyspark_coding_challenge_spark.llm.dedup import _with_tokens
 
     k = SPAN_K
     d = read_table(spark, sf_dir, "documents")
     t = _with_tokens(d).select("doc_id", "_toks", F.size("_toks").alias("_n"))
-    covered = (
+    starts = (
         shared_span_starts_for_dir(spark, sf_dir)
-        .select("doc_id", F.explode(F.expr(f"sequence(i, i + {k - 1})")).alias("p"))
-        .distinct()
+        .groupBy("doc_id")
+        .agg(F.collect_list("i").alias("_starts"))
     )
-    allpos = t.select(
-        "doc_id", "_toks", F.explode(F.expr("sequence(1, _n)")).alias("p")
-    ).select("doc_id", "p", F.expr("element_at(_toks, p)").alias("tok"))
-    kept = allpos.join(covered, on=["doc_id", "p"], how="left_anti")
-    agg = (
-        kept.groupBy("doc_id")
-        .agg(
-            F.count("*").cast("int").alias("kept_tokens"),
-            F.md5(
-                F.concat_ws(
-                    " ",
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("p", "tok"))),
-                        lambda s: s["tok"],
-                    ),
-                )
-            ).alias("scrubbed_md5"),
+    j = (
+        t.join(starts, on="doc_id", how="left")
+        .withColumn(
+            "_cov",
+            F.expr(
+                "CASE WHEN _starts IS NULL THEN CAST(array() AS ARRAY<INT>) "
+                f"ELSE array_distinct(flatten(transform(_starts, "
+                f"s -> sequence(s, s + {k - 1})))) END"
+            ),
+        )
+        .withColumn(
+            "_keptp",
+            F.expr("filter(sequence(1, _n), p -> NOT array_contains(_cov, p))"),
         )
     )
-    base = t.select("doc_id", F.col("_n").cast("int").alias("n_tokens"))
-    return base.join(agg, on="doc_id", how="left").select(
+    return j.select(
         "doc_id",
-        "n_tokens",
-        F.coalesce("kept_tokens", F.lit(0)).alias("kept_tokens"),
-        # fully-scrubbed doc: md5 of the empty string, one row per doc
-        F.coalesce("scrubbed_md5", F.md5(F.lit(""))).alias("scrubbed_md5"),
+        F.col("_n").cast("int").alias("n_tokens"),
+        F.size("_keptp").cast("int").alias("kept_tokens"),
+        # a fully-scrubbed doc filters to an empty array: concat_ws("")
+        # -> md5('') — same cell the old left-join coalesce produced
+        F.md5(
+            F.concat_ws(
+                " ", F.expr("transform(_keptp, p -> element_at(_toks, p))")
+            )
+        ).alias("scrubbed_md5"),
     )
 
 
