@@ -1601,9 +1601,22 @@ def embedding_ann_ivf_slug(spark: SparkSession, sf_dir: str) -> DataFrame:
         # result, pinned so the three consumers below read instead of
         # recompute (the in-query twin of the ivf_assignments artifact)
         asg = assign_nearest_list(e, cent).localCheckpoint()
-    base = ivf_search(e, cent, assignments=asg)
-    pq = pq_adc_search(e, cent, cb, assignments=asg, codes=codes,
-                       max_cohort=cohort)
+    # Overlap the two section CONSTRUCTIONS (r17, guide §2.6): ivf_search
+    # and pq_adc_search build large expression trees — ~0.9 s of py4j/
+    # analysis chatter per warm invocation, about a third of the slug's
+    # warm latency — and neither touches a session cache nor runs a job
+    # (every shared eager input — e, cent, cb, asg, codes — is already
+    # pinned above), so the two plan builds interleave safely on the
+    # GIL-released JVM calls. Stored sections stay serial-first: their
+    # builder's end-of-build cache clears must precede the quantizer
+    # cache use (registration contract above).
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        base_f = pool.submit(ivf_search, e, cent, assignments=asg)
+        pq_f = pool.submit(pq_adc_search, e, cent, cb, assignments=asg,
+                           codes=codes, max_cohort=cohort)
+        base, pq = base_f.result(), pq_f.result()
     out = out.unionByName(
         base.select(F.lit("base").alias("section"), "*"),
         allowMissingColumns=True)
