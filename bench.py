@@ -16,6 +16,71 @@ import sys
 import time
 
 
+def _scale_arm_queries():
+    """ADDITIVE bench entries (r17, verdict item #6): row-multiplied heavy
+    kernels that give the scaling block (the driver benches at two core
+    counts) data-parallel work big enough to show core scaling. At sf0.1
+    every registered slug is dominated by fixed costs (planning,
+    micro-batch barriers), so the 8-vs-32-core ratios could not
+    distinguish a scale-safe operator from a driver-bound one (r16
+    verdict). Each arm recomputes from the parquet inputs on every
+    invocation — the multiplier is a deterministic per-row explode, no
+    caching anywhere — and exercises a real engine kernel:
+
+    * ``scale_shingle_hash`` — the dedup family's shingle+portable-md5
+      kernel plus a shingle-keyed aggregate over documents x
+      SPARK_GRAFT_SCALE_MULT: CPU-bound kernel into a hash-keyed shuffle
+      (measured 8-vs-32-core ratio ~3.2 at the default multiplier; a
+      fused-signals arm was prototyped and dropped — its kernel is too
+      light on this corpus to outgrow the fixed costs, so it demonstrated
+      nothing).
+
+    These are NEW entries in the queries map (never replacing or renaming
+    existing ones); the headline total includes them like any other entry.
+    The sf0.1 corpus is tiny (~600 KB of text), so the default multiplier
+    is sized for the kernels to dominate the fixed costs at 32 cores —
+    measured ratios are in the round doc.
+    """
+    from pyspark.sql import functions as F
+
+    from pyspark_coding_challenge_spark.sources.readers import (
+        read_table,
+        rebalance_for_compute,
+    )
+
+    mult = int(os.environ.get("SPARK_GRAFT_SCALE_MULT", "64"))
+
+    def _multiply(df, id_col):
+        m = df.select(
+            F.explode(F.sequence(F.lit(0), F.lit(mult - 1))).alias("_r"), "*"
+        )
+        return m.withColumn(id_col, F.col(id_col) * mult + F.col("_r")).drop("_r")
+
+    def scale_shingle_hash(spark, sf_dir):
+        from pyspark_coding_challenge_spark.llm.dedup import (
+            _with_tokens,
+            _word_shingles,
+            md5_fold60,
+        )
+
+        d = rebalance_for_compute(
+            read_table(spark, sf_dir, "documents").select("doc_id", "text"),
+            "doc_id")
+        m = _multiply(d, "doc_id")
+        h = (
+            _with_tokens(m)
+            .select("doc_id", F.explode(_word_shingles("_toks")).alias("s"))
+            .select("doc_id", md5_fold60(F.col("s")).alias("h"))
+        )
+        return h.groupBy("h").agg(
+            F.count("*").alias("n"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+
+    return [("scale_shingle_hash", scale_shingle_hash)]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -26,7 +91,7 @@ def main() -> None:
     spark = get_spark(app_name="bench", master=f"local[{cpus}]")
     spark.sparkContext.setLogLevel("ERROR")
 
-    headline = list(registry.queries().items())
+    headline = list(registry.queries().items()) + _scale_arm_queries()
 
     # One untimed warm-up execution of EVERY query: JVM startup, C2/codegen
     # compilation, parquet footer reads. Warming only the first query (r2)
